@@ -1,0 +1,67 @@
+"""Deterministic keyed deduplication (SURVEY §2.5, D1-D6).
+
+The reference's pandas ``drop_duplicates(keep='first'|'last')`` depends on
+file-read order — nondeterministic in a distributed engine. Every dedup here
+takes an explicit tiebreak ordering, implemented as a ``row_number`` window
+(one shuffle on the key, no global sort — scales to arbitrary key cardinality).
+
+Parity targets:
+- D1 keep-first on (ticker, asset_type): 01_master_sync/00_master_list_cleaner.py:76-77
+- D2 keep-last on NAV natural key (last file read wins):
+  02_performance_sync/00_performance_data_cleaner.py:110
+- D3 sort-then-dedup consolidation: 01_master_sync/01_source_consolidator.py:76-79
+- D4 dedup by row_hash: scripts/bulk_import_from_hashed.py:56,109
+- D5 natural-key dedup before load: 03_holdings_loader.py:77-79 etc.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keyed(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    keep: str = "first",
+) -> DataFrame:
+    """Keep exactly one row per ``keys``, picked by ``order_by``.
+
+    ``keep='first'`` keeps the row that sorts first under ``order_by``;
+    ``keep='last'`` keeps the one that sorts last (D2's keep-last with an
+    explicit tiebreaker instead of pandas read order).
+    """
+    if not order_by:
+        raise ValueError("order_by must be non-empty for deterministic dedup")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if keep == "last":
+        cols = [c.desc() for c in cols]
+    elif keep != "first":
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_any(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """D1/D4/D5 as the reference behaves when order is irrelevant: one
+    arbitrary row per key (Spark's ``dropDuplicates`` — no window, cheaper
+    map-side partial aggregation). Use :func:`dedup_keyed` when the surviving
+    row matters."""
+    return df.dropDuplicates(list(keys))
+
+
+def duplicate_stats(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """A4: how many rows each key contributes beyond the first (dup metric)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+        .withColumn("n_duplicates", F.col("n_rows") - 1)
+    )

@@ -1,0 +1,547 @@
+"""ETL-operator parity queries (SURVEY §2.3-2.5, §2.9-2.12).
+
+The fixture tables carry no messy CSV strings, so each query synthesizes the
+reference's dirty-input shapes DETERMINISTICALLY from fixture columns (both
+engines derive the identical string, then both parse it back) — this
+exercises the real cleaning expressions end-to-end under the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..conform import ASSET_TYPE_MAP, SOURCE_MAP, map_values, null_sentinels_to_null, upper_trim
+from ..dedup import dedup_keyed, duplicate_stats
+from ..hashing import row_hash_concat
+from ..lifecycle import assign_initial_status, should_mark_inactive, should_promote_to_active
+from ..merge import merge_as_dataframe
+from ..parse import (
+    magnitude_overflow_repair,
+    outlier_to_null,
+    parse_date_coerce,
+    parse_magnitude,
+    parse_percent,
+    parse_thousands,
+    percent_rescale,
+)
+from ..validate import (
+    master_rules,
+    nav_rules,
+    validation_split_all_reasons,
+    validation_split_single_reason,
+)
+from .registry import register, table
+
+
+# ---------------------------------------------------------------------------
+# conform / normalize (P1-P3, X1-X3, X9, L2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "conform_master_list",
+    doc="P2/P3/X1-X3/L2/X13: synonym values, case normalize, missing-col NULL "
+    "injection, default status — the master-list cleaner as one projection.",
+    oracle="""
+SELECT upper(trim(s_name)) AS ticker,
+       CASE CASE WHEN s_suppkey % 3 = 0 THEN 'MUTUAL FUND' WHEN s_suppkey % 3 = 1 THEN 'ETF' ELSE 'FUND' END
+            WHEN 'MUTUAL FUND' THEN 'FUND' WHEN 'MUTUALFUND' THEN 'FUND' WHEN 'MUTUAL_FUND' THEN 'FUND'
+            ELSE CASE WHEN s_suppkey % 3 = 0 THEN 'MUTUAL FUND' WHEN s_suppkey % 3 = 1 THEN 'ETF' ELSE 'FUND' END END AS asset_type,
+       CASE 'yf' WHEN 'ft' THEN 'financial_times' WHEN 'yf' THEN 'yahoo_finance' WHEN 'sa' THEN 'stock_analysis'
+            ELSE 'yf' END AS source,
+       s_name AS name,
+       'new' AS status,
+       CAST(NULL AS VARCHAR) AS currency
+FROM supplier
+""",
+)
+def conform_master_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier")
+    raw_type = (
+        F.when(F.col("s_suppkey") % 3 == 0, F.lit("MUTUAL FUND"))
+        .when(F.col("s_suppkey") % 3 == 1, F.lit("ETF"))
+        .otherwise(F.lit("FUND"))
+    )
+    df = supp.select(
+        upper_trim("s_name").alias("ticker"),
+        map_values(raw_type, ASSET_TYPE_MAP).alias("asset_type"),
+        map_values(F.lit("yf"), SOURCE_MAP).alias("source"),
+        F.col("s_name").alias("name"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("string").alias("currency"),
+    )
+    return assign_initial_status(df)
+
+
+@register(
+    "null_sentinel_cleanup",
+    doc="X9: '', 'nan', 'N/A', padded values -> NULL / trimmed.",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN lower(trim(dirty)) IN ('', 'nan', 'none', 'null', 'n/a', 'na', '-')
+            THEN NULL ELSE trim(dirty) END AS cleaned
+FROM (
+  SELECT doc_id,
+         CASE n_chars % 4 WHEN 0 THEN 'N/A' WHEN 1 THEN '  ' || lang || '  '
+                          WHEN 2 THEN 'nan' ELSE lang END AS dirty
+  FROM documents
+)
+""",
+)
+def null_sentinel_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    dirty = (
+        F.when(F.col("n_chars") % 4 == 0, F.lit("N/A"))
+        .when(F.col("n_chars") % 4 == 1, F.concat(F.lit("  "), F.col("lang"), F.lit("  ")))
+        .when(F.col("n_chars") % 4 == 2, F.lit("nan"))
+        .otherwise(F.col("lang"))
+    )
+    return docs.select("doc_id", null_sentinels_to_null(dirty).alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# scalar parsing (X4-X8, F9, F10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "numeric_string_parsing",
+    doc="X4/X5/X6: percent, thousands-separator and magnitude-suffix parsing "
+    "round-tripped through deterministically synthesized dirty strings.",
+    oracle="""
+SELECT p_partkey,
+       CAST(regexp_replace(pct_str, '[%,+]', '', 'g') AS DOUBLE) AS pct,
+       CAST(CAST(regexp_replace(thou_str, ',', '', 'g') AS DOUBLE) AS BIGINT) AS thou,
+       CASE regexp_extract(lower(trim(mag_str)), '-?[\\d,]*\\.?\\d+\\s*([kmbt])', 1)
+            WHEN 'k' THEN CAST(regexp_replace(regexp_extract(lower(trim(mag_str)), '(-?[\\d,]*\\.?\\d+)', 1), ',', '', 'g') AS DOUBLE) * 1e3
+            WHEN 'm' THEN CAST(regexp_replace(regexp_extract(lower(trim(mag_str)), '(-?[\\d,]*\\.?\\d+)', 1), ',', '', 'g') AS DOUBLE) * 1e6
+            WHEN 'b' THEN CAST(regexp_replace(regexp_extract(lower(trim(mag_str)), '(-?[\\d,]*\\.?\\d+)', 1), ',', '', 'g') AS DOUBLE) * 1e9
+            WHEN 't' THEN CAST(regexp_replace(regexp_extract(lower(trim(mag_str)), '(-?[\\d,]*\\.?\\d+)', 1), ',', '', 'g') AS DOUBLE) * 1e12
+            ELSE CAST(regexp_replace(regexp_extract(lower(trim(mag_str)), '(-?[\\d,]*\\.?\\d+)', 1), ',', '', 'g') AS DOUBLE) END AS mag
+FROM (
+  SELECT p_partkey,
+         printf('+%d.%02d%%', p_size, p_partkey % 100) AS pct_str,
+         printf('%d,%03d', p_size, p_partkey % 1000) AS thou_str,
+         printf('%d.%02dm USD', p_size, p_partkey % 100) AS mag_str
+  FROM part
+)
+""",
+)
+def numeric_string_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    pct_str = F.format_string("+%d.%02d%%", F.col("p_size"), F.col("p_partkey") % 100)
+    thou_str = F.format_string("%d,%03d", F.col("p_size"), F.col("p_partkey") % 1000)
+    mag_str = F.format_string("%d.%02dm USD", F.col("p_size"), F.col("p_partkey") % 100)
+    return part.select(
+        "p_partkey",
+        parse_percent(pct_str).alias("pct"),
+        parse_thousands(thou_str).alias("thou"),
+        parse_magnitude(mag_str).alias("mag"),
+    )
+
+
+@register(
+    "fee_rescale_and_repair",
+    doc="X7/X8/F9/F10: percent re-scale (/100 if >1), DECIMAL(5,2) overflow "
+    "repair, domain-bound outlier nulling, length guard.",
+    oracle="""
+SELECT p_partkey,
+       CASE WHEN fee_raw > 1.0 THEN fee_raw / 100.0 ELSE fee_raw END AS fee,
+       CASE WHEN abs(sd_raw) > 999.99 THEN sd_raw / 100.0 ELSE sd_raw END AS std_dev,
+       CASE WHEN abs(metric_raw) < 1000.0 THEN metric_raw END AS metric,
+       CASE WHEN length(p_name) <= 20 THEN p_name END AS guarded_name
+FROM (
+  SELECT p_partkey, p_name,
+         p_retailprice / 1000.0 AS fee_raw,
+         p_retailprice AS sd_raw,
+         p_retailprice - 500.0 AS metric_raw
+  FROM part
+)
+""",
+)
+def fee_rescale_and_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..parse import length_guard
+
+    part = table(spark, sf_dir, "part")
+    fee_raw = F.col("p_retailprice") / 1000.0
+    sd_raw = F.col("p_retailprice")
+    metric_raw = F.col("p_retailprice") - 500.0
+    return part.select(
+        "p_partkey",
+        percent_rescale(fee_raw).alias("fee"),
+        magnitude_overflow_repair(sd_raw).alias("std_dev"),
+        outlier_to_null(metric_raw).alias("metric"),
+        length_guard("p_name").alias("guarded_name"),
+    )
+
+
+@register(
+    "date_parsing_and_arithmetic",
+    doc="X10/X11/X12: formatted date round-trip + date arithmetic (cutoffs).",
+    oracle="""
+SELECT o_orderkey,
+       CAST(strptime(date_str, '%b %-d, %Y') AS DATE) AS parsed_date,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(o_orderdate AS DATE) - 7 AS grace_cutoff,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01') AS age_days
+FROM (
+  SELECT o_orderkey, o_orderdate, strftime(o_orderdate, '%b %-d, %Y') AS date_str
+  FROM orders
+)
+""",
+)
+def date_parsing_and_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    date_str = F.date_format("o_orderdate", "MMM d, yyyy")
+    return orders.select(
+        "o_orderkey",
+        parse_date_coerce(date_str, "MMM d, yyyy").alias("parsed_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_sub(F.col("o_orderdate").cast("date"), 7).alias("grace_cutoff"),
+        F.datediff(F.lit("2001-09-01").cast("date"), F.col("o_orderdate").cast("date")).alias("age_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing / change detection (H2/H3/H7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "row_hash_change_detection",
+    doc="H2/H7: reference-compatible md5 of separator-less concat (None->'') "
+    "plus the sha256 flavor, over master-shaped rows.",
+    oracle="""
+SELECT ticker, asset_type, source,
+       md5(COALESCE(ticker,'') || COALESCE(asset_type,'') || COALESCE(source,'') || COALESCE(name,'') || COALESCE(status,'')) AS row_hash,
+       sha256(COALESCE(ticker,'') || '|' || COALESCE(name,'')) AS sha_hash
+FROM (
+  SELECT upper(trim(s_name)) AS ticker,
+         CASE WHEN s_suppkey % 2 = 0 THEN 'FUND' ELSE 'ETF' END AS asset_type,
+         'yahoo_finance' AS source,
+         CASE WHEN s_suppkey % 13 = 0 THEN NULL ELSE s_name END AS name,
+         'active' AS status
+  FROM supplier
+)
+""",
+)
+def row_hash_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier")
+    master = supp.select(
+        upper_trim("s_name").alias("ticker"),
+        F.when(F.col("s_suppkey") % 2 == 0, F.lit("FUND")).otherwise(F.lit("ETF")).alias("asset_type"),
+        F.lit("yahoo_finance").alias("source"),
+        F.when(F.col("s_suppkey") % 13 == 0, F.lit(None)).otherwise(F.col("s_name")).alias("name"),
+        F.lit("active").alias("status"),
+    )
+    return master.select(
+        "ticker",
+        "asset_type",
+        "source",
+        row_hash_concat(["ticker", "asset_type", "source", "name", "status"]).alias("row_hash"),
+        F.sha2(
+            F.concat_ws("|", F.coalesce(F.col("ticker"), F.lit("")), F.coalesce(F.col("name"), F.lit(""))), 256
+        ).alias("sha_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup (D2/D5, A4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_keep_last",
+    doc="D2: deterministic keep-last per natural key with explicit tiebreak "
+    "(replaces pandas read-order keep='last').",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+                               ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+)
+def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    out = dedup_keyed(li, ["l_orderkey", "l_partkey"], ["l_shipdate", "l_linenumber"], keep="last")
+    return out.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+    )
+
+
+@register(
+    "duplicate_key_stats",
+    doc="A4: duplicate-count metric per natural key (initial_len - len after dedup).",
+    oracle="""
+SELECT l_orderkey, COUNT(*) AS n_rows, COUNT(*) - 1 AS n_duplicates
+FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+""",
+)
+def duplicate_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_stats(table(spark, sf_dir, "lineitem"), ["l_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# validation splits (F4, F5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "nav_validation_errors",
+    doc="F4: good/bad split with single-reason annotation; later rules "
+    "overwrite earlier (pandas mask-overwrite semantics).",
+    oracle="""
+SELECT o_orderkey AS rec_id,
+       CASE WHEN as_of_date > DATE '2001-09-02'        THEN 'Future Date'
+            WHEN nav_price <= 0                        THEN 'Non-Positive NAV'
+            WHEN ticker IS NULL OR nav_price IS NULL OR as_of_date IS NULL THEN 'Missing Data'
+       END AS error_reason
+FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE 'T' || CAST(o_custkey AS VARCHAR) END AS ticker,
+         CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+              WHEN o_orderkey % 91 = 0 THEN NULL
+              ELSE o_totalprice END AS nav_price,
+         CASE WHEN o_orderkey % 83 = 0 THEN DATE '2099-01-01' ELSE CAST(o_orderdate AS DATE) END AS as_of_date
+  FROM orders
+)
+WHERE as_of_date > DATE '2001-09-02' OR nav_price <= 0
+   OR ticker IS NULL OR nav_price IS NULL OR as_of_date IS NULL
+""",
+)
+def nav_validation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        F.col("o_orderkey").alias("rec_id"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("T"), F.col("o_custkey").cast("string")))
+        .alias("ticker"),
+        F.when(F.col("o_orderkey") % 89 == 0, -F.col("o_totalprice"))
+        .when(F.col("o_orderkey") % 91 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("nav_price"),
+        F.when(F.col("o_orderkey") % 83 == 0, F.lit("2099-01-01").cast("date"))
+        .otherwise(F.col("o_orderdate").cast("date"))
+        .alias("as_of_date"),
+    )
+    _, invalid = validation_split_single_reason(dirty, nav_rules(today=F.lit("2001-09-01").cast("date")))
+    return invalid.select("rec_id", "error_reason")
+
+
+@register(
+    "master_validation_issues",
+    doc="F5: vectorized row-rule validator, all failed rules joined by '; '.",
+    oracle="""
+SELECT rec_id,
+       NULLIF(concat_ws('; ',
+         CASE WHEN ticker IS NULL OR trim(ticker) = '' THEN 'Missing Ticker' END,
+         CASE WHEN asset_type NOT IN ('FUND','ETF') THEN 'Invalid Asset Type' END,
+         CASE WHEN source IS NULL OR trim(source) = '' THEN 'Missing Source' END,
+         CASE WHEN status NOT IN ('active','inactive','new') THEN 'Invalid Status' END), '') AS validation_issues
+FROM (
+  SELECT c_custkey AS rec_id,
+         CASE WHEN c_custkey % 11 = 0 THEN '' ELSE c_name END AS ticker,
+         CASE WHEN c_custkey % 7 = 0 THEN 'STOCK' ELSE 'FUND' END AS asset_type,
+         CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE 'yahoo_finance' END AS source,
+         CASE WHEN c_custkey % 5 = 0 THEN 'weird' ELSE 'active' END AS status
+  FROM customer
+)
+WHERE (ticker IS NULL OR trim(ticker) = '')
+   OR asset_type NOT IN ('FUND','ETF')
+   OR (source IS NULL OR trim(source) = '')
+   OR status NOT IN ('active','inactive','new')
+""",
+)
+def master_validation_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("")).otherwise(F.col("c_name")).alias("ticker"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("STOCK")).otherwise(F.lit("FUND")).alias("asset_type"),
+        F.when(F.col("c_custkey") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("yahoo_finance"))
+        .alias("source"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("weird")).otherwise(F.lit("active")).alias("status"),
+    )
+    _, invalid = validation_split_all_reasons(dirty, master_rules())
+    return invalid.select("rec_id", "validation_issues")
+
+
+# ---------------------------------------------------------------------------
+# hash-guarded merge (K3/K4/K5, H8) and lifecycle (L1-L5)
+# ---------------------------------------------------------------------------
+
+def _order_snapshot(orders: DataFrame, lo: int, hi: int, modify: bool) -> DataFrame:
+    """A deterministic keyed snapshot of orders in [lo, hi) by year; the
+    'modified' flavor changes prices for even keys so hashes differ."""
+    df = orders.filter((F.year("o_orderdate") >= lo) & (F.year("o_orderdate") < hi))
+    price = F.col("o_totalprice")
+    if modify:
+        price = F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") + 1000.0).otherwise(
+            F.col("o_totalprice")
+        )
+    df = df.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        price.cast("decimal(18,2)").alias("price"),
+    )
+    return df.withColumn(
+        "row_hash",
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("status"), F.lit("")),
+                F.coalesce(F.col("price").cast("string"), F.lit("")),
+            )
+        ),
+    )
+
+
+@register(
+    "hash_guarded_merge",
+    doc="K3/K4/H8: MERGE of a modified batch into a target snapshot — matched-"
+    "and-changed takes source, matched-unchanged keeps target, else insert/keep.",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1995 AND EXTRACT(YEAR FROM o_orderdate) < 1999
+), t AS (
+  SELECT *, md5(COALESCE(status,'') || COALESCE(CAST(price AS VARCHAR),'')) AS row_hash FROM target
+), source AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1998 AND EXTRACT(YEAR FROM o_orderdate) < 2000
+), s AS (
+  SELECT *, md5(COALESCE(status,'') || COALESCE(CAST(price AS VARCHAR),'')) AS row_hash FROM source
+)
+SELECT COALESCE(t.key, s.key) AS key,
+       CASE WHEN t.key IS NULL THEN s.status
+            WHEN s.key IS NULL THEN t.status
+            WHEN t.row_hash IS DISTINCT FROM s.row_hash THEN s.status
+            ELSE t.status END AS status,
+       CASE WHEN t.key IS NULL THEN s.price
+            WHEN s.key IS NULL THEN t.price
+            WHEN t.row_hash IS DISTINCT FROM s.row_hash THEN s.price
+            ELSE t.price END AS price,
+       CASE WHEN t.key IS NULL THEN s.row_hash
+            WHEN s.key IS NULL THEN t.row_hash
+            WHEN t.row_hash IS DISTINCT FROM s.row_hash THEN s.row_hash
+            ELSE t.row_hash END AS row_hash
+FROM t FULL OUTER JOIN s ON t.key = s.key
+""",
+)
+def hash_guarded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    target = _order_snapshot(orders, 1995, 1999, modify=False)
+    source = _order_snapshot(orders, 1998, 2000, modify=True)
+    return merge_as_dataframe(target, source, keys=["key"], hash_col="row_hash")
+
+
+@register(
+    "lifecycle_status_transitions",
+    doc="L1-L5: first/last_seen from order history, then the status machine "
+    "(new->active on real name, active->inactive past the 7-day grace).",
+    oracle="""
+SELECT custkey, first_seen, last_seen, status AS old_status,
+       CASE WHEN status = 'active' AND last_seen < DATE '2001-09-01' - 7 THEN 'inactive'
+            WHEN status = 'new' AND name IS NOT NULL AND trim(name) <> '' AND upper(trim(name)) <> 'N/A' THEN 'active'
+            ELSE status END AS new_status
+FROM (
+  SELECT o.o_custkey AS custkey,
+         MIN(CAST(o.o_orderdate AS DATE)) AS first_seen,
+         MAX(CAST(o.o_orderdate AS DATE)) AS last_seen,
+         CASE WHEN o.o_custkey % 13 = 0 THEN 'N/A' ELSE MIN(c.c_name) END AS name,
+         CASE WHEN o.o_custkey % 3 = 0 THEN 'new' WHEN o.o_custkey % 3 = 1 THEN 'active' ELSE 'inactive' END AS status
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey
+)
+""",
+)
+def lifecycle_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    master = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("first_seen"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_seen"),
+            F.min("c_name").alias("base_name"),
+        )
+        .select(
+            "custkey",
+            "first_seen",
+            "last_seen",
+            F.when(F.col("custkey") % 13 == 0, F.lit("N/A")).otherwise(F.col("base_name")).alias("name"),
+            F.when(F.col("custkey") % 3 == 0, F.lit("new"))
+            .when(F.col("custkey") % 3 == 1, F.lit("active"))
+            .otherwise(F.lit("inactive"))
+            .alias("status"),
+        )
+    )
+    today = F.lit("2001-09-01").cast("date")
+    new_status = (
+        F.when(should_mark_inactive(today=today), F.lit("inactive"))
+        .when(should_promote_to_active(), F.lit("active"))
+        .otherwise(F.col("status"))
+    )
+    return master.select(
+        "custkey",
+        "first_seen",
+        "last_seen",
+        F.col("status").alias("old_status"),
+        new_status.alias("new_status"),
+    )
+
+
+@register(
+    "locf_last_valid_value",
+    doc="G3/W5: last-observation-carried-forward — last non-null purchase "
+    "value per user over event time (stale-NAV fallback semantics).",
+    oracle="""
+SELECT event_id, user_id,
+       LAST_VALUE(purchase_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+  FROM events
+)
+""",
+)
+def locf_last_valid_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_value, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "retention_cutoff_prune",
+    doc="K8/X12: retention predicate over date partitions (60-day cutoff).",
+    oracle="""
+SELECT CAST(l_shipdate AS DATE) AS dt, COUNT(*) AS n
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '2001-11-01' - 60
+GROUP BY CAST(l_shipdate AS DATE)
+""",
+)
+def retention_cutoff_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = F.date_sub(F.lit("2001-11-01").cast("date"), 60)
+    return (
+        li.select(F.col("l_shipdate").cast("date").alias("dt"))
+        .filter(F.col("dt") >= cutoff)
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,166 @@
+"""Event-time analytics over the ``events`` fixture (SURVEY §2.14 extension).
+
+The reference is batch-only; these operators give the engine the windowed /
+sessionized capability a streaming NAV feed would need, expressed so the
+identical logic runs under Structured Streaming (the streaming module reuses
+the same tumbling-window shape with a watermark).
+
+Timestamp discipline: window starts are exchanged as epoch seconds (BIGINT)
+— engines disagree on timestamp-nanosecond printing, epoch math is exact.
+Value sums go through DECIMAL casts as everywhere else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register, table
+
+
+@register(
+    "tumbling_window_stats",
+    headline=True,
+    doc="Tumbling 5-minute window per event_type: count + exact decimal sum. "
+    "Spark side uses the native window() operator (streaming-compatible).",
+    oracle="""
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_stats",
+    doc="Hopping window (10 min length, 5 min hop): each event lands in two "
+    "windows; implemented natively with window(), oracle via explicit hop join.",
+    oracle="""
+SELECT w.window_start_epoch, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM events e
+CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+CROSS JOIN LATERAL (
+  SELECT (CAST(floor(epoch(e.ts)) AS BIGINT) // 300) * 300 - k.k * 300 AS window_start_epoch
+) w
+GROUP BY w.window_start_epoch
+""",
+)
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sessionization",
+    doc="Session windows with a 30-minute inactivity gap per user: lag(ts) + "
+    "cumulative gap-count defines session ids; the classic shuffle-once, "
+    "window-twice pattern (no driver loops).",
+    oracle="""
+WITH base AS (
+  SELECT user_id, ts, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+), gaps AS (
+  SELECT user_id, ts, event_id, value, ep,
+         CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800 THEN 1 ELSE 0 END AS is_new_session
+  FROM base
+), sessions AS (
+  SELECT user_id, event_id, value, ep,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ep) AS session_start_epoch,
+       MAX(ep) AS session_end_epoch,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_session = ev.withColumn(
+        "is_new_session", F.when(gap > 30 * 60, F.lit(1)).otherwise(F.lit(0))
+    ).withColumn("session_seq", F.sum("is_new_session").over(frame))
+    return with_session.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.col("ts").cast("long")).alias("session_start_epoch"),
+        F.max(F.col("ts").cast("long")).alias("session_end_epoch"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("session_value"),
+    )
+
+
+@register(
+    "event_type_summary",
+    doc="Per-type event stats: counts, exact sums, min/max event time as epoch.",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+       CAST(floor(MIN(epoch(ts))) AS BIGINT) AS first_epoch,
+       CAST(floor(MAX(epoch(ts))) AS BIGINT) AS last_epoch
+FROM events GROUP BY event_type
+""",
+)
+def event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        F.min(F.col("ts").cast("long")).alias("first_epoch"),
+        F.max(F.col("ts").cast("long")).alias("last_epoch"),
+    )
+
+
+@register(
+    "json_props_extraction",
+    doc="Semi-structured extraction: pull k out of the JSON props column "
+    "(get_json_object / JSON path on both engines).",
+    oracle="""
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+FROM events
+""",
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_value"),
+    )

@@ -1,0 +1,472 @@
+"""Relational query surface over the star schema (SURVEY §2.6-2.8 plus the
+join/agg/window capability the harness exercises).
+
+Determinism discipline shared by every query here:
+- monetary/double aggregates go through explicit DECIMAL casts on both the
+  Spark and DuckDB side (float summation order is engine-dependent; decimal
+  addition is exact and order-independent);
+- averages are computed as exact decimal SUM cast to DOUBLE divided by
+  COUNT (identical IEEE bits on both engines);
+- every top-k ORDER BY carries a unique tiebreak key so the selected row
+  SET is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register, table
+
+
+def _dec(col, prec=18, scale=2):
+    return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# A: aggregation surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    headline=True,
+    doc="TPC-H Q1 flavor: grouped 8-way aggregate over lineitem (A1/A2 writ large).",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-06-30").cast("timestamp"))
+    price = _dec("l_extendedprice")
+    disc_mult = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    tax_mult = (F.lit(1) + F.col("l_tax")).cast("decimal(8,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(price * disc_mult).cast("decimal(38,4)").alias("sum_disc_price"),
+        F.sum(price * disc_mult * tax_mult).cast("decimal(38,6)").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "group_count_breakdown",
+    doc="A1: value_counts() as groupBy().count() (00_performance_data_cleaner.py:143).",
+    oracle="SELECT c_mktsegment AS segment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment",
+)
+def group_count_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "distinct_counts",
+    doc="A: exact distinct counts per group (count_distinct surface).",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rollup_revenue",
+    doc="A: hierarchical subtotals via ROLLUP with grouping_id disambiguation.",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "revenue", "n")
+    )
+
+
+@register(
+    "cube_order_stats",
+    doc="A: CUBE over two dimensions.",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@register(
+    "pivot_status_by_segment",
+    doc="A: pivot (segment x orderstatus counts).",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .withColumnsRenamed({"O": "status_o", "F": "status_f", "P": "status_p"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY §2.6 — the rebuild ships the full join surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_unshipped_orders",
+    headline=True,
+    doc="TPC-H Q3 flavor: 3-way join + group + deterministic top-10.",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "regional_supplier_volume",
+    headline=True,
+    doc="TPC-H Q5 flavor: 6-way join through region/nation, co-located cust/supp nation.",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    doc="U2/G1/S10: anti-join gap detection (master minus delivered).",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    from ..sources.registry import resume_anti_join
+
+    return resume_anti_join(
+        cust, orders.withColumnRenamed("o_custkey", "c_custkey"), ["c_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "active_customers_semi",
+    doc="S8-style membership lookup as a left-semi join.",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+)
+""",
+)
+def active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    open_orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        open_orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "order_fulfillment_outer",
+    doc="Full-outer join with null-side indicators (MERGE's underlying shape).",
+    oracle="""
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       (c.c_custkey IS NOT NULL) AS in_customer,
+       (o.n_orders IS NOT NULL) AS has_orders,
+       COALESCE(o.n_orders, 0) AS n_orders
+FROM customer c
+FULL OUTER JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+""",
+)
+def order_fulfillment_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").alias("c")
+    per_cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .alias("o")
+    )
+    return cust.join(per_cust, F.col("c.c_custkey") == F.col("o.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("c.c_custkey"), F.col("o.o_custkey")).alias("custkey"),
+        F.col("c.c_custkey").isNotNull().alias("in_customer"),
+        F.col("o.n_orders").isNotNull().alias("has_orders"),
+        F.coalesce(F.col("o.n_orders"), F.lit(0)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations (U1 + harness INTERSECT/EXCEPT)
+# ---------------------------------------------------------------------------
+
+@register(
+    "repeat_buyers_intersect",
+    doc="INTERSECT: customers ordering in both 1996 and 2000.",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 2000
+""",
+)
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    y00 = orders.filter(F.year("o_orderdate") == 2000).select(F.col("o_custkey").alias("custkey"))
+    return y96.intersect(y00)
+
+
+@register(
+    "churned_buyers_except",
+    doc="EXCEPT: customers ordering in 1996 but never in 2000-2001.",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 2000
+""",
+)
+def churned_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    later = orders.filter(F.year("o_orderdate") >= 2000).select(F.col("o_custkey").alias("custkey"))
+    return y96.subtract(later)  # EXCEPT (distinct) semantics
+
+
+# ---------------------------------------------------------------------------
+# windows / ordered analytics (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_orders_per_customer",
+    doc="W: top-3 orders per customer by price — rank/row_number with unique tiebreak.",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _dec("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "running_revenue_by_supplier",
+    doc="W: running decimal sum + lag/lead over an ordered per-supplier frame.",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_rev,
+       LAG(l_orderkey)  OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_order,
+       LEAD(l_orderkey) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_order
+FROM lineitem
+WHERE l_suppkey < 10
+""",
+)
+def running_revenue_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 10)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(_dec("l_extendedprice")).over(frame).cast("decimal(38,2)").alias("running_rev"),
+            F.lag("l_orderkey").over(w).alias("prev_order"),
+            F.lead("l_orderkey").over(w).alias("next_order"),
+        )
+    )
+
+
+@register(
+    "latest_order_per_customer",
+    doc="A3/W5: latest-per-key reduction (max_by flavor, deterministic tiebreak).",
+    oracle="""
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       CAST(o_orderdate AS DATE) AS latest_orderdate,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS latest_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import dedup_keyed
+
+    latest = dedup_keyed(
+        table(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        keep="last",
+    )
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderdate").cast("date").alias("latest_orderdate"),
+        _dec("o_totalprice").alias("latest_totalprice"),
+    )
+
+
+@register(
+    "ntile_quartiles",
+    doc="W: ntile bucketing of customers by balance within segment (unique tiebreak; "
+    "partitioned window so no single-reducer global sort at scale).",
+    oracle="""
+SELECT c_custkey,
+       CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+       NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer
+""",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _dec("c_acctbal").alias("acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -1,0 +1,330 @@
+"""LLM-data-pipeline text operators over ``documents`` (BASELINE.json extras).
+
+Exact dedup, n-gram Jaccard near-dup, MinHash-LSH banding, language-ID,
+quality scoring, token counting, fingerprinting — each expressed as
+distributed DataFrame transforms (explode -> aggregate -> join), never
+driver-side loops, so the same plan runs over 100 TB of documents.
+
+Determinism notes: hash families are built from md5 strings (identical in
+both engines); set sizes are computed via |A|+|B|-|A∪B| on DISTINCT arrays
+(avoids engine-specific intersect semantics); ratios are double divisions
+of exact integers (bit-identical).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, table
+
+#: tiny English stopword list for the language-ID heuristic
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+_SW_SQL = "('the', 'a', 'of', 'and', 'in', 'to', 'is')"
+
+
+def _tokens(col="text"):
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "text_statistics",
+    headline=True,
+    doc="Per-document token/char statistics (length, token count, avg token "
+    "length, alpha ratio) — the quality-filter feature set.",
+    oracle="""
+SELECT doc_id, lang, source,
+       length(text) AS n_chars_actual,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+FROM documents
+""",
+)
+def text_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(toks)).alias("avg_token_len"),
+        (F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / F.length("text")).alias(
+            "alpha_ratio"
+        ),
+    )
+
+
+@register(
+    "language_id_heuristic",
+    doc="Stopword-ratio language ID: share of tokens in a tiny English "
+    "stopword list; predicts 'en' above threshold.",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang,
+       CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+                 / len(string_split(text, ' ')) > 0.03 THEN 'en' ELSE 'other' END AS predicted_lang
+FROM documents
+""",
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ratio = n_stop.cast("double") / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio > 0.03, F.lit("en")).otherwise(F.lit("other")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "quality_score",
+    doc="Composite document quality score from deterministic feature ratios "
+    "(length band, stopword share, mean token length band).",
+    oracle=f"""
+SELECT doc_id,
+       0.5 * (CASE WHEN n_tokens >= 30 AND n_tokens <= 400 THEN 1.0 ELSE 0.0 END)
+     + 0.3 * least(stopword_ratio * 10.0, 1.0)
+     + 0.2 * (CASE WHEN avg_len >= 3.0 AND avg_len <= 8.0 THEN 1.0 ELSE 0.0 END) AS quality
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stopword_ratio,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_len
+  FROM documents
+)
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
+    avg_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    quality = (
+        F.lit(0.5) * F.when((n_tokens >= 30) & (n_tokens <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * F.least(stop_ratio * 10.0, F.lit(1.0))
+        + F.lit(0.2) * F.when((avg_len >= 3.0) & (avg_len <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return docs.select("doc_id", quality.alias("quality"))
+
+
+@register(
+    "token_count_regex",
+    doc="Regex token counting (word / number / whitespace classes) — the "
+    "BPE-ish pre-tokenizer count.",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+       len(regexp_extract_all(text, '\\s+')) AS n_whitespace_runs
+FROM documents
+""",
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+")).alias("n_word_tokens"),
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_number_tokens"),
+        F.regexp_count("text", F.lit(r"\s+")).alias("n_whitespace_runs"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    doc="Deterministic document fingerprint: md5 over language, prefix and "
+    "length (the cheap first-pass dedup key).",
+    oracle="""
+SELECT doc_id,
+       md5(COALESCE(lang,'') || '|' || substr(text, 1, 64) || '|' || CAST(length(text) AS VARCHAR)) AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("lang"), F.lit("")),
+                F.lit("|"),
+                F.substring("text", 1, 64),
+                F.lit("|"),
+                F.length("text").cast("string"),
+            )
+        ).alias("fingerprint"),
+    )
+
+
+@register(
+    "exact_dedup",
+    headline=True,
+    doc="Exact dedup by content hash: keep the lowest doc_id per md5(text) "
+    "(hash-groupBy; map-side combinable, no skew at 100 TB).",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    doc="Token-set Jaccard near-dup within (lang, length-bucket) blocks: "
+    "|A∩B| via |A|+|B|-|A∪B| on distinct token sets; blocked self-join "
+    "keeps the pair count linear-ish (full LSH variant: minhash_lsh_candidates).",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 100 AS bucket,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(a.toks) + len(b.toks) - len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+         / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(a.toks) + len(b.toks) - len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("bucket"),
+        F.array_distinct(_tokens()).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    union_size = F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
+    inter_size = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - union_size
+    jaccard = inter_size.cast("double") / union_size
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# MinHash-LSH: k=8 hash functions (min over md5(seed|shingle)), b=4 bands of
+# r=2 rows. Shingles are token 3-grams. Candidate pairs share >=1 band key.
+_N_HASH = 8
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+
+def _shingle_sql() -> str:
+    return (
+        "list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1), "
+        "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    doc="MinHash-LSH near-dup candidates: md5-family minhash signature (k=8) "
+    "over token 3-gram shingles, banded (b=4, r=2), pairs sharing a band. "
+    "Fully distributed: explode -> per-doc min-agg -> per-band equi-join.",
+    oracle=f"""
+WITH exploded AS (
+  SELECT doc_id, unnest({_shingle_sql()}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(_N_HASH))}
+  FROM exploded GROUP BY doc_id
+), bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {bi} AS band, md5(h{a} || h{b}) AS band_key FROM sig" for bi, (a, b) in enumerate(_BANDS))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ]
+    )
+    bands = reduce(
+        DataFrame.unionAll,
+        [
+            sig.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))).alias("band_key"),
+            )
+            for bi, (a, b) in enumerate(_BANDS)
+        ],
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    doc="Multimodal plumbing: opaque binary payload column + typed metadata "
+    "(byte length, content hash) grouped by source — the schema/partition "
+    "pattern for image/audio blobs (decode itself is stubbed in operators.multimodal).",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+FROM documents GROUP BY source
+""",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length(payload)).alias("total_bytes"),
+        F.countDistinct(F.md5(payload)).alias("n_distinct_payloads"),
+    )

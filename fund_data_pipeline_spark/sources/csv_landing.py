@@ -1,0 +1,89 @@
+"""Landing-zone scan helpers (SURVEY §2.1, S1-S7).
+
+The reference reads thousands of small CSVs in Python loops (one
+``pd.read_csv`` + one upsert round-trip per file —
+02_performance_sync/03_price_history_loader.py:69-113). Here every landing
+pattern is ONE distributed scan; per-file metadata (ticker, source,
+as-of date) is recovered from ``input_file_name()`` instead of loop
+variables. This is the #1 scalability win of the rebuild: a 100 TB landing
+zone is a single job with partition-sized tasks, not a driver-side loop.
+
+- S1  multi-dir scan + union:      pass several roots to one read
+- S2  per-entity files:            glob + filename-derived columns
+- S3  glob-pattern scan:           glob in the path
+- S4  path-date inference:         regexp over input_file_name()
+- S5  BOM-tolerant encoding:       Spark handles UTF-8 BOM natively
+- S6  fault-tolerant read:         PERMISSIVE + _corrupt_record column
+- S7  filename filter:             pathGlobFilter / filter on input_file_name()
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..parse import asset_type_from_path, filename_stem_ticker, path_date
+
+
+def read_landing_csvs(
+    spark: SparkSession,
+    paths: Sequence[str],
+    recursive: bool = True,
+    path_glob: str | None = "*.csv",
+    exclude_name_parts: Sequence[str] = ("error", "log"),
+    with_provenance: bool = True,
+) -> DataFrame:
+    """S1/S3/S5/S6/S7: one permissive scan over all landing dirs.
+
+    ``exclude_name_parts`` reproduces the 'skip files with error/log in the
+    name' rule (00_performance_data_cleaner.py:60-61) as a filter on
+    ``input_file_name()`` — evaluated at the scan, no driver-side listing.
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    df = reader.csv(list(paths))
+    df = df.withColumn("origin_file", F.input_file_name())
+    for part in exclude_name_parts:
+        df = df.filter(~F.lower(F.col("origin_file")).contains(part))
+    if not with_provenance:
+        df = df.drop("origin_file")
+    return df
+
+
+def read_per_entity_csvs(
+    spark: SparkSession,
+    root: str,
+    ticker_from_stem: bool = True,
+    infer_asset_type: bool = True,
+    infer_date: bool = False,
+) -> DataFrame:
+    """S2/S4: one scan over per-ticker files, metadata from the path.
+
+    Replaces the reference's rglob loop (00_price_history_cleaner.py:36-64):
+    ticker = filename stem before '_', asset_type = 'ETF' if the path
+    contains 'etf', as_of_date = the YYYY-MM-DD directory component.
+    """
+    df = read_landing_csvs(spark, [root])
+    if ticker_from_stem:
+        df = df.withColumn("ticker", F.upper(filename_stem_ticker(F.col("origin_file"))))
+    if infer_asset_type:
+        df = df.withColumn("asset_type", asset_type_from_path(F.col("origin_file")))
+    if infer_date:
+        df = df.withColumn("as_of_date", path_date(F.col("origin_file")))
+    return df
+
+
+def union_conformed(dfs: Sequence[DataFrame]) -> DataFrame:
+    """U1: UNION ALL of heterogeneous sources, by name, missing cols -> NULL."""
+    it = iter(dfs)
+    out = next(it)
+    for df in it:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

@@ -1,0 +1,129 @@
+"""Unit tests for the core expression library (conform/parse/hashing/dedup/validate)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fund_data_pipeline_spark import conform, dedup, hashing, parse, validate
+from fund_data_pipeline_spark.schemas import DAILY_NAV
+
+
+def test_normalize_headers_and_rename(spark):
+    df = spark.createDataFrame([("A", "x", "f")], ["  Symbol ", "Fund Name", "STATUS"])
+    out = conform.rename_synonyms(conform.normalize_headers(df))
+    assert out.columns == ["ticker", "name", "status"]
+
+
+def test_conform_adds_missing_and_casts(spark):
+    df = spark.createDataFrame(
+        [("vtsax", "FUND", "yf", "12.34", "2024-01-02")],
+        ["ticker", "asset_type", "source", "nav_price", "as_of_date"],
+    )
+    out = conform.conform(df, DAILY_NAV)
+    assert out.columns == [f.name for f in DAILY_NAV.fields]
+    row = out.first()
+    assert str(row.nav_price) == "12.3400"
+    assert row.currency is None
+    assert row.as_of_date.isoformat() == "2024-01-02"
+
+
+def test_null_sentinels(spark):
+    df = spark.createDataFrame([("N/A",), ("nan",), (" ok ",), ("",)], ["v"])
+    out = df.select(conform.null_sentinels_to_null("v").alias("v")).collect()
+    assert [r.v for r in out] == [None, None, "ok", None]
+
+
+def test_parse_percent_magnitude_thousands(spark):
+    df = spark.createDataFrame(
+        [("12.3%", "842.33m USD", "1,234,567")], ["pct", "mag", "thou"]
+    )
+    row = df.select(
+        parse.parse_percent("pct").alias("p"),
+        parse.parse_magnitude("mag").alias("m"),
+        parse.parse_thousands("thou").alias("t"),
+    ).first()
+    assert row.p == 12.3
+    assert row.m == 842_330_000.0
+    assert row.t == 1_234_567
+
+
+def test_parse_magnitude_variants(spark):
+    cases = [("1.2b", 1.2e9), ("5k", 5e3), ("-3.5m", -3.5e6), ("42", 42.0), ("n/a", None)]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["v"])
+    got = [r.m for r in df.select(parse.parse_magnitude("v").alias("m")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_percent_rescale_and_overflow(spark):
+    df = spark.createDataFrame([(45.0, 1234.5), (0.45, 12.5)], ["fee", "sd"])
+    rows = df.select(
+        parse.percent_rescale("fee").alias("fee"),
+        parse.magnitude_overflow_repair("sd").alias("sd"),
+    ).collect()
+    assert [r.fee for r in rows] == [0.45, 0.45]
+    assert [r.sd for r in rows] == [12.345, 12.5]
+
+
+def test_row_hash_concat_matches_reference_algorithm(spark):
+    # reference: md5("".join(str(a) if a is not None else "" for a in args))
+    # (src/utils/hasher.py:16-18)
+    args = ("VTSAX", "FUND", "yahoo_finance", None, "active")
+    expected = hashlib.md5("".join(str(a) if a is not None else "" for a in args).encode()).hexdigest()
+    df = spark.createDataFrame(
+        [args], "ticker string, asset_type string, source string, name string, status string"
+    )
+    got = df.select(hashing.master_row_hash().alias("h")).first().h
+    assert got == expected
+
+
+def test_ohlcv_hash_matches_reference_algorithm(spark):
+    # reference: sha256 over str-concat of OHLCV, missing -> ""
+    # (02_performance_sync/02_history_hasher.py:31-36)
+    vals = ("10.5", "11.0", "10.1", "10.9", None, "12345")
+    expected = hashlib.sha256("".join(v if v is not None else "" for v in vals).encode()).hexdigest()
+    df = spark.createDataFrame(
+        [vals], "open string, high string, low string, close string, adj_close string, volume string"
+    )
+    got = df.select(hashing.ohlcv_hash().alias("h")).first().h
+    assert got == expected
+
+
+def test_dedup_keyed_keep_last_deterministic(spark):
+    df = spark.createDataFrame(
+        [("A", "f1", 1.0), ("A", "f3", 3.0), ("A", "f2", 2.0), ("B", "f1", 9.0)],
+        ["k", "origin_file", "v"],
+    )
+    out = dedup.dedup_keyed(df, ["k"], ["origin_file"], keep="last")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {"A": 3.0, "B": 9.0}
+
+
+def test_validation_split_single_reason_overwrite_order(spark):
+    import datetime
+
+    rows = [
+        Row(ticker="A", nav_price=10.0, as_of_date=datetime.date(2024, 1, 1)),
+        Row(ticker=None, nav_price=10.0, as_of_date=datetime.date(2024, 1, 1)),
+        Row(ticker="C", nav_price=-1.0, as_of_date=datetime.date(2099, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows)
+    valid, invalid = validate.validation_split_single_reason(df, validate.nav_rules())
+    assert valid.count() == 1
+    reasons = {r.ticker: r.error_reason for r in invalid.collect()}
+    # row C fails both Non-Positive and Future Date; reference overwrite keeps the LAST rule
+    assert reasons[None] == "Missing Data"
+    assert reasons["C"] == "Future Date"
+
+
+def test_validation_split_all_reasons(spark):
+    df = spark.createDataFrame(
+        [("", "STOCK", "yf", "weird"), ("A", "FUND", "yf", "active")],
+        ["ticker", "asset_type", "source", "status"],
+    )
+    valid, invalid = validate.validation_split_all_reasons(df, validate.master_rules())
+    assert valid.count() == 1
+    bad = invalid.first()
+    assert bad.validation_issues == "Missing Ticker; Invalid Asset Type; Invalid Status"
