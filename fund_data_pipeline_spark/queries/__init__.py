@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from .registry import QUERIES, QuerySpec, register, table  # noqa: F401
 from . import relational  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401
 from . import etl  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import text  # noqa: E402,F401

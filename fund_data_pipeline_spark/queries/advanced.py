@@ -1,0 +1,345 @@
+"""Advanced relational + temporal operators the reference lacks but a
+complete engine needs: grouping sets, subqueries (EXISTS / scalar), lead-lag,
+discrete quantiles, unpivot, skew-salted joins, as-of joins, and bucketed
+range joins.
+
+As-of and range joins are the two operators Spark has no native physical
+strategy for (Databricks range-join hints aside); both are implemented here
+as compositions of built-in ops that keep a single key-shuffle and avoid
+any cross product:
+
+- as-of  = union(left-marker, right) -> window LOCF per key  (one shuffle,
+  state bounded by partition; the standard scalable pattern);
+- range  = time-bucket both sides, equi-join on (key, bucket), then apply
+  the range predicate (each right row joins at most once because its own
+  bucket is unique; left side explodes to the fixed number of buckets a
+  range can span — O(span/bucket) duplication, never O(n^2)).
+
+Determinism: same decimal/tiebreak discipline as queries/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register, table
+
+
+def _dec(col, prec=18, scale=2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / subqueries
+# ---------------------------------------------------------------------------
+
+@register(
+    "grouping_sets_revenue",
+    doc="A: explicit GROUPING SETS ((flag,status),(flag),()) with grouping_id.",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "revenue")
+    )
+
+
+@register(
+    "priority_orders_exists",
+    doc="Correlated EXISTS subquery (TPC-H Q4 flavor) as a left-semi join: "
+    "orders having at least one returned lineitem, counted per priority.",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def priority_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    returned = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    doc="Scalar aggregate subquery (TPC-H Q17 flavor): lineitems with quantity "
+    "below half the part's average quantity. The threshold compare is kept "
+    "exact (qty*2*cnt < sum as decimals) so no float-average boundary flaps.",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+       COUNT(*) AS n
+FROM lineitem l
+JOIN (SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey) g
+  ON l.l_partkey = g.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 2 * g.cnt < g.qty_sum
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    l = li.alias("l")
+    g = per_part.alias("g")
+    return (
+        l.join(g, F.col("l.l_partkey") == F.col("g.l_partkey"))
+        .filter(_dec("l.l_quantity") * 2 * F.col("g.cnt") < F.col("g.qty_sum"))
+        .agg(
+            F.sum(_dec("l.l_extendedprice")).cast("decimal(38,2)").alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered analytics
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_price_lead_lag",
+    doc="W: lag/lead over per-customer order history with exact decimal delta.",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(19,2)) AS delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def order_price_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (_dec("o_totalprice") - prev.cast("decimal(18,2)")).cast("decimal(19,2)").alias("delta"),
+    )
+
+
+@register(
+    "price_quartiles_by_segment",
+    doc="Discrete quantiles (quantile_disc semantics: value at ceil(q*n)) per "
+    "market segment, computed via row_number so both engines pick the exact "
+    "same stored double — no interpolation arithmetic to disagree on.",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       quantile_disc(o_totalprice, 0.25) AS q25,
+       quantile_disc(o_totalprice, 0.50) AS q50,
+       quantile_disc(o_totalprice, 0.75) AS q75
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def price_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price"))
+    )
+    w = Window.partitionBy("segment").orderBy("price")
+    ranked = seg.select(
+        "segment",
+        "price",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment")).alias("n"),
+    )
+    qcol = {}
+    for q, name in ((0.25, "q25"), (0.50, "q50"), (0.75, "q75")):
+        qcol[name] = F.max(F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("price")))
+    return ranked.groupBy("segment").agg(*[c.alias(n) for n, c in qcol.items()])
+
+
+# ---------------------------------------------------------------------------
+# reshaping
+# ---------------------------------------------------------------------------
+
+@register(
+    "unpivot_part_metrics",
+    doc="Unpivot/melt wide part metrics to long (metric, value) rows.",
+    oracle="""
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+""",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return part.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# skew handling
+# ---------------------------------------------------------------------------
+
+@register(
+    "salted_join_revenue",
+    doc="Skew-salted equi-join: lineitem keys are salted (deterministic "
+    "pmod(xxhash64, 8)) and orders replicated across the 8 salt values, so a "
+    "hot l_orderkey spreads over 8 tasks instead of one straggler. Result is "
+    "identical to the plain join (the oracle runs the unsalted SQL).",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(n_salt)).cast("int")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        li.join(orders, ["salt"] + [], "inner")
+        .where(li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(revenue).cast("decimal(38,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (temporal point lookup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_last_click_before_purchase",
+    headline=True,
+    doc="As-of join: for every purchase, the latest click at-or-before its "
+    "timestamp for the same user (LEFT semantics: purchases with no prior "
+    "click keep NULLs). Implemented as union + per-user window LOCF — one "
+    "shuffle on user_id, no range blow-up; the scalable as-of pattern.",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_value"),
+        F.lit(1).alias("side"),
+    )
+    # side orders clicks before purchases at equal ts => inclusive (>=) as-of.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "side",
+        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
+        F.last("c_value", ignorenulls=True).over(w).alias("click_value"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "click_ts", "click_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# range join (temporal interval lookup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "clicks_before_purchase_range_join",
+    doc="Bucketed range join: clicks in the hour before each purchase, per "
+    "user. Both sides bucket by hour; purchases probe their own and the "
+    "previous bucket only, so the join stays equi-keyed on (user, bucket) "
+    "and the range predicate filters inside the matched buckets.",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, COUNT(c.event_id) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+""",
+)
+def clicks_before_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(c.cast("double") / 3600).cast("long")  # noqa: E731
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        bucket(F.col("ts")).alias("bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", bucket(F.col("ts")).alias("b"))
+        .withColumn("bucket", F.explode(F.array(F.col("b") - 1, F.col("b"))))
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user)
+        & (purchases.bucket == clicks.bucket)
+        & (clicks.c_ts > purchases.ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts <= purchases.ts)
+    )
+    return (
+        purchases.join(clicks, cond, "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.count("c_id").alias("n_clicks"))
+    )
