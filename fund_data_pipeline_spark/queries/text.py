@@ -328,3 +328,103 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length(payload)).alias("total_bytes"),
         F.countDistinct(F.md5(payload)).alias("n_distinct_payloads"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (completes the dedup family: exact / Jaccard / MinHash /
+# SimHash / embedding-cosine — the last lives in queries.vectors)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed 64-bit in both engines
+_SIMHASH_BANDS = 4  # 4 bands x 15 bits; candidates share >=1 band
+_HAMMING_MAX = 3
+
+
+@register(
+    "simhash_near_dup",
+    doc="SimHash near-dup: 60-bit signature (per-bit +/-1 vote over "
+    "md5(token) bits, distinct tokens), banded 4x8 for candidate blocking, "
+    "exact Hamming filter. One explode->aggregate builds all 60 bit "
+    "sums in a single shuffle; the band self-join is equi-keyed.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+), h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM toks
+), bit_sums AS (
+  SELECT doc_id, i.i AS bit,
+         SUM(CASE WHEN (hv >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (FROM range({_SIMHASH_BITS})) i(i)
+  GROUP BY doc_id, i.i
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  FROM bit_sums GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash, b.b AS band, (simhash >> (15 * b.b)) & 32767 AS band_val
+  FROM sig CROSS JOIN (FROM range({_SIMHASH_BANDS})) b(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         a.simhash AS sim_a, c.simhash AS sim_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_MAX}
+""",
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
+    hv = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    # all 32 per-bit vote sums in ONE aggregation (no 32-way explode)
+    bit_sums = toks.select("doc_id", hv.alias("hv")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(1, _SIMHASH_BITS),
+        F.when(F.col("s0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    sig = bit_sums.select("doc_id", simhash.alias("simhash"))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 15 * b).bitwiseAND(F.lit(32767)).alias("band_val"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    a, c = bands.alias("a"), bands.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.band_val") == F.col("c.band_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("c.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= _HAMMING_MAX
+    )

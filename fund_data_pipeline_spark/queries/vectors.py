@@ -177,3 +177,57 @@ def embedding_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "embedding_cosine_near_dup",
+    doc="Embedding-cosine near-dup: candidate pairs must share the 8-bit "
+    "hyperplane-LSH bucket (equi-join — no all-pairs cross product), then "
+    "exact quantized cosine >= 0.35 confirms. The scale path: bucket is the "
+    "storage partition key, so each partition self-joins locally.",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, {_Q} AS qe,
+         list_sum(list_transform(range(1, 9), i -> CASE WHEN embedding[i] > 0 THEN (2 ** (i - 1))::BIGINT ELSE 0 END)) AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         list_sum(list_transform(range(1, 65), i -> a.qe[i] * c.qe[i])) AS dot,
+         list_sum(list_transform(a.qe, x -> x * x)) AS anorm,
+         list_sum(list_transform(c.qe, x -> x * x)) AS cnorm
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(anorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cosine
+FROM pairs
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(anorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) >= 0.35
+""",
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    bucket = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.when(F.element_at("embedding", i) > 0, F.pow(F.lit(2), i - 1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    b = emb.select("vec_id", _quant("embedding").alias("qe"), bucket.alias("bucket"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("c.vec_id").alias("vec_b"),
+        _dot(F.col("a.qe"), F.col("c.qe")).alias("dot"),
+        _dot(F.col("a.qe"), F.col("a.qe")).alias("anorm"),
+        _dot(F.col("c.qe"), F.col("c.qe")).alias("cnorm"),
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("anorm").cast("double")) * F.sqrt(F.col("cnorm").cast("double"))
+    )
+    return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(F.col("cosine") >= 0.35)
