@@ -1,0 +1,125 @@
+"""Streaming catalog queries: the engine's operators executed through
+Structured Streaming's incremental path, drained with availableNow and
+compared against the same batch-SQL oracles as everything else — the
+streaming results are deterministic because windows/dedup-keys/state are
+order-independent aggregates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..streaming.streams import read_events_stream, run_to_memory
+from .registry import register
+
+
+@register(
+    "streaming_tumbling_counts",
+    doc="Tumbling 5-minute event-time window per type, executed as a "
+    "Structured Streaming query (watermark 10m, complete mode, availableNow "
+    "drain) over the events landing zone. Same result as the batch window.",
+    oracle="""
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "streaming_dedup_users",
+    doc="Streaming dropDuplicates on (user_id, event_type) with a watermark, "
+    "drained append-mode to a sink, then a batch count per type — i.e. "
+    "incremental distinct-user tracking over the landing zone.",
+    oracle="SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+)
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["user_id", "event_type"])
+    sink = run_to_memory(deduped.select("user_id", "event_type"), "append")
+    return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("value_q_sum", LongType()),
+    ]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_q_sum", LongType()),
+    ]
+)
+
+
+def _user_stats_fn(key, pdf_iter, state: GroupState):
+    """Stateful per-user accumulator: event count + exact quantized value sum.
+
+    Values are quantized with floor(value * 1e6) (identical semantics in
+    numpy and the SQL oracle) so the accumulation is exact integer math —
+    deterministic regardless of batch/arrival order. O(1) state per key.
+    """
+    n, q = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        q += int(np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum())
+    state.update((n, q))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_q_sum": [q]})
+
+
+@register(
+    "streaming_stateful_user_stats",
+    doc="Custom stateful streaming operator via applyInPandasWithState: "
+    "per-user running stats (count, exact quantized sum) emitted in update "
+    "mode. The extension point for bespoke state machines (G2/G3-style "
+    "repair feeds) that windowed aggregation can't express.",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 1e6) AS BIGINT)) AS value_q_sum
+FROM events GROUP BY user_id
+""",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(stats, "update")
+    # update mode re-emits a key's latest state each batch; keep the final row
+    # (single-batch here, but correct under maxFilesPerTrigger>1 too).
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("value_q_sum", "n_events").alias("value_q_sum"),
+    )

