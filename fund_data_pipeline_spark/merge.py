@@ -62,7 +62,7 @@ def merge_upsert(
     keys: Sequence[str],
     hash_col: str = "row_hash",
     preserve_cols: Sequence[str] = (),
-    always_update_cols: Sequence[str] = ("last_seen", "updated_at"),
+    always_update_cols: Sequence[str] = (),
     unconditional: bool = False,
     dedupe_order: Sequence[str] | None = None,
     collect_stats: bool = False,
@@ -72,6 +72,9 @@ def merge_upsert(
     - ``preserve_cols``: target wins on matched rows (e.g. ``first_seen`` — L1).
     - ``always_update_cols``: source wins on matched rows even when the hash
       is unchanged (e.g. ``last_seen`` freshness on the master table — K5).
+      Default empty: the reference's hash guard skips the whole UPDATE when
+      the hash matches (db_connector.py:400-405), so audit columns stay
+      untouched on unchanged rows.
     - ``unconditional=True``: K5's always-update semantics (no hash guard),
       used by the master loader; default is the H8 hash guard.
     - ``dedupe_order``: tiebreak columns making the batch one-row-per-key

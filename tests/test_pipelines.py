@@ -1,0 +1,260 @@
+"""End-to-end pipeline tests (SURVEY §5's rebuild test strategy).
+
+Covers: messy-CSV fixture flows per cleaner rule, merge idempotence
+(running a loader twice leaves the table unchanged), and multi-day
+lifecycle transitions (first_seen frozen, last_seen advancing, 7-day
+expiry, new->active promotion).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fund_data_pipeline_spark import merge
+from fund_data_pipeline_spark.pipelines import (
+    daily_nav,
+    dividends,
+    holdings,
+    master_sync,
+    price_history,
+    static_details,
+)
+
+D = dt.date
+
+
+# --------------------------------------------------------------- daily NAV
+
+def _nav_raw(spark, rows):
+    cols = ["Ticker", "Asset_Type", "Source", "nav_price", "currency", "as_of_date", "scrape_date"]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_daily_nav_clean_dedups_and_filters(spark):
+    raw = _nav_raw(
+        spark,
+        [
+            (" vtsax ", "FUND", "YF", "12.34", None, "2024-03-01", "2024-03-01"),
+            ("VTSAX", "fund", "yf", "12.99", "USD", "2024-03-01", "2024-03-02"),  # later scrape wins
+            ("BADPX", "FUND", "yf", "-1", "USD", "2024-03-01", "2024-03-01"),  # non-positive: dropped
+            ("NULLD", "FUND", "yf", "5.00", "USD", "not-a-date", "2024-03-01"),  # bad date -> null key
+        ],
+    )
+    out = daily_nav.clean(raw)
+    rows = {r.ticker: r for r in out.collect()}
+    assert set(rows) == {"VTSAX"}
+    assert float(rows["VTSAX"].nav_price) == 12.99  # keep-last by scrape_date (D2)
+    assert rows["VTSAX"].currency == "USD"
+    assert rows["VTSAX"].source == "yahoo_finance"  # source typo map
+
+
+def test_daily_nav_validation_reasons(spark):
+    today = F.lit("2024-03-05").cast("date")
+    cleaned = spark.createDataFrame(
+        [
+            ("A", "FUND", "yf", 10.0, "USD", D(2024, 3, 1)),
+            ("B", "FUND", "yf", None, "USD", D(2024, 3, 1)),  # Missing Data
+            ("C", "FUND", "yf", 10.0, "USD", D(2024, 3, 9)),  # Future Date
+        ],
+        ["ticker", "asset_type", "source", "nav_price", "currency", "as_of_date"],
+    )
+    valid, invalid = daily_nav.validate_split(cleaned, today)
+    assert [r.ticker for r in valid.collect()] == ["A"]
+    reasons = {r.ticker: r.error_reason for r in invalid.collect()}
+    assert reasons == {"B": "Missing Data", "C": "Future Date"}
+
+
+def test_daily_nav_merge_idempotent(spark, tmp_path):
+    target = str(tmp_path / "stg_daily_nav")
+    raw = _nav_raw(spark, [("AAA", "FUND", "yf", "10.0", "USD", "2024-03-01", "2024-03-01")])
+    batch = daily_nav.prepare_load(daily_nav.clean(raw))
+    s1 = merge.merge_upsert(spark, target, batch, ["ticker", "asset_type", "source", "as_of_date"], collect_stats=True)
+    assert s1.inserted == 1
+    first = spark.read.parquet(target).collect()
+
+    # identical re-run: hash guard elides the update, updated_at untouched
+    s2 = merge.merge_upsert(spark, target, batch, ["ticker", "asset_type", "source", "as_of_date"], collect_stats=True)
+    assert (s2.inserted, s2.updated, s2.unchanged) == (0, 0, 1)
+    assert spark.read.parquet(target).collect() == first
+
+    # changed price: exactly one update
+    raw2 = _nav_raw(spark, [("AAA", "FUND", "yf", "11.0", "USD", "2024-03-01", "2024-03-02")])
+    batch2 = daily_nav.prepare_load(daily_nav.clean(raw2))
+    s3 = merge.merge_upsert(spark, target, batch2, ["ticker", "asset_type", "source", "as_of_date"], collect_stats=True)
+    assert (s3.inserted, s3.updated) == (0, 1)
+    assert str(spark.read.parquet(target).first().nav_price) == "11.0000"
+
+
+def test_latest_nav_per_fund(spark):
+    nav = spark.createDataFrame(
+        [
+            ("A", "FUND", "yf", 10.0, D(2024, 3, 1)),
+            ("A", "FUND", "yf", 11.0, D(2024, 3, 4)),
+            ("B", "ETF", "ft", 7.0, D(2024, 2, 1)),
+        ],
+        ["ticker", "asset_type", "source", "nav_price", "as_of_date"],
+    )
+    out = {r.ticker: r for r in daily_nav.latest_nav_per_fund(nav).collect()}
+    assert out["A"].nav_price == 11.0 and out["A"].as_of_date == D(2024, 3, 4)
+    assert out["B"].nav_price == 7.0
+
+
+# -------------------------------------------------------------- master sync
+
+def test_master_sync_full_flow_and_lifecycle(spark, tmp_path):
+    target = str(tmp_path / "stg_security_master")
+    day1 = F.lit("2024-03-01").cast("date")
+
+    scrape_ddl = "Symbol string, asset_type string, `Fund Name` string, status string, source string, date_added string"
+    ft = spark.createDataFrame(
+        [("vtsax", "Mutual Fund", "Vanguard Total", None, "ft", "2024-03-01"),
+         ("vtsax", "Mutual Fund", "dupe in-source", None, "ft", "2024-03-01"),
+         ("", "FUND", "Blank ticker", None, "ft", "2024-03-01")],
+        scrape_ddl,
+    )
+    yf = spark.createDataFrame(
+        [("SPY", "ETF", None, "active", "yf", "2024-03-01")],
+        "ticker string, asset_type string, name string, status string, source string, date_added string",
+    )
+
+    stats, invalid = master_sync.run(spark, [ft, yf], target, as_of=day1, today=day1)
+    assert stats.inserted == 2  # blank-ticker row quarantined, in-source dupe collapsed
+    assert invalid.count() == 1
+    assert "Missing Ticker" in invalid.first().validation_issues
+
+    t = {(r.ticker, r.source): r for r in spark.read.parquet(target).collect()}
+    vt = t[("VTSAX", "financial_times")]
+    assert vt.asset_type == "FUND"  # MUTUAL FUND -> FUND
+    assert vt.status == "active"  # new + real name -> promoted (L4)
+    assert vt.first_seen == D(2024, 3, 1)
+    spy = t[("SPY", "yahoo_finance")]
+    assert spy.status == "active"
+
+    # day 10: only SPY re-delivered; VTSAX ages out (7-day grace, L3)
+    day10 = F.lit("2024-03-10").cast("date")
+    yf2 = spark.createDataFrame(
+        [("SPY", "ETF", "SPDR S&P 500", "active", "yf", "2024-03-10")],
+        ["ticker", "asset_type", "name", "status", "source", "date_added"],
+    )
+    master_sync.run(spark, [yf2], target, as_of=day10, today=day10)
+    t2 = {(r.ticker, r.source): r for r in spark.read.parquet(target).collect()}
+    assert t2[("VTSAX", "financial_times")].status == "inactive"
+    assert t2[("VTSAX", "financial_times")].first_seen == D(2024, 3, 1)  # frozen (L1)
+    spy2 = t2[("SPY", "yahoo_finance")]
+    assert spy2.first_seen == D(2024, 3, 1)  # preserved across update
+    assert spy2.last_seen == D(2024, 3, 10)  # refreshed (K5)
+    assert spy2.name == "SPDR S&P 500"  # unconditional update took the new name
+
+
+# ------------------------------------------------------------ price history
+
+def test_price_history_from_landing_files(spark, tmp_path):
+    land = tmp_path / "landing" / "etf" / "2024-03-01"
+    land.mkdir(parents=True)
+    (land / "SPY_history.csv").write_text(
+        "Date,Open,High,Low,Close,Adj Close,Volume\n"
+        "2024-02-28,100,101,99,100.5,100.4,\"1,000\"\n"
+        "bad-date,1,1,1,1,1,1\n"
+    )
+    (land / "QQQ_history.csv").write_text(
+        "Date,Open,High,Low,Close,Adj Close,Volume\n2024-02-28,300,301,299,300.5,300.4,2000\n"
+    )
+    (land / "error_log.csv").write_text("Date,Close\n2024-02-28,1\n")  # S7: skipped
+
+    target = str(tmp_path / "stg_price_history")
+    stats = price_history.run(spark, str(tmp_path / "landing"), target)
+    assert stats.inserted == 2  # bad-date row dropped, error file skipped
+
+    t = {r.ticker: r for r in spark.read.parquet(target).collect()}
+    assert set(t) == {"SPY", "QQQ"}
+    assert t["SPY"].asset_type == "ETF"  # from path (S2)
+    assert t["SPY"].volume == 1000  # thousands separator via try_cast? no: raw "1,000"
+    assert t["SPY"].row_hash is not None and len(t["SPY"].row_hash) == 64  # sha256 (H3)
+
+    # idempotent re-run
+    s2 = price_history.run(spark, str(tmp_path / "landing"), target)
+    assert (s2.inserted, s2.updated, s2.unchanged) == (0, 0, 2)
+
+
+# ---------------------------------------------------------------- dividends
+
+def test_dividends_clean_and_merge(spark, tmp_path):
+    raw = spark.createDataFrame(
+        [
+            ("VTSAX", "FUND", "2024-01-10", "2024-01-15", "0.35", None),
+            ("VTSAX", "FUND", "2024-01-10", "2024-01-15", "0.35", None),  # D5 dupe
+            ("VTSAX", "FUND", None, "2024-01-15", "0.35", "Cash"),  # null ex_date dropped
+        ],
+        ["ticker", "asset_type", "Ex_Dividend_Date", "Pay_Date", "Cash_Amount", "type"],
+    )
+    cleaned = dividends.clean(raw)
+    assert cleaned.count() == 1
+    row = dividends.hash_batch(cleaned).first()
+    assert row.type == "Cash" and row.payment_date == D(2024, 1, 15)
+    assert len(row.row_hash) == 64  # H4
+
+    target = str(tmp_path / "stg_dividend_history")
+    key = ["ticker", "asset_type", "source", "ex_date", "payment_date", "amount", "type"]
+    s1 = merge.merge_upsert(spark, target, dividends.hash_batch(cleaned), key, collect_stats=True)
+    s2 = merge.merge_upsert(spark, target, dividends.hash_batch(cleaned), key, collect_stats=True)
+    assert s1.inserted == 1 and s2.unchanged == 1 and s2.updated == 0
+
+
+# ------------------------------------------------------------ static details
+
+def test_static_details_parsers_and_four_tables(spark, tmp_path):
+    raw = spark.createDataFrame(
+        [
+            ("vtsax", "FUND", "yf", "Vanguard", "842.33m USD", "0.04%", "45", "1,234",
+             "150.5", "2550.0", "2024-03-01"),
+        ],
+        ["Symbol", "asset_type", "source", "Fund Name", "aum", "expense_ratio",
+         "initial_charge", "holdings_count", "returns_1y", "std_dev_3y", "as_of_date"],
+    )
+    stats = static_details.run(spark, raw, str(tmp_path))
+    assert set(stats) == {"stg_fund_info", "stg_fund_fees", "stg_fund_risk", "stg_fund_policy"}
+    assert all(s.inserted == 1 for s in stats.values())
+
+    info = spark.read.parquet(str(tmp_path / "stg_fund_info")).first()
+    assert float(info.aum) == pytest.approx(842_330_000.0)  # X6 magnitude
+    fees = spark.read.parquet(str(tmp_path / "stg_fund_fees")).first()
+    assert float(fees.expense_ratio) == pytest.approx(0.04)  # X4, <=1 passthrough
+    assert float(fees.initial_charge) == pytest.approx(0.45)  # X7 /100 rescale
+    assert fees.holdings_count == 1234  # X5 thousands
+    risk = spark.read.parquet(str(tmp_path / "stg_fund_risk")).first()
+    assert float(risk.returns_1y) == pytest.approx(150.5)  # under overflow limit
+    assert float(risk.std_dev_3y) == pytest.approx(25.50)  # X8 /100 repair
+
+    # re-run: all four merges elide (H6 + H8)
+    stats2 = static_details.run(spark, raw, str(tmp_path))
+    assert all(s.updated == 0 and s.inserted == 0 for s in stats2.values())
+
+
+# ------------------------------------------------------------------ holdings
+
+def test_holdings_and_allocations(spark, tmp_path):
+    hraw = spark.createDataFrame(
+        [
+            ("VTSAX", "FUND", "ft", "Apple Inc", "AAPL", "+5.2%", "2024-03-01"),
+            ("VTSAX", "FUND", "ft", "Per cent of Portfolio in Top 10", None, "35%", "2024-03-01"),  # F7
+            ("VTSAX", "FUND", "ft", "Weird Corp", "X" * 25, "1.0", "2024-03-01"),  # F10 guard
+        ],
+        ["ticker", "asset_type", "source", "Item_Name", "holding_ticker", "Value_Net", "as_of_date"],
+    )
+    araw = spark.createDataFrame(
+        [("VTSAX", "FUND", "ft", "Technology", "45.5%", "2024-03-01")],
+        ["ticker", "asset_type", "source", "item_name", "value_net", "as_of_date"],
+    )
+    stats = holdings.run(spark, hraw, {"sector": araw}, str(tmp_path))
+    assert stats["stg_fund_holdings"].inserted == 2  # summary row dropped
+    assert stats["stg_allocations"].inserted == 1
+
+    h = {r.holding_name: r for r in spark.read.parquet(str(tmp_path / "stg_fund_holdings")).collect()}
+    assert float(h["Apple Inc"].holding_percentage) == pytest.approx(5.2)
+    assert h["Weird Corp"].holding_ticker is None  # length guard nulled
+
+    a = spark.read.parquet(str(tmp_path / "stg_allocations")).first()
+    assert a.allocation_type == "sector" and float(a.value_net) == pytest.approx(45.5)
