@@ -1,0 +1,17 @@
+"""Large-scale training-data operators beyond the reference's own surface.
+
+- ``multimodal``  opaque-binary media columns: decode / feature-extract /
+  resize / frame-sample plumbing over ``mapInPandas`` (decoders stubbed —
+  the image/audio libraries are not in this container; the Spark-side
+  schema, batching, and partitioning are real and tested)
+- ``sampling``    deterministic hash-based sampling and train/val/test
+  splits (reproducible across engines and runs, no RNG state)
+
+The dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search, and text analysis live in
+:mod:`fund_data_pipeline_spark.queries` as oracle-checked catalog entries.
+"""
+
+from . import multimodal, sampling
+
+__all__ = ["multimodal", "sampling"]

@@ -1,0 +1,67 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) reproducible run-over-run, (b) stable under re-partitioning and
+cluster-size changes, and (c) consistent across engines. RNG-based
+``df.sample`` gives none of these; hashing a stable key gives all three.
+
+Bucketing: ``bucket = first 8 hex chars of md5(key) mod n_buckets``.
+md5 is available in Spark, DuckDB, Postgres, and Python hashlib, so the
+same row lands in the same bucket everywhere — the catalog queries
+(train_val_test_split, stratified_hash_sample) oracle-check this exact
+property against DuckDB.
+
+Scale: one map-side expression, no shuffle, no state. A 100 TB split is
+exactly as cheap as a filter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: buckets used by the split; 1e4 gives 0.01% split resolution
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, n_buckets: int = N_BUCKETS) -> Column:
+    """Stable bucket in [0, n_buckets): conv(substr(md5(key),1,8)) % n."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return h % F.lit(n_buckets)
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible and
+    co-sampled (the same keys survive in every table sampled on that key,
+    so sampled fact/dim tables still join)."""
+    return df.filter(hash_bucket(key) < int(round(fraction * N_BUCKETS)))
+
+
+def split_column(key: Column | str, weights: Sequence[float], labels: Sequence[str]) -> Column:
+    """Label each row train/val/test (etc.) by cumulative hash-bucket range."""
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must align")
+    total = sum(weights)
+    bucket = hash_bucket(key)
+    expr = None
+    acc = 0.0
+    for w, label in zip(weights, labels):
+        acc += w / total
+        bound = int(round(acc * N_BUCKETS))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    return expr  # last bound == N_BUCKETS, so no otherwise needed
+
+
+def train_val_test(
+    df: DataFrame,
+    key: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    labels: Sequence[str] = ("train", "val", "test"),
+    split_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split label; same key => same split, always."""
+    return df.withColumn(split_col, split_column(key, weights, labels))

@@ -18,6 +18,7 @@ from . import events  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
 from . import stream_queries  # noqa: E402,F401
+from . import mlops  # noqa: E402,F401
 
 
 def queries():

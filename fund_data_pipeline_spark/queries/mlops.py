@@ -1,0 +1,129 @@
+"""Training-data-pipeline catalog queries: deterministic sampling / splits,
+PII scrubbing, and multimodal decode plumbing.
+
+All sampling/split queries are built on
+:mod:`fund_data_pipeline_spark.operators.sampling` — md5-bucket hashing
+that both engines compute identically, so even the *membership* of each
+split is oracle-checked, not just the counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal, sampling
+from .registry import register, table
+
+
+@register(
+    "train_val_test_split",
+    headline=False,
+    doc="Deterministic 80/10/10 split by md5(doc_id) bucket (operators.sampling): "
+    "reproducible across runs, engines, and partitionings; map-side only — "
+    "a 100 TB split is as cheap as a filter.",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % {sampling.N_BUCKETS} AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < {int(0.8 * sampling.N_BUCKETS)} THEN 'train'
+            WHEN bucket < {int(0.9 * sampling.N_BUCKETS)} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_languages,
+       MIN(doc_id) AS min_doc_id
+FROM b GROUP BY 1
+""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out = sampling.train_val_test(docs, "doc_id")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_languages"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@register(
+    "stratified_hash_sample",
+    doc="Deterministic ~20% per-lang sample (co-sampled: same doc_ids "
+    "survive everywhere the key is sampled). Membership itself is oracle-checked.",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % {sampling.N_BUCKETS} < {int(0.2 * sampling.N_BUCKETS)}
+""",
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return sampling.deterministic_sample(docs, "doc_id", 0.2).select("doc_id", "lang")
+
+
+@register(
+    "pii_scrub_stats",
+    doc="PII scrub pass over documents: mask email-shaped and long-digit "
+    "sequences (regexp_replace, JVM-side), report how many documents were "
+    "touched and the byte delta — the audit query of a redaction stage.",
+    oracle=r"""
+WITH scrubbed AS (
+  SELECT doc_id,
+         length(text) AS len_before,
+         length(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\d{9,}', '<NUM>', 'g')
+         ) AS len_after
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       SUM(CASE WHEN len_after <> len_before THEN 1 ELSE 0 END) AS n_scrubbed,
+       CAST(SUM(len_before - len_after) AS BIGINT) AS bytes_removed
+FROM scrubbed
+""",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"\d{9,}",
+        "<NUM>",
+    )
+    return docs.select(
+        F.length("text").alias("len_before"), F.length(scrubbed).alias("len_after")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("len_after") != F.col("len_before"), 1).otherwise(0)).alias(
+            "n_scrubbed"
+        ),
+        F.sum(F.col("len_before") - F.col("len_after")).cast("long").alias("bytes_removed"),
+    )
+
+
+@register(
+    "image_decode_features",
+    doc="Multimodal decode plumbing (operators.multimodal): payload bytes -> "
+    "Arrow-batched mapInPandas feature extraction (stubbed decoder, real "
+    "batch path). No SQL equivalent for the UDF stage -> rows-only check.",
+    oracle=None,
+)
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = multimodal.extract_image_features(media)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("phash").alias("n_distinct_phash"),
+        F.min("width").alias("min_width"),
+        F.max("height").alias("max_height"),
+    )

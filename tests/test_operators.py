@@ -1,0 +1,77 @@
+"""Tests for operators.multimodal (mapInPandas plumbing) and operators.sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fund_data_pipeline_spark.operators import multimodal, sampling
+
+
+def _media(spark, n=10):
+    rows = [(f"m{i}", bytes([i % 251]) * (100 + i * 37)) for i in range(n)]
+    return spark.createDataFrame(rows, "media_id string, payload binary")
+
+
+def test_image_features_shape_and_determinism(spark):
+    media = _media(spark)
+    a = multimodal.extract_image_features(media).orderBy("media_id").collect()
+    b = multimodal.extract_image_features(media).orderBy("media_id").collect()
+    assert a == b  # stub decode is deterministic
+    assert len(a) == 10
+    r = a[0]
+    assert r.n_bytes == 100 and 64 <= r.width <= 1084 and len(r.phash) == 16
+    assert multimodal.extract_image_features(media).columns == [
+        "media_id", "width", "height", "n_bytes", "mean_luma", "phash",
+    ]
+
+
+def test_attach_payload_meta_jvm_side(spark):
+    out = multimodal.attach_payload_meta(_media(spark, 3))
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows["m0"].n_bytes == 100
+    assert len(rows["m0"].content_md5) == 32
+
+
+def test_sample_frames_one_to_many(spark):
+    frames = multimodal.sample_frames(_media(spark, 3), every_nth=30, max_frames=4)
+    per = {r[0]: r[1] for r in frames.groupBy("media_id").count().collect()}
+    assert set(per) == {"m0", "m1", "m2"}
+    assert all(1 <= n <= 4 for n in per.values())
+    # frame payloads partition the source bytes: no frame exceeds source size
+    f = frames.filter(F.col("media_id") == "m2").orderBy("frame_index").collect()
+    assert [r.frame_index for r in f] == list(range(len(f)))
+
+
+def test_resize_images_contract(spark):
+    out = multimodal.resize_images(_media(spark, 4), 32, 32).collect()
+    assert len(out) == 4
+    assert all(r.width == 32 and r.height == 32 and len(r.payload) == 1024 for r in out)
+
+
+def test_repartition_for_decode_bounds_partitions(spark):
+    media = _media(spark, 20)
+    out = multimodal.repartition_for_decode(media, target_bytes_per_task=1000)
+    total = sum(len(p) for p in [r.payload for r in media.collect()])
+    assert out.rdd.getNumPartitions() == total // 1000 + 1
+
+
+def test_split_deterministic_and_complete(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s1 = sampling.train_val_test(df, "k").groupBy("split").count().collect()
+    s2 = sampling.train_val_test(df, "k").groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in s1}
+    assert counts == {r.split: r["count"] for r in s2}
+    assert sum(counts.values()) == 2000  # partition: no row dropped or doubled
+    assert 0.7 < counts["train"] / 2000 < 0.9  # ~80/10/10
+    assert counts["val"] + counts["test"] < 0.4 * 2000
+
+
+def test_sample_is_co_sampled_subset(spark):
+    a = spark.range(1000).withColumnRenamed("id", "k")
+    b = spark.range(500, 1500).withColumnRenamed("id", "k")  # overlapping key space
+    sa = {r.k for r in sampling.deterministic_sample(a, "k", 0.3).collect()}
+    sb = {r.k for r in sampling.deterministic_sample(b, "k", 0.3).collect()}
+    # same key -> same verdict in both tables (joins survive sampling)
+    overlap = set(range(500, 1000))
+    assert sa & overlap == sb & overlap
+    assert 0.2 < len(sa) / 1000 < 0.4
