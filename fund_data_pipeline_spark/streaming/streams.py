@@ -51,17 +51,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     return sdf
 
 
-def run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
+def run_to_memory(sdf: DataFrame, mode: str, shuffle_partitions: int | None = 8) -> DataFrame:
     """Execute a streaming DataFrame to completion into an in-memory sink
-    (availableNow trigger: drain-all-then-stop) and return the sink table."""
+    (availableNow trigger: drain-all-then-stop) and return the sink table.
+
+    ``shuffle_partitions`` is pinned (default 8) for the duration of the
+    drain: each stateful shuffle partition owns a state-store instance and
+    (for pandas-stateful ops) a Python worker, so partition count is pure
+    fixed cost at small state sizes. A real deployment sizes this to key
+    cardinality / executor count; AQE cannot help because stateful streaming
+    shuffles are not adaptive."""
     spark = sdf.sparkSession
     name = f"stream_sink_{next(_SINK_IDS)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
