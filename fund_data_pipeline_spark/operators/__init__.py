@@ -12,6 +12,6 @@ embedding-cosine), similarity search, and text analysis live in
 :mod:`fund_data_pipeline_spark.queries` as oracle-checked catalog entries.
 """
 
-from . import multimodal, sampling
+from . import graph, multimodal, sampling
 
-__all__ = ["multimodal", "sampling"]
+__all__ = ["graph", "multimodal", "sampling"]

@@ -12,8 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import multimodal, sampling
+from ..operators import graph, multimodal, sampling
 from .registry import register, table
+from .text import minhash_bands, minhash_bands_sql
 
 
 @register(
@@ -103,6 +104,61 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_scrubbed"
         ),
         F.sum(F.col("len_before") - F.col("len_after")).cast("long").alias("bytes_removed"),
+    )
+
+
+@register(
+    "dedup_clusters",
+    doc="Fuzzy-dedup capstone: MinHash-LSH candidate pairs -> connected "
+    "components (operators.graph, min-label propagation to fixpoint) -> "
+    "per-cluster keep/drop stats. The Spark side is the iterative "
+    "shuffle-per-round algorithm; the oracle computes the same transitive "
+    "closure with a recursive CTE.",
+    oracle=f"""
+WITH RECURSIVE {minhash_bands_sql()},
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+),
+cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM cc GROUP BY cluster_id HAVING COUNT(*) > 1
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bands = minhash_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    cc = graph.connected_components(docs.select(F.col("doc_id").alias("node")), edges)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("node").alias("keeper_doc_id"),
+            F.max("node").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
     )
 
 

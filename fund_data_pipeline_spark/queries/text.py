@@ -245,6 +245,53 @@ def _shingle_sql() -> str:
     )
 
 
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) for every doc: the LSH blocking relation
+    shared by ``minhash_lsh_candidates`` and the dedup-cluster query."""
+    toks = _tokens()
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(_N_HASH)
+        ]
+    )
+    return reduce(
+        DataFrame.unionAll,
+        [
+            sig.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))).alias("band_key"),
+            )
+            for bi, (a, b) in enumerate(_BANDS)
+        ],
+    )
+
+
+def minhash_bands_sql() -> str:
+    """DuckDB CTE body equivalent of :func:`minhash_bands` (oracle reuse)."""
+    sig = (
+        f"SELECT doc_id, "
+        + ", ".join(f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(_N_HASH))
+        + f" FROM (SELECT doc_id, unnest({_shingle_sql()}) AS shingle FROM documents) GROUP BY doc_id"
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(h{a} || h{b}) AS band_key FROM sig"
+        for bi, (a, b) in enumerate(_BANDS)
+    )
+    return f"sig AS ({sig}), bands AS ({bands})"
+
+
 @register(
     "minhash_lsh_candidates",
     doc="MinHash-LSH near-dup candidates: md5-family minhash signature (k=8) "
@@ -266,34 +313,7 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.d
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = _tokens()
-    shingles = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select("doc_id", F.explode(shingles).alias("shingle"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(_N_HASH)
-        ]
-    )
-    bands = reduce(
-        DataFrame.unionAll,
-        [
-            sig.select(
-                "doc_id",
-                F.lit(bi).alias("band"),
-                F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))).alias("band_key"),
-            )
-            for bi, (a, b) in enumerate(_BANDS)
-        ],
-    )
+    bands = minhash_bands(docs)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -75,3 +75,25 @@ def test_sample_is_co_sampled_subset(spark):
     overlap = set(range(500, 1000))
     assert sa & overlap == sb & overlap
     assert 0.2 < len(sa) / 1000 < 0.4
+
+
+def test_connected_components_transitive(spark):
+    from fund_data_pipeline_spark.operators import graph
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    # chain 0-1-2, pair 3-4 (out of order), singleton 5, self-contained 6
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (4, 3), (6, 6)], "src long, dst long"
+    )
+    cc = {r.node: r.cluster_id for r in graph.connected_components(nodes, edges).collect()}
+    assert cc == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from fund_data_pipeline_spark.operators import graph
+
+    n = 12  # diameter > 1 forces multiple propagation rounds
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    cc = graph.connected_components(nodes, edges).collect()
+    assert all(r.cluster_id == 0 for r in cc) and len(cc) == n
