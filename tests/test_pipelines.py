@@ -258,3 +258,21 @@ def test_holdings_and_allocations(spark, tmp_path):
 
     a = spark.read.parquet(str(tmp_path / "stg_allocations")).first()
     assert a.allocation_type == "sector" and float(a.value_net) == pytest.approx(45.5)
+
+
+# --------------------------------------------------------------- maintenance
+
+def test_retention_and_snapshot(spark, tmp_path):
+    from fund_data_pipeline_spark import maintenance
+
+    root = str(tmp_path / "archive")
+    df = spark.createDataFrame([(1,)], "v int")
+    for d in ("2024-01-01", "2024-02-25", "2024-03-01"):
+        maintenance.snapshot(df, root, d)
+    dropped = maintenance.purge_expired_partitions(root, today=dt.date(2024, 3, 2))
+    assert dropped == ["dt=2024-01-01"]  # 60-day cutoff (K8)
+    assert spark.read.parquet(root).count() == 2  # surviving partitions intact
+
+    only = maintenance.keep_only_latest(root)
+    assert only == ["dt=2024-02-25"]
+    assert spark.read.parquet(root).count() == 1
