@@ -1,0 +1,68 @@
+"""Incremental daily-NAV loader: landing-zone stream -> foreachBatch merge.
+
+The streaming counterpart of :mod:`..pipelines.daily_nav` (reference entry
+point 3): the same clean -> validate -> hash transforms run over a file
+stream of the landing zone, and each micro-batch is upserted with the same
+hash-guarded merge the batch loader uses. This is the ForeachBatch landing
+pattern SURVEY §2.1-S9 calls for — the scrapers keep dropping CSVs, Spark
+drains whatever is new.
+
+Semantics that make this safe:
+- The merge is idempotent (hash guard H8 + keyed dedup), so micro-batch
+  replays after a failure cannot duplicate or clobber rows — exactly-once
+  *effect* from at-least-once delivery.
+- ``availableNow`` drains mean one invocation behaves like the reference's
+  daily cron run; leaving the query running turns the same code into a
+  continuous loader. Checkpointing tracks which files were consumed.
+
+Scale: each micro-batch merge shuffles only on the natural key; the landing
+file stream lists incrementally (no full re-scan), and ``maxFilesPerTrigger``
+bounds per-batch work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..merge import merge_upsert
+from ..pipelines import daily_nav
+from ..schemas import DAILY_NAV_KEY
+
+
+def start_nav_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    schema: str = "ticker string, asset_type string, source string, nav_price string, "
+    "currency string, as_of_date string, scrape_date string",
+    max_files_per_trigger: int = 16,
+):
+    """Drain new landing CSVs into the NAV table; returns the StreamingQuery.
+
+    Call ``.awaitTermination()`` on the result for a one-shot availableNow
+    drain (the daily-batch analog).
+    """
+    raw = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("pathGlobFilter", "*.csv")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .csv(landing_dir)
+    )
+
+    def load_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = daily_nav.clean(batch_df)
+        valid, _errors = daily_nav.validate_split(cleaned)
+        batch = daily_nav.prepare_load(valid)
+        if batch.isEmpty():
+            return
+        merge_upsert(spark, target_path, batch, DAILY_NAV_KEY)
+
+    return (
+        raw.writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

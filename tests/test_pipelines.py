@@ -276,3 +276,37 @@ def test_retention_and_snapshot(spark, tmp_path):
     only = maintenance.keep_only_latest(root)
     assert only == ["dt=2024-02-25"]
     assert spark.read.parquet(root).count() == 1
+
+
+# ---------------------------------------------------------- streaming loader
+
+def test_nav_stream_incremental_loads(spark, tmp_path):
+    from fund_data_pipeline_spark.streaming.nav_stream import start_nav_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "stg_daily_nav")
+    ckpt = str(tmp_path / "ckpt")
+    header = "ticker,asset_type,source,nav_price,currency,as_of_date,scrape_date\n"
+
+    (landing / "day1.csv").write_text(header + "AAA,FUND,yf,10.0,USD,2024-03-01,2024-03-01\n")
+    start_nav_stream(spark, str(landing), target, ckpt).awaitTermination()
+    assert spark.read.parquet(target).count() == 1
+
+    # drop a new file: only the delta is processed (checkpoint skips day1),
+    # and the keyed merge upserts the revised price + the new ticker
+    (landing / "day2.csv").write_text(
+        header
+        + "AAA,FUND,yf,11.5,USD,2024-03-01,2024-03-02\n"
+        + "BBB,ETF,yf,20.0,USD,2024-03-01,2024-03-02\n"
+    )
+    start_nav_stream(spark, str(landing), target, ckpt).awaitTermination()
+    t = {r.ticker: r for r in spark.read.parquet(target).collect()}
+    assert len(t) == 2
+    assert float(t["AAA"].nav_price) == 11.5
+    assert float(t["BBB"].nav_price) == 20.0
+
+    # re-drain with nothing new: table unchanged (idempotent effect)
+    before = sorted(map(tuple, spark.read.parquet(target).collect()))
+    start_nav_stream(spark, str(landing), target, ckpt).awaitTermination()
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == before

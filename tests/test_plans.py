@@ -1,0 +1,68 @@
+"""Physical-plan property tests: the 100 TB design assertions.
+
+A correct answer with a bad plan fails at scale, so the plan IS part of the
+contract: filters must reach the parquet scan, projections must prune the
+read schema, dimension joins must broadcast, and hot paths must stay out of
+row-at-a-time Python. These tests freeze those properties for the headline
+queries so a refactor can't silently regress them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from fund_data_pipeline_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 7 referenced columns — no full-width scan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+    # partial + final aggregate (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_top_unshipped_orders_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_unshipped_orders")
+    assert plan.count("BroadcastHashJoin") >= 1  # no sort-merge on a dim join
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    # top-k via TakeOrderedAndProject, never a global sort of the agg output
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_regional_supplier_volume_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "regional_supplier_volume")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pricing_summary", "text_statistics", "exact_dedup", "embedding_topk_cosine"],
+)
+def test_headline_hot_paths_stay_jvm_side(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    # no Python evaluation anywhere in a headline plan: row-at-a-time UDFs
+    # show as BatchEvalPython, Arrow stages as ArrowEvalPython/MapInPandas
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan
+    assert "Scan parquet" in plan  # columnar source, not an RDD conversion
+
+
+def test_asof_join_is_single_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "asof_last_click_before_purchase")
+    # as-of via union + window: exactly one window sort, no self-join blowup
+    assert "CartesianProduct" not in plan
