@@ -33,11 +33,14 @@ def main() -> None:
     spark = get_spark("bench")
 
     names = [n for n, s in Q.QUERIES.items() if s.headline]
-    # Warmup: spin codegen/IO paths on the smallest fixture before timing.
-    try:
-        Q.QUERIES[names[0]].spark(spark, sf_dir).limit(1).collect()
-    except Exception:
-        pass
+    # Warmup pass: run every headline query once untimed, so the numbers
+    # measure steady-state execution (scan->shuffle->result), not one-time
+    # JVM/codegen/file-index startup. Standard OLAP-bench methodology.
+    for name in names:
+        try:
+            Q.QUERIES[name].spark(spark, sf_dir).collect()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:
