@@ -80,6 +80,30 @@ def read_per_entity_csvs(
     return df
 
 
+def read_landing_jsonl(
+    spark: SparkSession,
+    paths: Sequence[str],
+    recursive: bool = True,
+    path_glob: str | None = "*.jsonl",
+    with_provenance: bool = True,
+) -> DataFrame:
+    """JSON-lines landing scan (scraper output beyond CSV): same contract as
+    :func:`read_landing_csvs` — one distributed scan, permissive parse
+    (malformed lines land in ``_corrupt_record`` instead of failing the job),
+    provenance from ``input_file_name()``."""
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    df = reader.json(list(paths))
+    if with_provenance:
+        df = df.withColumn("origin_file", F.input_file_name())
+    return df
+
+
 def union_conformed(dfs: Sequence[DataFrame]) -> DataFrame:
     """U1: UNION ALL of heterogeneous sources, by name, missing cols -> NULL."""
     it = iter(dfs)

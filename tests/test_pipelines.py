@@ -310,3 +310,17 @@ def test_nav_stream_incremental_loads(spark, tmp_path):
     before = sorted(map(tuple, spark.read.parquet(target).collect()))
     start_nav_stream(spark, str(landing), target, ckpt).awaitTermination()
     assert sorted(map(tuple, spark.read.parquet(target).collect())) == before
+
+
+def test_jsonl_landing_scan(spark, tmp_path):
+    from fund_data_pipeline_spark.sources.csv_landing import read_landing_jsonl
+
+    d = tmp_path / "jl" / "2024-03-01"
+    d.mkdir(parents=True)
+    (d / "a.jsonl").write_text('{"ticker": "AAA", "nav": 1.5}\n{"ticker": "BBB", "nav": 2.0}\nnot-json\n')
+    out = read_landing_jsonl(spark, [str(tmp_path / "jl")])
+    rows = out.collect()
+    assert len(rows) == 3  # malformed line kept as _corrupt_record, not a crash
+    good = [r for r in rows if r.ticker is not None]
+    assert {r.ticker for r in good} == {"AAA", "BBB"}
+    assert all("a.jsonl" in r.origin_file for r in rows)
