@@ -470,3 +470,120 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec("c_acctbal").alias("acctbal"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (TPC-H Q7/Q14/Q15 flavors)
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_pair_revenue",
+    doc="TPC-H Q7 flavor: revenue between customer-nation and supplier-nation "
+    "pairs by year. Two broadcast dim joins (nation twice under different "
+    "aliases), fact-fact join on orderkey, then a 3-key aggregate.",
+    oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name < sn.n_name
+GROUP BY 1, 2, 3
+""",
+)
+def nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
+    "promo_revenue_share",
+    doc="TPC-H Q14 flavor: conditional-aggregate ratio (share of revenue from "
+    "PROMO parts in one month). Part side broadcast; ratio computed from two "
+    "exact decimal sums so both engines emit identical bits.",
+    oracle="""
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
+     AS DOUBLE) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double"))
+            .cast("double")
+            .alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    doc="TPC-H Q15 flavor: supplier(s) achieving the maximum quarterly "
+    "revenue — aggregate, then compare to the global max via an unpartitioned "
+    "window over the (tiny) aggregate, never over the fact table.",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(revenue).cast("decimal(38,4)").alias("total_revenue")
+    )
+    best = rev.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy())).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(F.broadcast(supp), best.suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
