@@ -1,0 +1,60 @@
+"""Bucketed staging tables: shuffle-free keyed merges and joins.
+
+At 100 TB the keyed merge's dominant cost is shuffling the TARGET table on
+the natural key every run. Bucketing removes it: write the table
+``bucketBy(n, keys)`` via ``saveAsTable`` and Spark records the hash
+layout in the catalog; any subsequent equi-join or merge on those keys
+reads the buckets directly — no Exchange on the bucketed side, ever
+(SURVEY §1.4: "partition/Z-order by ticker"; §7's co-located join plan).
+
+The daily flow becomes:
+    batch (small)  --one shuffle into n buckets-->  join  <--no shuffle--  target
+so merge cost is O(batch) + O(target scan), not O(target shuffle).
+
+``tests/test_plans.py::test_bucketed_join_has_no_exchange`` freezes the
+no-Exchange property against the physical plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_BUCKETS = 32
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    keys: Sequence[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    sort_within: bool = True,
+) -> None:
+    """Create/replace a bucketed managed table laid out for keyed access.
+
+    ``sort_within`` additionally sorts each bucket file by the key, letting
+    joins run as sort-merge without a sort stage and giving parquet min/max
+    pruning a monotone key column.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort_within:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata comes from the catalog)."""
+    return spark.table(table_name)
+
+
+def cobucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    keys: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables bucketed on the same keys/bucket-count: no Exchange
+    on either side (verify with .explain)."""
+    return spark.table(left_table).join(spark.table(right_table), list(keys), how)

@@ -45,6 +45,36 @@ def purge_expired_partitions(root: str, today: date | None = None, retention_day
     return dropped
 
 
+def compact_partition(
+    spark,
+    path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a table/partition into ~target-sized
+    files; returns the resulting file count.
+
+    The landing pattern (K2 append sinks, streaming micro-batches) accretes
+    many small parquet files; scan cost then becomes file-open-bound. This
+    rewrites with ``coalesce`` (no shuffle — pure task merging) through the
+    same staging-swap discipline as the merge, so readers never see a
+    partial table. Run it from the maintenance window like retention.
+    """
+    import shutil as _shutil
+
+    df = spark.read.parquet(path)
+    total = sum(f.stat().st_size for f in Path(path).rglob("*.parquet"))
+    n = max(1, int(total / target_bytes_per_file) + (1 if total % target_bytes_per_file else 0))
+    staging = Path(path + ".__compact__")
+    if staging.exists():
+        _shutil.rmtree(staging)
+    df.coalesce(n).write.mode("overwrite").parquet(str(staging))
+    backup = Path(path + ".__old__")
+    Path(path).rename(backup)
+    staging.rename(path)
+    _shutil.rmtree(backup)
+    return n
+
+
 def keep_only_latest(root: str) -> list[str]:
     """K8 (raw-zone rule): keep only the newest ``dt=`` partition
     (cleanup_old_data.py keeps only today's raw folder)."""

@@ -324,3 +324,21 @@ def test_jsonl_landing_scan(spark, tmp_path):
     good = [r for r in rows if r.ticker is not None]
     assert {r.ticker for r in good} == {"AAA", "BBB"}
     assert all("a.jsonl" in r.origin_file for r in rows)
+
+
+def test_compact_partition(spark, tmp_path):
+    from fund_data_pipeline_spark import maintenance
+
+    path = str(tmp_path / "t")
+    # simulate micro-batch accretion: 20 tiny appends -> >=20 files
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(path)
+    import pathlib
+    n_before = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert n_before >= 20
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    n_files = maintenance.compact_partition(spark, path)
+    assert n_files == 1  # tiny table -> single target-sized file
+    assert len(list(pathlib.Path(path).rglob("*.parquet"))) == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before

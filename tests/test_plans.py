@@ -13,6 +13,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from fund_data_pipeline_spark.queries import QUERIES
 
@@ -66,3 +67,33 @@ def test_asof_join_is_single_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "asof_last_click_before_purchase")
     # as-of via union + window: exactly one window sort, no self-join blowup
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join with zero shuffles — the 100 TB merge layout."""
+    import contextlib, io
+
+    from fund_data_pipeline_spark import bucketing
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("va", F.col("k") * 2)
+    b = spark.range(500, 1500).withColumnRenamed("id", "k").withColumn("vb", F.col("k") * 3)
+    bucketing.write_bucketed(a, "bt_a", ["k"], n_buckets=4)
+    bucketing.write_bucketed(b, "bt_b", ["k"], n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner must pick the shuffle-or-bucket
+        # path — at real scale both sides are far beyond any broadcast limit
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketing.cobucketed_join(spark, "bt_a", "bt_b", ["k"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan  # neither side shuffles
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
