@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import register, table
+from .registry import QUERIES, register, table
 
 _QUERY_VEC_ID = 0
 
@@ -231,3 +231,19 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("anorm").cast("double")) * F.sqrt(F.col("cnorm").cast("double"))
     )
     return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(F.col("cosine") >= 0.35)
+
+
+@register(
+    "embedding_topk_pandas",
+    doc="The same brute-force top-20 as embedding_topk_cosine, executed on "
+    "the Arrow path (operators.similarity: numpy batch kernel + partial "
+    "top-k per partition). Shares the JVM variant's oracle verbatim — the "
+    "vectorized kernel itself is under the value-hash gate.",
+    oracle=QUERIES["embedding_topk_cosine"].oracle,
+)
+def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import topk_cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()["embedding"]
+    return topk_cosine(emb, qvec, k=20, exclude_vec_id=_QUERY_VEC_ID)

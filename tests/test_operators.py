@@ -97,3 +97,66 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
     cc = graph.connected_components(nodes, edges).collect()
     assert all(r.cluster_id == 0 for r in cc) and len(cc) == n
+
+
+def test_topk_cosine_matches_jvm_expression_path(spark):
+    """The Arrow/numpy kernel must agree exactly with the JVM expression
+    variant (same 1e-6 quantization) — the two paths are interchangeable."""
+    import math
+    import random
+
+    from fund_data_pipeline_spark.operators.similarity import topk_cosine
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    q = rows[0][2]
+
+    got = topk_cosine(emb, q, k=5, exclude_vec_id=0).collect()
+    assert len(got) == 5
+    assert [r.vec_id for r in got] == sorted(
+        (r.vec_id for r in got),
+        key=lambda v: (-next(x.cosine for x in got if x.vec_id == v), v),
+    )
+
+    # reference: plain python with the same quantization contract
+    def quant(v):
+        import struct
+
+        widened = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        return [math.floor(x * 1e6 + 0.5) if x >= 0 else math.ceil(x * 1e6 - 0.5) for x in widened]
+
+    qq = quant(q)
+    qn = math.sqrt(sum(x * x for x in qq))
+    expected = []
+    for vid, _lab, vec in rows[1:]:
+        vv = quant(vec)
+        dot = sum(a * b for a, b in zip(qq, vv))
+        nn = math.sqrt(sum(x * x for x in vv))
+        expected.append((vid, dot / (nn * qn)))
+    expected.sort(key=lambda t: (-t[1], t[0]))
+    for r, (vid, cos) in zip(got, expected[:5]):
+        assert r.vec_id == vid
+        assert abs(r.cosine - cos) < 1e-12
+
+
+def test_topk_cosine_partial_topk_bounds_rows(spark):
+    """mapInPandas output is bounded: at most k rows per Arrow batch reach
+    the final ordering (the 100 TB safety property)."""
+    from fund_data_pipeline_spark.operators.similarity import topk_cosine
+
+    emb = spark.createDataFrame(
+        [(i, 0, [float(i), 1.0]) for i in range(500)],
+        "vec_id long, label int, embedding array<float>",
+    ).repartition(4)
+    q = [1.0, 0.0]
+    out = topk_cosine(emb, q, k=3)
+    # the partial stage (child of the final sort) carries <= k * n_partitions rows
+    partial = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in partial
+    assert out.count() == 3
