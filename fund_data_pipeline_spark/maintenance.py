@@ -50,27 +50,49 @@ def compact_partition(
     path: str,
     target_bytes_per_file: int = 128 * 1024 * 1024,
 ) -> int:
-    """Small-file compaction: rewrite a table/partition into ~target-sized
-    files; returns the resulting file count.
+    """Small-file compaction: rewrite a leaf table/partition directory into
+    ~target-sized files; returns the resulting file count.
 
     The landing pattern (K2 append sinks, streaming micro-batches) accretes
     many small parquet files; scan cost then becomes file-open-bound. This
-    rewrites with ``coalesce`` (no shuffle — pure task merging) through the
-    same staging-swap discipline as the merge, so readers never see a
-    partial table. Run it from the maintenance window like retention.
+    rewrites with ``coalesce`` (no shuffle — pure task merging) through a
+    staging-then-swap. The swap is two renames, NOT atomic: a reader racing
+    the swap can briefly see a missing directory, and a crash between the
+    renames leaves only the ``.__old__`` backup. Both are handled for the
+    *writer*: on entry a stale backup with no live table is restored, and a
+    stale backup alongside a live table is discarded — so a crashed or
+    interrupted compaction is always safe to retry.
+
+    Must be pointed at a LEAF directory. Compacting a hive-partitioned root
+    would inline the ``dt=...`` partition values as data columns and flatten
+    the layout (breaking pruning and the retention ops above), so that case
+    is refused.
     """
     import shutil as _shutil
 
+    p = Path(path)
+    backup = Path(path + ".__old__")
+    if backup.exists() and not p.exists():
+        # a previous compaction crashed between the two renames: the backup
+        # IS the table. Restore it and carry on.
+        backup.rename(p)
+    elif backup.exists():
+        _shutil.rmtree(backup)  # stale leftover from a crash after the swap
+    if any(child.is_dir() and "=" in child.name for child in p.iterdir()):
+        raise ValueError(
+            f"compact_partition must target a leaf partition directory, not a "
+            f"hive-partitioned root: {path} (compact each dt= child instead)"
+        )
+
     df = spark.read.parquet(path)
-    total = sum(f.stat().st_size for f in Path(path).rglob("*.parquet"))
+    total = sum(f.stat().st_size for f in p.rglob("*.parquet"))
     n = max(1, int(total / target_bytes_per_file) + (1 if total % target_bytes_per_file else 0))
     staging = Path(path + ".__compact__")
     if staging.exists():
         _shutil.rmtree(staging)
     df.coalesce(n).write.mode("overwrite").parquet(str(staging))
-    backup = Path(path + ".__old__")
-    Path(path).rename(backup)
-    staging.rename(path)
+    p.rename(backup)
+    staging.rename(p)
     _shutil.rmtree(backup)
     return n
 

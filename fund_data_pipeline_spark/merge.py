@@ -15,23 +15,38 @@ from a full-outer join, with no transactional-format dependency:
               WHEN NOT MATCHED BY TARGET                THEN insert source row
               WHEN NOT MATCHED BY SOURCE                THEN keep target row
 
-Write discipline: new snapshot goes to ``<path>.__staging__`` then swaps in
-atomically (write-temp-then-rename), so a failed job never corrupts the
-table (SURVEY §7.4-1).
+Write discipline — three layouts, one merge:
+
+- ``layout="rename"`` (default, local fast path): new snapshot goes to
+  ``<path>.__staging__`` then swaps in via rename, so a failed job never
+  corrupts the table (SURVEY §7.4-1). POSIX-atomic; NOT object-store-safe
+  (an S3 "rename" is a non-atomic copy).
+- ``layout="manifest"`` (object-store-safe): each merge writes a NEW
+  immutable snapshot directory ``_v_NNNNN`` under the table root, then
+  atomically repoints the tiny ``_MANIFEST`` pointer file (one small PUT —
+  atomic on POSIX via os.replace and on S3/GCS because single-object PUT is
+  atomic). Readers resolve the pointer first (:func:`read_table`), so they
+  always see a complete snapshot; no big-data rename ever happens. Snapshot
+  dirs start with ``_`` so vanilla parquet listers skip them.
+- ``partition_col=...`` (partition-pruned merge): the target is a
+  hive-partitioned ``<pcol>=<value>`` layout and the merge reads + rewrites
+  ONLY the partitions present in the batch — merge cost is proportional to
+  the touched partitions, not the table (the reference touches only the
+  current day's staging: 02_performance_sync/03_price_history_loader.py:32-63).
+  Requires ``partition_col`` to be one of ``keys`` (true for daily tables
+  keyed (entity, date)) so a key can never silently move partitions.
 
 Scale notes (100 TB):
 - The join shuffles both sides by the natural key — unavoidable for a keyed
   merge without a transactional format; on a cluster, bucketed tables on the
   key make it shuffle-free on the target side.
-- When the table is date-partitioned and the batch touches few partitions,
-  pass ``partition_filter`` to rewrite only affected partitions (classic
-  hive-style MERGE pruning) instead of the whole table.
 - Daily batches are small relative to the table: the source side is
   broadcast automatically by AQE when under the threshold.
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -66,6 +81,8 @@ def merge_upsert(
     unconditional: bool = False,
     dedupe_order: Sequence[str] | None = None,
     collect_stats: bool = False,
+    partition_col: str | None = None,
+    layout: str = "rename",
 ) -> MergeStats:
     """Upsert ``source`` into the Parquet table at ``target_path``.
 
@@ -79,17 +96,49 @@ def merge_upsert(
       used by the master loader; default is the H8 hash guard.
     - ``dedupe_order``: tiebreak columns making the batch one-row-per-key
       (required for a deterministic merge; defaults to the key itself).
+    - ``partition_col``: hive-partition column of the target; when set, only
+      the partitions present in ``source`` are read and rewritten (all other
+      partitions' files are untouched on disk). Must be one of ``keys``.
+    - ``layout``: ``"rename"`` (POSIX swap) or ``"manifest"``
+      (object-store-safe snapshot + pointer; see module docstring).
     """
     keys = list(keys)
+    if layout not in ("rename", "manifest"):
+        raise ValueError(f"unknown layout {layout!r}; use 'rename' or 'manifest'")
+    if partition_col is not None:
+        if partition_col not in keys:
+            raise ValueError(
+                f"partition_col {partition_col!r} must be part of keys {keys} — a "
+                f"merge key moving between partitions would leave a stale twin"
+            )
+        if layout == "manifest":
+            raise ValueError("partition-pruned merge uses the hive layout; manifest applies to unpartitioned tables")
+        if partition_col not in source.columns:
+            raise ValueError(f"source is missing partition_col {partition_col!r}")
     source = dedup_keyed(source, keys, list(dedupe_order) if dedupe_order else keys, keep="last")
 
     path = Path(target_path)
-    if not path.exists():
+    exists = _table_exists(path, layout)
+    if not exists:
         stats = MergeStats(inserted=source.count() if collect_stats else -1, updated=0, unchanged=0)
-        _atomic_write(source, path)
+        _write_table(source, path, layout, partition_col)
         return stats
 
-    target = spark.read.parquet(str(path))
+    if partition_col is not None:
+        # Partition-pruned read: the isin filter on the partition column is
+        # resolved at planning time against the hive dir names, so only the
+        # touched partitions are ever listed or scanned. The partition col is
+        # cast back to the source's dtype — partition-value inference (when a
+        # session has it enabled) must not change the merge key's type.
+        src_dtype = dict(source.dtypes)[partition_col]
+        touched = [r[0] for r in source.select(partition_col).distinct().collect()]
+        target = (
+            spark.read.parquet(str(path))
+            .filter(F.col(partition_col).cast(src_dtype).isin(touched))
+            .withColumn(partition_col, F.col(partition_col).cast(src_dtype))
+        )
+    else:
+        target = read_table(spark, str(path))
     out_cols = target.columns
 
     t = target.alias("t")
@@ -144,14 +193,61 @@ def merge_upsert(
             unchanged=counts.get("unchanged", 0) + counts.get("keep", 0),
         )
 
-    _atomic_write(result.drop("__action"), path)
+    _write_table(result.drop("__action"), path, layout, partition_col)
     return stats
 
 
+# ---------------------------------------------------------------------------
+# storage layouts
+# ---------------------------------------------------------------------------
+
+MANIFEST_NAME = "_MANIFEST"
+
+
+def _live_snapshot(path: Path) -> Path | None:
+    """Resolve the manifest pointer, or None for plain-directory tables."""
+    mf = path / MANIFEST_NAME
+    if mf.exists():
+        return path / mf.read_text().strip()
+    return None
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a merge-managed table regardless of layout: resolves the
+    ``_MANIFEST`` pointer when present, else reads the directory directly
+    (plain and hive-partitioned layouts)."""
+    p = Path(path)
+    live = _live_snapshot(p)
+    return spark.read.parquet(str(live if live is not None else p))
+
+
+def _table_exists(path: Path, layout: str) -> bool:
+    if layout == "manifest":
+        return (path / MANIFEST_NAME).exists()
+    return path.exists()
+
+
+def _write_table(df: DataFrame, path: Path, layout: str, partition_col: str | None) -> None:
+    if layout == "manifest":
+        _manifest_write(df, path)
+    elif partition_col is not None:
+        _partition_swap_write(df, path, partition_col)
+    else:
+        _atomic_write(df, path)
+
+
 def _atomic_write(df: DataFrame, path: Path) -> None:
-    """Write-temp-then-swap: the table directory is replaced in one rename."""
+    """Write-temp-then-swap: the table directory is replaced via rename.
+
+    POSIX fast path only — the two renames are not atomic as a unit and an
+    object store copies on rename; use ``layout="manifest"`` there. A crash
+    between the renames is self-healed on the next call (backup restored)."""
     staging = path.with_name(path.name + ".__staging__")
     backup = path.with_name(path.name + ".__old__")
+    if backup.exists() and not path.exists():
+        backup.rename(path)  # previous swap crashed mid-way: backup IS the table
+    elif backup.exists():
+        shutil.rmtree(backup)
     if staging.exists():
         shutil.rmtree(staging)
     df.write.mode("overwrite").parquet(str(staging))
@@ -160,6 +256,52 @@ def _atomic_write(df: DataFrame, path: Path) -> None:
     staging.rename(path)
     if backup.exists():
         shutil.rmtree(backup)
+
+
+def _manifest_write(df: DataFrame, path: Path) -> None:
+    """Object-store-safe swap: write a NEW immutable snapshot directory, then
+    atomically repoint the one-line manifest. The only non-idempotent step is
+    a single small-file replace — atomic on POSIX (os.replace) and on object
+    stores (single-object PUT). Superseded snapshots are pruned immediately
+    here; an object-store deployment would GC them after a read-grace period
+    instead (in-flight readers may still hold the old pointer)."""
+    path.mkdir(parents=True, exist_ok=True)
+    current = _live_snapshot(path)
+    version = int(current.name.rsplit("_", 1)[-1]) + 1 if current is not None else 1
+    snap = path / f"_v_{version:05d}"
+    if snap.exists():
+        shutil.rmtree(snap)  # failed previous attempt; manifest never pointed here
+    df.write.mode("overwrite").parquet(str(snap))
+    tmp = path / (MANIFEST_NAME + ".__tmp__")
+    tmp.write_text(snap.name)
+    os.replace(tmp, path / MANIFEST_NAME)
+    if current is not None and current.exists():
+        shutil.rmtree(current)
+
+
+def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> None:
+    """Swap ONLY the partition directories present in ``df`` into the table
+    root; every other partition's files are left byte-untouched. The merge
+    result contains exactly the touched partitions (pruned target subset
+    full-outer source), so staging emits exactly those ``<pcol>=`` dirs."""
+    staging = path.with_name(path.name + ".__staging__")
+    if staging.exists():
+        shutil.rmtree(staging)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(str(staging))
+    path.mkdir(parents=True, exist_ok=True)
+    for part_dir in sorted(staging.glob(f"{partition_col}=*")):
+        dest = path / part_dir.name
+        backup = path / (part_dir.name + ".__old__")
+        if backup.exists() and not dest.exists():
+            backup.rename(dest)
+        elif backup.exists():
+            shutil.rmtree(backup)
+        if dest.exists():
+            dest.rename(backup)
+        part_dir.rename(dest)
+        if backup.exists():
+            shutil.rmtree(backup)
+    shutil.rmtree(staging)
 
 
 def merge_as_dataframe(

@@ -37,12 +37,20 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """Return (node, cluster_id): min reachable node id per component.
 
     ``nodes``: one row per node id (singletons allowed — they become their
     own cluster). ``edges``: undirected pairs; symmetrized internally.
+
+    Min-label propagation needs ~graph-diameter rounds; if the loop exhausts
+    ``max_iterations`` before the fixpoint (e.g. a pathological long chain),
+    the labels are NOT converged — components would be silently split. With
+    ``strict=True`` (default) that raises; ``strict=False`` downgrades to a
+    warning for callers that accept approximate clusters.
     """
+    import warnings
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -50,6 +58,7 @@ def connected_components(
 
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -69,6 +78,17 @@ def connected_components(
         n_changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if n_changed == 0:
+            converged = True
             break
+
+    if not converged:
+        msg = (
+            f"connected_components did not reach a fixpoint within "
+            f"{max_iterations} iterations — cluster ids would be split. "
+            f"Raise max_iterations (needs ~graph diameter rounds)."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
 
     return labels.withColumnRenamed("label", "cluster_id")

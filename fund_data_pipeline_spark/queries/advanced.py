@@ -41,7 +41,7 @@ def _dec(col, prec=18, scale=2):
     oracle="""
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS gid,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
@@ -56,7 +56,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("revenue"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "revenue")
     )
@@ -90,7 +90,7 @@ def priority_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "below half the part's average quantity. The threshold compare is kept "
     "exact (qty*2*cnt < sum as decimals) so no float-average boundary flaps.",
     oracle="""
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
        COUNT(*) AS n
 FROM lineitem l
 JOIN (SELECT l_partkey,
@@ -113,7 +113,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(g, F.col("l.l_partkey") == F.col("g.l_partkey"))
         .filter(_dec("l.l_quantity") * 2 * F.col("g.cnt") < F.col("g.qty_sum"))
         .agg(
-            F.sum(_dec("l.l_extendedprice")).cast("decimal(38,2)").alias("total_price"),
+            F.sum(_dec("l.l_extendedprice")).cast("double").alias("total_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -130,7 +130,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey, o_custkey,
        lag(o_totalprice) OVER w AS prev_price,
        lead(o_totalprice) OVER w AS next_price,
-       CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2)) AS DECIMAL(19,2)) AS delta
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(lag(o_totalprice) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS delta
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
@@ -143,7 +143,7 @@ def order_price_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         prev.alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-        (_dec("o_totalprice") - prev.cast("decimal(18,2)")).cast("decimal(19,2)").alias("delta"),
+        (_dec("o_totalprice") - prev.cast("decimal(18,2)")).cast("double").alias("delta"),
     )
 
 
@@ -215,7 +215,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical to the plain join (the oracle runs the unsalted SQL).",
     oracle="""
 SELECT o_orderstatus,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
@@ -237,7 +237,7 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderstatus")
         .agg(
-            F.sum(revenue).cast("decimal(38,4)").alias("revenue"),
+            F.sum(revenue).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )

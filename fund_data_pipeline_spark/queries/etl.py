@@ -252,7 +252,7 @@ def row_hash_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="D2: deterministic keep-last per natural key with explicit tiebreak "
     "(replaces pandas read-order keep='last').",
     oracle="""
-SELECT l_orderkey, l_partkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice
+SELECT l_orderkey, l_partkey, l_linenumber, l_extendedprice AS extendedprice
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
                                ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
@@ -267,7 +267,7 @@ def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_partkey",
         "l_linenumber",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("extendedprice"),
+        F.col("l_extendedprice").alias("extendedprice"),
     )
 
 
@@ -420,10 +420,10 @@ SELECT COALESCE(t.key, s.key) AS key,
             WHEN s.key IS NULL THEN t.status
             WHEN t.row_hash IS DISTINCT FROM s.row_hash THEN s.status
             ELSE t.status END AS status,
-       CASE WHEN t.key IS NULL THEN s.price
+       CAST(CASE WHEN t.key IS NULL THEN s.price
             WHEN s.key IS NULL THEN t.price
             WHEN t.row_hash IS DISTINCT FROM s.row_hash THEN s.price
-            ELSE t.price END AS price,
+            ELSE t.price END AS DOUBLE) AS price,
        CASE WHEN t.key IS NULL THEN s.row_hash
             WHEN s.key IS NULL THEN t.row_hash
             WHEN t.row_hash IS DISTINCT FROM s.row_hash THEN s.row_hash
@@ -435,7 +435,10 @@ def hash_guarded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     target = _order_snapshot(orders, 1995, 1999, modify=False)
     source = _order_snapshot(orders, 1998, 2000, modify=True)
-    return merge_as_dataframe(target, source, keys=["key"], hash_col="row_hash")
+    merged = merge_as_dataframe(target, source, keys=["key"], hash_col="row_hash")
+    # hash stays md5-of-decimal-string (engine-identical); only the emitted
+    # price column is cast to DOUBLE (no DECIMAL in final projections).
+    return merged.withColumn("price", F.col("price").cast("double"))
 
 
 @register(

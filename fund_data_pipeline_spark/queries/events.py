@@ -27,7 +27,7 @@ from .registry import register, table
 SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start_epoch,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -38,7 +38,7 @@ def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
@@ -55,7 +55,7 @@ def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "windows; implemented natively with window(), oracle via explicit hop join.",
     oracle="""
 SELECT w.window_start_epoch, COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events e
 CROSS JOIN (SELECT unnest([0, 1]) AS k) k
 CROSS JOIN LATERAL (
@@ -70,7 +70,7 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
@@ -104,7 +104,7 @@ SELECT user_id, session_seq,
        COUNT(*) AS n_events,
        MIN(ep) AS session_start_epoch,
        MAX(ep) AS session_end_epoch,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM sessions
 GROUP BY user_id, session_seq
 """,
@@ -121,7 +121,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.col("ts").cast("long")).alias("session_start_epoch"),
         F.max(F.col("ts").cast("long")).alias("session_end_epoch"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("session_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
     )
 
 
@@ -132,7 +132,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        COUNT(*) AS n,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        CAST(floor(MIN(epoch(ts))) AS BIGINT) AS first_epoch,
        CAST(floor(MAX(epoch(ts))) AS BIGINT) AS last_epoch
 FROM events GROUP BY event_type
@@ -143,7 +143,7 @@ def event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         F.min(F.col("ts").cast("long")).alias("first_epoch"),
         F.max(F.col("ts").cast("long")).alias("last_epoch"),
     )

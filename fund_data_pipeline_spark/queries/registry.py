@@ -31,18 +31,17 @@ def register(name: str, oracle: str | None = None, headline: bool = False, doc: 
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a fixture table, normalizing session quirks the driver's own
-    SparkSession may carry: UTC semantics for timestamp<->date conversions
-    (oracle comparability) and nanosecond parquet timestamps (events.ts),
-    which Spark reads as long-nanos and we convert losslessly to the native
-    TimestampType (the fixture's values are microsecond-resolution)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+    """Read a fixture table. The session is normalized (UTC, nanosAsLong) via
+    :func:`fund_data_pipeline_spark.session.normalize_session` — sessions from
+    :func:`get_spark` are already normalized at build; for a harness-owned
+    session this is the single defensive entry point, unconditional on every
+    call so read behavior never depends on table order."""
+    from ..session import normalize_session
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    normalize_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df

@@ -5,6 +5,11 @@ Determinism discipline shared by every query here:
 - monetary/double aggregates go through explicit DECIMAL casts on both the
   Spark and DuckDB side (float summation order is engine-dependent; decimal
   addition is exact and order-independent);
+- no final projection emits DECIMAL: exact decimal sums are cast to DOUBLE
+  at the very end on BOTH engines (the exact decimal has far fewer
+  significant digits than a double holds, so the conversion is the same
+  correctly-rounded value bit-for-bit — and DOUBLE survives every result
+  canonicalizer, while decimal trailing-zero rendering does not);
 - averages are computed as exact decimal SUM cast to DOUBLE divided by
   COUNT (identical IEEE bits on both engines);
 - every top-k ORDER BY carries a unique tiebreak key so the selected row
@@ -33,10 +38,10 @@ def _dec(col, prec=18, scale=2):
     doc="TPC-H Q1 flavor: grouped 8-way aggregate over lineitem (A1/A2 writ large).",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
@@ -51,10 +56,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_mult = (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
     tax_mult = (F.lit(1) + F.col("l_tax")).cast("decimal(8,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-        F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-        F.sum(price * disc_mult).cast("decimal(38,4)").alias("sum_disc_price"),
-        F.sum(price * disc_mult * tax_mult).cast("decimal(38,6)").alias("sum_charge"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * disc_mult).cast("double").alias("sum_disc_price"),
+        F.sum(price * disc_mult * tax_mult).cast("double").alias("sum_charge"),
         (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
         (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
@@ -101,7 +106,7 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS gid,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -113,7 +118,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("revenue"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "revenue", "n")
@@ -127,7 +132,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus, o_orderpriority) AS gid,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -139,7 +144,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
     )
@@ -179,7 +184,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q3 flavor: 3-way join + group + deterministic top-10.",
     oracle="""
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
        CAST(o_orderdate AS DATE) AS orderdate,
        o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
@@ -201,7 +206,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -219,7 +224,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q5 flavor: 6-way join through region/nation, co-located cust/supp nation.",
     oracle="""
 SELECT n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -243,33 +248,43 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    # supplier gets NO broadcast hint: at sf100 it is ~1M rows and a forced
+    # broadcast would be a scale hazard — AQE still broadcasts it when it is
+    # genuinely under the threshold. nation/region are bounded dims (25/5
+    # rows at every SF), so their hints are safe forever.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 
 @register(
     "customers_without_orders",
-    doc="U2/G1/S10: anti-join gap detection (master minus delivered).",
+    doc="U2/G1/S10: anti-join gap detection (master minus delivered). The "
+    "done-set is orders since 1998 so the gap set is non-trivial at every SF "
+    "(every fixture customer has SOME order; many have none recently).",
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
 """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     from ..sources.registry import resume_anti_join
 
     return resume_anti_join(
-        cust, orders.withColumnRenamed("o_custkey", "c_custkey"), ["c_custkey"]
+        cust, recent.withColumnRenamed("o_custkey", "c_custkey"), ["c_custkey"]
     ).select("c_custkey", "c_name")
 
 
@@ -359,6 +374,34 @@ def churned_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y96.subtract(later)  # EXCEPT (distinct) semantics
 
 
+@register(
+    "buyer_set_ops",
+    doc="INTERSECT and EXCEPT exercised in one relation: 1996 buyers split "
+    "into the 'retained' cohort (also bought in 2000+) and the 'churned' "
+    "cohort (never again) — one driver-checked row covering both set ops.",
+    oracle="""
+SELECT 'retained' AS cohort, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 2000
+)
+UNION ALL
+SELECT 'churned' AS cohort, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 2000
+)
+""",
+)
+def buyer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    later = orders.filter(F.year("o_orderdate") >= 2000).select(F.col("o_custkey").alias("custkey"))
+    retained = y96.intersect(later).select(F.lit("retained").alias("cohort"), "custkey")
+    churned = y96.subtract(later).select(F.lit("churned").alias("cohort"), "custkey")
+    return retained.unionByName(churned)
+
+
 # ---------------------------------------------------------------------------
 # windows / ordered analytics (SURVEY §2.8)
 # ---------------------------------------------------------------------------
@@ -369,7 +412,7 @@ def churned_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT * FROM (
   SELECT o_custkey, o_orderkey,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+         o_totalprice AS totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
          RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
   FROM orders
@@ -383,7 +426,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            _dec("o_totalprice").alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
             F.row_number().over(w).alias("rn"),
             F.rank().over(w).alias("rnk"),
         )
@@ -398,7 +441,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_rev,
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
        LAG(l_orderkey)  OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_order,
        LEAD(l_orderkey) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_order
 FROM lineitem
@@ -415,7 +458,7 @@ def running_revenue_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "l_orderkey",
             "l_linenumber",
-            F.sum(_dec("l_extendedprice")).over(frame).cast("decimal(38,2)").alias("running_rev"),
+            F.sum(_dec("l_extendedprice")).over(frame).cast("double").alias("running_rev"),
             F.lag("l_orderkey").over(w).alias("prev_order"),
             F.lead("l_orderkey").over(w).alias("next_order"),
         )
@@ -428,7 +471,7 @@ def running_revenue_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey AS latest_orderkey,
        CAST(o_orderdate AS DATE) AS latest_orderdate,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS latest_totalprice
+       o_totalprice AS latest_totalprice
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
   FROM orders
@@ -448,7 +491,7 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("o_orderkey").alias("latest_orderkey"),
         F.col("o_orderdate").cast("date").alias("latest_orderdate"),
-        _dec("o_totalprice").alias("latest_totalprice"),
+        F.col("o_totalprice").alias("latest_totalprice"),
     )
 
 
@@ -458,7 +501,7 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioned window so no single-reducer global sort at scale).",
     oracle="""
 SELECT c_custkey,
-       CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+       c_acctbal AS acctbal,
        NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
 FROM customer
 """,
@@ -467,7 +510,7 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal"), F.col("c_custkey"))
     return table(spark, sf_dir, "customer").select(
         "c_custkey",
-        _dec("c_acctbal").alias("acctbal"),
+        F.col("c_acctbal").alias("acctbal"),
         F.ntile(4).over(w).alias("quartile"),
     )
 
@@ -484,7 +527,7 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -504,15 +547,18 @@ def nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    # customer/supplier: no hard broadcast hint (15M / 1M rows at sf100 —
+    # forced broadcast is a scale hazard; AQE broadcasts when truly small).
+    # nation (25 rows at every SF) keeps the hint.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), orders.o_custkey == F.col("c_custkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") < F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("o_orderdate").cast("long").alias("order_year"))
-        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 
@@ -560,13 +606,13 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
   SELECT l_suppkey AS suppkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS total_revenue
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM rev JOIN supplier ON suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """,
@@ -578,12 +624,13 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        F.sum(revenue).cast("decimal(38,4)").alias("total_revenue")
+        F.sum(revenue).alias("total_revenue")
     )
+    # max-compare stays exact decimal; only the final projection casts.
     best = rev.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy())).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return best.join(F.broadcast(supp), best.suppkey == supp.s_suppkey).select(
-        "s_suppkey", "s_name", "total_revenue"
+    return best.join(supp, best.suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
     )

@@ -167,6 +167,62 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_profile",
+    doc="One-pass per-document profile combining the quality score, the "
+    "regex token counts, and the md5 fingerprint (the quality_score / "
+    "token_count_regex / doc_fingerprint operators in a single checked "
+    "projection — all narrow per-row expressions, one scan).",
+    oracle=f"""
+SELECT doc_id,
+       0.5 * (CASE WHEN n_tokens >= 30 AND n_tokens <= 400 THEN 1.0 ELSE 0.0 END)
+     + 0.3 * least(stopword_ratio * 10.0, 1.0)
+     + 0.2 * (CASE WHEN avg_len >= 3.0 AND avg_len <= 8.0 THEN 1.0 ELSE 0.0 END) AS quality,
+       n_word_tokens, n_number_tokens, n_whitespace_runs, fingerprint
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stopword_ratio,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_len,
+         len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+         len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+         len(regexp_extract_all(text, '\\s+')) AS n_whitespace_runs,
+         md5(COALESCE(lang,'') || '|' || substr(text, 1, 64) || '|' || CAST(length(text) AS VARCHAR)) AS fingerprint
+  FROM documents
+)
+""",
+)
+def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
+    avg_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    quality = (
+        F.lit(0.5) * F.when((n_tokens >= 30) & (n_tokens <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * F.least(stop_ratio * 10.0, F.lit(1.0))
+        + F.lit(0.2) * F.when((avg_len >= 3.0) & (avg_len <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    fingerprint = F.md5(
+        F.concat(
+            F.coalesce(F.col("lang"), F.lit("")),
+            F.lit("|"),
+            F.substring("text", 1, 64),
+            F.lit("|"),
+            F.length("text").cast("string"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        F.regexp_count("text", F.lit("[a-z]+")).alias("n_word_tokens"),
+        F.regexp_count("text", F.lit("[0-9]+")).alias("n_number_tokens"),
+        F.regexp_count("text", F.lit(r"\s+")).alias("n_whitespace_runs"),
+        fingerprint.alias("fingerprint"),
+    )
+
+
+@register(
     "exact_dedup",
     headline=True,
     doc="Exact dedup by content hash: keep the lowest doc_id per md5(text) "

@@ -14,6 +14,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def normalize_session(spark: SparkSession) -> SparkSession:
+    """Pin the session confs result-correctness depends on.
+
+    Idempotent and order-independent — called once at session build here, and
+    defensively by the query catalog when handed a session the harness built
+    (the driver owns its own SparkSession, which may not be UTC):
+
+    - UTC session time zone: timestamp<->date/string conversions match the
+      DuckDB oracle (which is timezone-naive) and stay sane on a cluster
+      whose nodes disagree on local time.
+    - nanosAsLong: the events fixture stores TIMESTAMP(NANOS) parquet, which
+      Spark otherwise refuses; reads convert losslessly to TimestampType
+      (values are microsecond-resolution). Set unconditionally so behavior
+      never depends on which table was read first.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
 def get_spark(app_name: str = "fund_data_pipeline_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
@@ -34,10 +54,14 @@ def get_spark(app_name: str = "fund_data_pipeline_spark", shuffle_partitions: in
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # hive partition values stay strings (Hive's own default): a dt=
+        # column that silently becomes DATE/INT by inference breaks merge
+        # key comparisons and round-trips; string is the stable contract.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
+    return normalize_session(spark)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None) -> dict:

@@ -1,0 +1,142 @@
+"""Storage-layout tests for the merge engine: partition-pruned merges must
+leave untouched partitions byte-identical, the manifest layout must swap via
+the pointer file only, and crashed swaps must self-heal on retry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fund_data_pipeline_spark import maintenance
+from fund_data_pipeline_spark.merge import (
+    MANIFEST_NAME,
+    merge_upsert,
+    read_table,
+)
+
+
+def _snapshot(spark, rows):
+    df = spark.createDataFrame(rows, "ticker string, dt string, value double")
+    return df.withColumn(
+        "row_hash", F.md5(F.concat_ws("|", "ticker", "dt", F.col("value").cast("string")))
+    )
+
+
+def _file_state(root):
+    """(relative-path -> (size, mtime_ns)) for every parquet data file."""
+    return {
+        str(p.relative_to(root)): (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in root.rglob("*.parquet")
+    }
+
+
+def test_partition_pruned_merge_leaves_other_partitions_untouched(spark, tmp_path):
+    path = tmp_path / "prices"
+    base = _snapshot(
+        spark,
+        [
+            ("AAA", "2024-01-01", 10.0),
+            ("BBB", "2024-01-01", 11.0),
+            ("AAA", "2024-01-02", 12.0),
+        ],
+    )
+    merge_upsert(spark, str(path), base, keys=["ticker", "dt"], partition_col="dt")
+    assert (path / "dt=2024-01-01").is_dir() and (path / "dt=2024-01-02").is_dir()
+
+    before = {
+        k: v for k, v in _file_state(path).items() if k.startswith("dt=2024-01-01")
+    }
+    assert before, "expected data files in the untouched partition"
+
+    batch = _snapshot(
+        spark,
+        [
+            ("AAA", "2024-01-02", 99.0),  # update in place
+            ("CCC", "2024-01-03", 13.0),  # brand-new partition
+        ],
+    )
+    stats = merge_upsert(
+        spark, str(path), batch, keys=["ticker", "dt"], partition_col="dt", collect_stats=True
+    )
+    assert stats.inserted == 1 and stats.updated == 1
+
+    after = {k: v for k, v in _file_state(path).items() if k.startswith("dt=2024-01-01")}
+    assert after == before  # same files, same bytes, same mtimes — never rewritten
+
+    out = {
+        (r["ticker"], r["dt"]): r["value"]
+        for r in spark.read.parquet(str(path)).collect()
+    }
+    assert out == {
+        ("AAA", "2024-01-01"): 10.0,
+        ("BBB", "2024-01-01"): 11.0,
+        ("AAA", "2024-01-02"): 99.0,
+        ("CCC", "2024-01-03"): 13.0,
+    }
+
+
+def test_partition_pruned_merge_is_idempotent(spark, tmp_path):
+    path = tmp_path / "prices"
+    base = _snapshot(spark, [("AAA", "2024-01-01", 1.0), ("AAA", "2024-01-02", 2.0)])
+    merge_upsert(spark, str(path), base, keys=["ticker", "dt"], partition_col="dt")
+    batch = _snapshot(spark, [("AAA", "2024-01-02", 5.0)])
+    for _ in range(2):
+        merge_upsert(spark, str(path), batch, keys=["ticker", "dt"], partition_col="dt")
+    rows = sorted(
+        (r["ticker"], r["dt"], r["value"]) for r in spark.read.parquet(str(path)).collect()
+    )
+    assert rows == [("AAA", "2024-01-01", 1.0), ("AAA", "2024-01-02", 5.0)]
+
+
+def test_partition_col_must_be_a_key(spark, tmp_path):
+    df = _snapshot(spark, [("AAA", "2024-01-01", 1.0)])
+    with pytest.raises(ValueError, match="must be part of keys"):
+        merge_upsert(spark, str(tmp_path / "t"), df, keys=["ticker"], partition_col="dt")
+
+
+def test_manifest_layout_swaps_via_pointer(spark, tmp_path):
+    path = tmp_path / "master"
+    base = _snapshot(spark, [("AAA", "2024-01-01", 1.0), ("BBB", "2024-01-01", 2.0)])
+    merge_upsert(spark, str(path), base, keys=["ticker"], layout="manifest")
+    assert (path / MANIFEST_NAME).read_text() == "_v_00001"
+
+    batch = _snapshot(spark, [("BBB", "2024-01-01", 7.0)])
+    merge_upsert(spark, str(path), batch, keys=["ticker"], layout="manifest")
+    assert (path / MANIFEST_NAME).read_text() == "_v_00002"
+    assert not (path / "_v_00001").exists()  # superseded snapshot pruned
+
+    out = {r["ticker"]: r["value"] for r in read_table(spark, str(path)).collect()}
+    assert out == {"AAA": 1.0, "BBB": 7.0}
+
+
+def test_compact_partition_recovers_from_crashed_swap(spark, tmp_path):
+    path = tmp_path / "t"
+    spark.range(0, 100).write.parquet(str(path))
+    # simulate a crash between the two swap renames: only the backup exists
+    path.rename(tmp_path / "t.__old__")
+    n = maintenance.compact_partition(spark, str(path))
+    assert n >= 1
+    assert spark.read.parquet(str(path)).count() == 100
+    assert not (tmp_path / "t.__old__").exists()
+
+
+def test_compact_partition_refuses_partitioned_root(spark, tmp_path):
+    root = tmp_path / "parts"
+    df = spark.range(0, 10).withColumn("dt", F.lit("2024-01-01"))
+    df.write.partitionBy("dt").parquet(str(root))
+    with pytest.raises(ValueError, match="leaf partition"):
+        maintenance.compact_partition(spark, str(root))
+
+
+def test_connected_components_unconverged_raises(spark):
+    from fund_data_pipeline_spark.operators.graph import connected_components
+
+    nodes = spark.range(0, 6).withColumnRenamed("id", "node")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(nodes, chain, max_iterations=1).collect()
+    with pytest.warns(UserWarning, match="fixpoint"):
+        labels = connected_components(nodes, chain, max_iterations=1, strict=False)
+        labels.collect()
