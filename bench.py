@@ -25,6 +25,51 @@ from fund_data_pipeline_spark import queries as Q  # noqa: E402
 from fund_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def _merge_bench(spark, sf_dir: str) -> float:
+    """Time the signature operator: a hash-guarded, partition-pruned merge of
+    one month's modified batch into a month-partitioned price table built
+    from lineitem. The build of the target is untimed; the timed section is
+    exactly the daily-upsert path (prune -> full-outer merge -> rewrite only
+    the touched partition)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fund_data_pipeline_spark.merge import merge_upsert
+
+    def snapshot(df):
+        return df.withColumn(
+            "row_hash",
+            F.md5(F.concat_ws("|", "k1", "k2", "dt", F.col("price").cast("string"))),
+        )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("dt"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="bench_merge_")
+    path = f"{root}/prices"
+    try:
+        merge_upsert(
+            spark, path, snapshot(rows), keys=["k1", "k2", "dt"], partition_col="dt"
+        )  # untimed target build
+        # land the batch as a real file first (a daily batch arrives as
+        # landed data, not a lazy recompute over the whole history)
+        snapshot(
+            rows.filter(F.col("dt") == "1998-06").withColumn("price", F.col("price") + 1.0)
+        ).write.parquet(f"{root}/batch")
+        batch = spark.read.parquet(f"{root}/batch")
+        t0 = time.perf_counter()
+        merge_upsert(spark, path, batch, keys=["k1", "k2", "dt"], partition_col="dt")
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -53,6 +98,12 @@ def main() -> None:
         except Exception as e:  # a broken query should show up, not crash bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+
+    try:
+        timings["merge_partition_pruned"] = _merge_bench(spark, sf_dir)
+    except Exception as e:
+        print(f"bench: merge_partition_pruned failed: {e}", file=sys.stderr)
+        timings["merge_partition_pruned"] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({"metric": "headline_total", "value": total, "unit": "sec", "queries": timings, "sf": sf}))

@@ -287,7 +287,14 @@ def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> None
     staging = path.with_name(path.name + ".__staging__")
     if staging.exists():
         shutil.rmtree(staging)
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(str(staging))
+    # shuffle rows to their partition before the partitioned write: without
+    # this every task emits a file into every partition (tasks x partitions
+    # small files — the classic scan-killer). One task per partition is right
+    # for daily-merge-sized partitions; a table with huge partitions would
+    # add a within-partition split key here.
+    df.repartition(F.col(partition_col)).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(str(staging))
     path.mkdir(parents=True, exist_ok=True)
     for part_dir in sorted(staging.glob(f"{partition_col}=*")):
         dest = path / part_dir.name

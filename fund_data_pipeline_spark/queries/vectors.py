@@ -20,8 +20,65 @@ from .registry import QUERIES, register, table
 
 _QUERY_VEC_ID = 0
 
+#: hyperplane-LSH bucket width. 8 bits/256 buckets is demo scale — at real
+#: corpus sizes raise this (buckets ~ corpus_size / desired_bucket_rows);
+#: every expression below, multi-probe included, is parameterized on it.
+N_LSH_BITS = 8
+EMB_DIM = 64
+
+# Deterministic ±1 hyperplane matrix: h(i, j) = +1 iff (i*A + j*B) % M < T.
+# Pure integer arithmetic, so BOTH engines build the identical matrix with
+# no RNG to keep in sync; ~half the entries are +1 per plane, planes are
+# pairwise near-orthogonal in expectation — the standard signed-random-
+# projection family (Charikar'02 SimHash for cosine), just derandomized.
+# Projections run over the *quantized* embedding (int64), so each dot
+# product is exact integer math and the sign is engine-identical.
+_LSH_A, _LSH_B, _LSH_MOD, _LSH_T = 37, 61, 97, 48
+
 # DuckDB fragment: quantized embedding list
 _Q = "list_transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))"
+
+
+def _bucket_sql(qe: str = "qe", n_bits: int = N_LSH_BITS) -> str:
+    """DuckDB fragment: hyperplane-sign bucket of the quantized list ``qe``."""
+    bits = []
+    for j in range(n_bits):
+        proj = (
+            f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> CASE WHEN (i * {_LSH_A} + {j} * {_LSH_B}) % {_LSH_MOD} < {_LSH_T} "
+            f"THEN {qe}[i] ELSE -{qe}[i] END))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << j}::BIGINT ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _plane_term(qe, j: int):
+    # single-arg lambda factory: transform() inspects lambda arity, so the
+    # plane index must be captured by closure, not by a default argument
+    # (a second parameter would receive the array index instead).
+    def term(i):
+        return F.when(
+            ((i * _LSH_A + j * _LSH_B) % _LSH_MOD) < _LSH_T, F.element_at(qe, i)
+        ).otherwise(-F.element_at(qe, i))
+
+    return term
+
+
+def _bucket_col(qe, n_bits: int = N_LSH_BITS):
+    """Hyperplane-sign bucket of a quantized ``array<long>`` column: bit j is
+    set iff the exact integer projection onto plane j is positive."""
+    qe = F.col(qe) if isinstance(qe, str) else qe
+    bucket = F.lit(0).cast("long")
+    for j in range(n_bits):
+        proj = F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(EMB_DIM)), _plane_term(qe, j)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
 
 
 def _quant(col):
@@ -86,11 +143,10 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Hyperplane-sign LSH bucketing: 8-bit bucket from component signs — "
     "the ANN partition key (search only the query's bucket at scale). "
     "Returns bucket histogram + per-bucket label diversity.",
-    oracle="""
+    oracle=f"""
 SELECT bucket, COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels
 FROM (
-  SELECT vec_id, label,
-         list_sum(list_transform(range(1, 9), i -> CASE WHEN embedding[i] > 0 THEN (2 ** (i - 1))::BIGINT ELSE 0 END)) AS bucket
+  SELECT vec_id, label, {_bucket_sql(_Q)} AS bucket
   FROM embeddings
 )
 GROUP BY bucket
@@ -98,18 +154,8 @@ GROUP BY bucket
 )
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    bucket = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(8)),
-            lambda i: F.when(F.element_at("embedding", i) > 0, F.pow(F.lit(2), i - 1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     return (
-        emb.select(bucket.alias("bucket"), "label")
+        emb.select(_bucket_col(_quant("embedding")).alias("bucket"), "label")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.countDistinct("label").alias("n_labels"))
     )
@@ -117,22 +163,31 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_ann_bucketed_topk",
-    doc="ANN scale path: top-10 cosine neighbors of vec_id=0 searched ONLY "
-    "within its hyperplane-LSH bucket (bucket equi-join replaces the full "
-    "cross join — at 100 TB the bucket is a partition pruned at the scan).",
+    doc="ANN scale path with multi-probe: top-10 cosine neighbors of "
+    "vec_id=0 searched in its hyperplane-LSH bucket PLUS the "
+    f"{N_LSH_BITS} Hamming-distance-1 neighbor buckets (standard "
+    "multi-probe LSH — near-misses across one hyperplane are recovered "
+    "without widening to a scan). Still a bucket equi-join, never a cross "
+    "join: the probe set is (n_bits+1) tiny broadcast rows; at 100 TB the "
+    "bucket is the storage partition key and each probe prunes to one "
+    "partition.",
     oracle=f"""
 WITH b AS (
-  SELECT vec_id, label, {_Q} AS qe,
-         list_sum(list_transform(range(1, 9), i -> CASE WHEN embedding[i] > 0 THEN (2 ** (i - 1))::BIGINT ELSE 0 END)) AS bucket
+  SELECT vec_id, label, {_Q} AS qe, {_bucket_sql()} AS bucket
   FROM embeddings
 ), q AS (
   SELECT qe AS query_qe, bucket AS query_bucket FROM b WHERE vec_id = {_QUERY_VEC_ID}
+), probes AS (
+  SELECT q.query_qe,
+         CASE WHEN k.k = 0 THEN q.query_bucket
+              ELSE xor(q.query_bucket, (2 ** (k.k - 1))::BIGINT) END AS probe_bucket
+  FROM q CROSS JOIN (FROM range({N_LSH_BITS + 1})) k(k)
 ), scored AS (
   SELECT b.vec_id, b.label,
-         list_sum(list_transform(range(1, 65), i -> q.query_qe[i] * b.qe[i])) AS dot,
-         list_sum(list_transform(q.query_qe, x -> x * x)) AS qnorm,
+         list_sum(list_transform(range(1, 65), i -> p.query_qe[i] * b.qe[i])) AS dot,
+         list_sum(list_transform(p.query_qe, x -> x * x)) AS qnorm,
          list_sum(list_transform(b.qe, x -> x * x)) AS enorm
-  FROM b JOIN q ON b.bucket = q.query_bucket
+  FROM b JOIN probes p ON b.bucket = p.probe_bucket
   WHERE b.vec_id <> {_QUERY_VEC_ID}
 )
 SELECT vec_id, label,
@@ -144,23 +199,31 @@ LIMIT 10
 )
 def embedding_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    bucket = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(8)),
-            lambda i: F.when(F.element_at("embedding", i) > 0, F.pow(F.lit(2), i - 1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    b = emb.select(
+        "vec_id",
+        "label",
+        _quant("embedding").alias("qe"),
+        _bucket_col(_quant("embedding")).alias("bucket"),
     )
-    b = emb.select("vec_id", "label", _quant("embedding").alias("qe"), bucket.alias("bucket"))
     q = b.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("qe").alias("query_qe"), F.col("bucket").alias("query_bucket")
     )
+    # multi-probe: the query's own bucket + every bucket one bit-flip away
+    probes = q.select(
+        "query_qe",
+        F.explode(
+            F.array(
+                F.col("query_bucket"),
+                *[
+                    F.col("query_bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(N_LSH_BITS)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
     scored = (
         b.filter(F.col("vec_id") != _QUERY_VEC_ID)
-        .join(F.broadcast(q), F.col("bucket") == F.col("query_bucket"))
+        .join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
         .select(
             "vec_id",
             "label",
@@ -187,8 +250,7 @@ def embedding_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "storage partition key, so each partition self-joins locally.",
     oracle=f"""
 WITH b AS (
-  SELECT vec_id, {_Q} AS qe,
-         list_sum(list_transform(range(1, 9), i -> CASE WHEN embedding[i] > 0 THEN (2 ** (i - 1))::BIGINT ELSE 0 END)) AS bucket
+  SELECT vec_id, {_Q} AS qe, {_bucket_sql()} AS bucket
   FROM embeddings
 ), pairs AS (
   SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
@@ -205,17 +267,9 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(anorm AS DOUBLE)) * sqrt(CAST(cnorm AS DO
 )
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    bucket = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(8)),
-            lambda i: F.when(F.element_at("embedding", i) > 0, F.pow(F.lit(2), i - 1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    b = emb.select(
+        "vec_id", _quant("embedding").alias("qe"), _bucket_col(_quant("embedding")).alias("bucket")
     )
-    b = emb.select("vec_id", _quant("embedding").alias("qe"), bucket.alias("bucket"))
     a, c = b.alias("a"), b.alias("c")
     pairs = a.join(
         c,

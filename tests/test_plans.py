@@ -97,3 +97,14 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_fact_dim_broadcast_hints_bounded_dims_only(spark, sf_dir):
+    """Hard broadcast hints are reserved for dims bounded at every SF
+    (nation=25 rows, region=5). customer/supplier sizing is left to AQE —
+    a forced broadcast of a 15M-row customer table at sf100 is an
+    executor-OOM, while AQE still broadcasts it when genuinely small."""
+    for name, n_hints in (("nation_pair_revenue", 2), ("regional_supplier_volume", 2)):
+        df = QUERIES[name].spark(spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint (strategy=broadcast)") == n_hints, name
