@@ -58,3 +58,43 @@ def cobucketed_join(
     """Join two tables bucketed on the same keys/bucket-count: no Exchange
     on either side (verify with .explain)."""
     return spark.table(left_table).join(spark.table(right_table), list(keys), how)
+
+
+def bucketed_merge(
+    spark: SparkSession,
+    target_table: str,
+    out_table: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    hash_col: str = "row_hash",
+    n_buckets: int = DEFAULT_BUCKETS,
+    preserve_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Hash-guarded MERGE against a bucketed target with NO target-side
+    shuffle — the 100 TB daily-merge shape.
+
+    The full-outer join reuses the target's bucket layout (plain-equality
+    keys: a natural-key table has non-null keys by construction, and
+    null-safe equality would block bucket-scan reuse), so the ONLY Exchange
+    in the plan is the O(batch) shuffle of the source into the bucket hash.
+    The merged relation is written to ``out_table`` with the same bucketing
+    and returned; readers flip to it via a view/manifest pointer — a catalog
+    table cannot be overwritten while it is being read, and the metadata
+    flip keeps the swap atomic.
+
+    ``tests/test_plans.py::test_bucketed_merge_shuffles_batch_only`` freezes
+    the single-Exchange property.
+    """
+    from .merge import merge_as_dataframe
+
+    target = spark.table(target_table)
+    merged = merge_as_dataframe(
+        target,
+        source,
+        keys,
+        hash_col=hash_col,
+        preserve_cols=preserve_cols,
+        null_safe_keys=False,
+    )
+    write_bucketed(merged, out_table, keys, n_buckets=n_buckets)
+    return spark.table(out_table)

@@ -317,16 +317,26 @@ def merge_as_dataframe(
     keys: Sequence[str],
     hash_col: str = "row_hash",
     preserve_cols: Sequence[str] = (),
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Pure-DataFrame MERGE (no I/O): returns the post-merge relation.
 
     Used by the oracle-checked queries and anywhere the caller manages
     persistence itself. Same semantics as :func:`merge_upsert`.
+
+    ``null_safe_keys=False`` joins on plain equality instead of ``<=>``:
+    required to reuse a bucketed target's layout (null-safe equality blocks
+    bucket-scan reuse and forces a full re-shuffle of the target); only
+    correct when key columns are non-null by construction, which a
+    natural-key table guarantees.
     """
     keys = list(keys)
     t = target.alias("t")
     s = source.alias("s")
-    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    if null_safe_keys:
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    else:
+        cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
     joined = t.join(s, cond, "full_outer")
     t_present = F.col(f"t.{keys[0]}").isNotNull()
     s_present = F.col(f"s.{keys[0]}").isNotNull()

@@ -108,3 +108,52 @@ def test_fact_dim_broadcast_hints_bounded_dims_only(spark, sf_dir):
         df = QUERIES[name].spark(spark, sf_dir)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert analyzed.count("ResolvedHint (strategy=broadcast)") == n_hints, name
+
+
+def test_bucketed_merge_shuffles_batch_only(spark, tmp_path):
+    """The daily-merge scale shape: a full-outer MERGE against a bucketed
+    target must reuse the bucket layout (zero target-side Exchange); the one
+    remaining Exchange is the O(batch) shuffle of the source."""
+    import contextlib, io
+
+    from fund_data_pipeline_spark import bucketing
+    from fund_data_pipeline_spark.merge import merge_as_dataframe
+
+    t = (
+        spark.range(0, 10_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 2)
+        .withColumn("row_hash", F.md5(F.col("k").cast("string")))
+    )
+    src = (
+        spark.range(9_000, 11_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 3)
+        .withColumn("row_hash", F.md5((F.col("k") + 1).cast("string")))
+    )
+    import shutil
+    for name in ("bm_target", "bm_target_v2"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+    bucketing.write_bucketed(t, "bm_target", ["k"], n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = merge_as_dataframe(
+            spark.table("bm_target"), src, ["k"], null_safe_keys=False
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            merged.explain()  # simple mode: each node printed once
+        plan = buf.getvalue()
+        assert plan.count("Exchange") == 1, plan  # source side only
+        assert "Bucketed: true" in plan
+
+        out = bucketing.bucketed_merge(spark, "bm_target", "bm_target_v2", src, ["k"], n_buckets=4)
+        assert out.count() == 11_000
+        got = {r["k"]: r["v"] for r in out.filter(F.col("k").isin(0, 9_500, 10_500)).collect()}
+        assert got == {0: 0, 9_500: 28_500, 10_500: 31_500}  # keep / update / insert
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bm_target")
+        spark.sql("DROP TABLE IF EXISTS bm_target_v2")
