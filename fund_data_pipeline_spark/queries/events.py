@@ -84,27 +84,30 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization",
     doc="Session windows with a 30-minute inactivity gap per user: lag(ts) + "
     "cumulative gap-count defines session ids; the classic shuffle-once, "
-    "window-twice pattern (no driver loops).",
+    "window-twice pattern (no driver loops). All exchanged columns are exact "
+    "BIGINTs: gaps/epochs in integer microseconds (no truncation-vs-floor "
+    "asymmetry possible), session values in integer cents (no DOUBLE in the "
+    "output at all), session_seq cast from DuckDB's HUGEINT window-SUM.",
     oracle="""
 WITH base AS (
-  SELECT user_id, ts, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  SELECT user_id, ts, event_id, value, epoch_us(ts) AS ep_us
   FROM events
 ), gaps AS (
-  SELECT user_id, ts, event_id, value, ep,
-         CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > 1800 THEN 1 ELSE 0 END AS is_new_session
+  SELECT user_id, ts, event_id, value, ep_us,
+         CASE WHEN ep_us - LAG(ep_us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 THEN 1 ELSE 0 END AS is_new_session
   FROM base
 ), sessions AS (
-  SELECT user_id, event_id, value, ep,
+  SELECT user_id, event_id, value, ep_us,
          SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM gaps
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        COUNT(*) AS n_events,
-       MIN(ep) AS session_start_epoch,
-       MAX(ep) AS session_end_epoch,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+       MIN(ep_us) AS session_start_us,
+       MAX(ep_us) AS session_end_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS session_value_cents
 FROM sessions
 GROUP BY user_id, session_seq
 """,
@@ -113,15 +116,21 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts is TIMESTAMP_NTZ (nanos parquet read); with the session tz pinned to
+    # UTC (session.normalize_session) the cast is a pure reinterpretation, so
+    # unix_micros matches DuckDB's naive epoch_us exactly.
+    ep_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ep_us - F.lag(ep_us).over(w)
     with_session = ev.withColumn(
-        "is_new_session", F.when(gap > 30 * 60, F.lit(1)).otherwise(F.lit(0))
-    ).withColumn("session_seq", F.sum("is_new_session").over(frame))
+        "is_new_session", F.when(gap > 30 * 60 * 1_000_000, F.lit(1)).otherwise(F.lit(0))
+    ).withColumn("session_seq", F.sum("is_new_session").over(frame).cast("long"))
     return with_session.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(F.col("ts").cast("long")).alias("session_start_epoch"),
-        F.max(F.col("ts").cast("long")).alias("session_end_epoch"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        F.min(ep_us).alias("session_start_us"),
+        F.max(ep_us).alias("session_end_us"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("session_value_cents"),
     )
 
 
