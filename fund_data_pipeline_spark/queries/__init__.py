@@ -24,20 +24,23 @@ from . import mlops  # noqa: E402,F401
 #: oracle (CORRECTNESS_r01.json had exactly the first 50 entries). This list
 #: pins the window to one representative per distinct capability — every
 #: operator family from SURVEY §2 plus every LLM-pipeline/streaming/vector
-#: component gets a driver-checked row. Redundant family variants (e.g. the
-#: standalone INTERSECT and EXCEPT queries, whose ops are covered by
-#: buyer_set_ops) register after the window; they stay in the catalog and
-#: under scripts/verify_local.py + pytest.
+#: component gets a driver-checked row.
+#:
+#: Window policy (round-2 VERDICT rule): any query that has EVER failed a
+#: driver check stays in the window until it has a green driver row. Round 3
+#: therefore rotates in the four round-1 failures fixed in round 2 —
+#: ntile_quartiles, order_price_lead_lag, sliding_window_stats,
+#: latest_order_per_customer — and sessionization (red in r1+r2, reworked
+#: this round) stays in. Every query excluded from the window is listed in
+#: _OUT_OF_WINDOW below with its justification, still registered in the
+#: catalog, and still gated by scripts/verify_local.py + the
+#: tests/test_catalog_oracle.py full-catalog oracle run.
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
     # headline + relational/join/agg/window surface
     "pricing_summary",
     "top_unshipped_orders",
     "regional_supplier_volume",
-    "nation_pair_revenue",
-    "promo_revenue_share",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
     "group_count_breakdown",
     "cube_order_stats",
     "pivot_status_by_segment",
@@ -51,6 +54,12 @@ _CHECKED_FIRST = [
     "asof_last_click_before_purchase",
     "top_orders_per_customer",
     "running_revenue_by_supplier",
+    # round-1 driver failures, fixed in round 2 — each owes one green driver
+    # row before leaving the window (round-2 VERDICT "What's wrong" #2)
+    "ntile_quartiles",
+    "order_price_lead_lag",
+    "sliding_window_stats",
+    "latest_order_per_customer",
     # reference ETL parity (conform/parse/hash/dedup/validate/merge/lifecycle)
     "conform_master_list",
     "null_sentinel_cleanup",
@@ -88,6 +97,40 @@ _CHECKED_FIRST = [
 ]
 
 
+#: Every query excluded from the driver window, with its justification —
+#: structurally enforced by :func:`_pin_driver_window` (an undocumented
+#: exclusion is a hard error at import, so a failing query cannot be quietly
+#: parked past position 50). "driver-green rN" cites the CORRECTNESS round
+#: that checked the subsuming representative.
+_OUT_OF_WINDOW_WHY = {
+    # relational variants whose operator mix is covered by in-window reps
+    "nation_pair_revenue": "multi-join group-agg; same op mix as regional_supplier_volume (driver-green r1+r2)",
+    "promo_revenue_share": "scan-filter scalar agg; covered by pricing_summary (driver-green r1+r2)",
+    "top_supplier_revenue": "join + having-max; covered by regional_supplier_volume (driver-green r1+r2)",
+    "small_quantity_revenue": "scan-filter scalar agg; covered by pricing_summary (driver-green r1+r2)",
+    "distinct_counts": "COUNT DISTINCT covered by event_type_summary's n_users (in-window)",
+    "rollup_revenue": "ROLLUP covered by cube_order_stats (CUBE superset, driver-green r2)",
+    "grouping_sets_revenue": "GROUPING SETS covered by cube_order_stats (driver-green r2)",
+    "repeat_buyers_intersect": "INTERSECT covered by buyer_set_ops (driver-green r2)",
+    "churned_buyers_except": "EXCEPT covered by buyer_set_ops (driver-green r2)",
+    "priority_orders_exists": "EXISTS semi-join covered by active_customers_semi (driver-green r2)",
+    "price_quartiles_by_segment": "ntile family now represented in-window by ntile_quartiles itself",
+    "salted_join_revenue": "skew-salted variant of the plain grouped join; plain form in-window (group_count_breakdown)",
+    # text/vector/streaming variants with an in-window family representative
+    "quality_score": "doc scoring covered by doc_quality_profile (driver-green r2)",
+    "token_count_regex": "tokenization covered by text_statistics (driver-green r2)",
+    "doc_fingerprint": "rolling-hash fingerprint; hash family covered by row_hash_change_detection + simhash_near_dup",
+    "multimodal_binary_meta": "JVM-side binary metadata covered at driver in r2; slot ceded to ex-failing queries",
+    "embedding_lsh_buckets": "bucket assignment is a sub-step of embedding_ann_bucketed_topk (in-window)",
+    "embedding_topk_pandas": "same oracle as embedding_topk_cosine (in-window); exercises the Arrow kernel path",
+    "streaming_dedup_users": "streaming family represented by streaming_tumbling_counts (driver-green r2)",
+    "streaming_stateful_user_stats": "streaming family represented by streaming_tumbling_counts (driver-green r2)",
+    "stratified_hash_sample": "hash-split family covered by train_val_test_split (driver-green r2)",
+    "pii_scrub_stats": "regex scrub covered by text_statistics + master_validation_issues",
+    "image_decode_features": "decode output depends on Python-side codec, no SQL oracle; golden-value pytest instead",
+}
+
+
 def _pin_driver_window() -> None:
     missing = [n for n in _CHECKED_FIRST if n not in QUERIES]
     if missing:
@@ -95,6 +138,13 @@ def _pin_driver_window() -> None:
     if len(_CHECKED_FIRST) != DRIVER_WINDOW:
         raise RuntimeError(
             f"driver window holds {DRIVER_WINDOW} queries, got {len(_CHECKED_FIRST)}"
+        )
+    undocumented = [
+        n for n in QUERIES if n not in _CHECKED_FIRST and n not in _OUT_OF_WINDOW_WHY
+    ]
+    if undocumented:
+        raise RuntimeError(
+            f"queries excluded from the driver window without justification: {undocumented}"
         )
     head = {n: QUERIES[n] for n in _CHECKED_FIRST}
     tail = {n: s for n, s in QUERIES.items() if n not in head}
