@@ -116,10 +116,9 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # ts is TIMESTAMP_NTZ (nanos parquet read); with the session tz pinned to
-    # UTC (session.normalize_session) the cast is a pure reinterpretation, so
-    # unix_micros matches DuckDB's naive epoch_us exactly.
-    ep_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # ts arrives as TimestampType from table() (normalize_event_ts); under the
+    # UTC-pinned session unix_micros matches DuckDB's naive epoch_us exactly.
+    ep_us = F.unix_micros(F.col("ts"))
     gap = ep_us - F.lag(ep_us).over(w)
     with_session = ev.withColumn(
         "is_new_session", F.when(gap > 30 * 60 * 1_000_000, F.lit(1)).otherwise(F.lit(0))

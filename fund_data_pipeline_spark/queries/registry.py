@@ -31,17 +31,18 @@ def register(name: str, oracle: str | None = None, headline: bool = False, doc: 
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a fixture table. The session is normalized (UTC, nanosAsLong) via
+    """Read a fixture table. The session is normalized (UTC) via
     :func:`fund_data_pipeline_spark.session.normalize_session` — sessions from
     :func:`get_spark` are already normalized at build; for a harness-owned
     session this is the single defensive entry point, unconditional on every
-    call so read behavior never depends on table order."""
-    from ..session import normalize_session
+    call so read behavior never depends on table order. The events ``ts``
+    column is normalized to TimestampType structurally
+    (:func:`~fund_data_pipeline_spark.session.normalize_event_ts`) so every
+    downstream query sees one dtype regardless of Spark version."""
+    from ..session import normalize_event_ts, normalize_session
 
     normalize_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df

@@ -23,15 +23,47 @@ def normalize_session(spark: SparkSession) -> SparkSession:
 
     - UTC session time zone: timestamp<->date/string conversions match the
       DuckDB oracle (which is timezone-naive) and stay sane on a cluster
-      whose nodes disagree on local time.
-    - nanosAsLong: the events fixture stores TIMESTAMP(NANOS) parquet, which
-      Spark otherwise refuses; reads convert losslessly to TimestampType
-      (values are microsecond-resolution). Set unconditionally so behavior
-      never depends on which table was read first.
+      whose nodes disagree on local time. It also makes the NTZ->TIMESTAMP
+      cast in :func:`normalize_event_ts` a pure reinterpretation.
+
+    Timestamp reads are NOT handled by conf: on Spark 4.x the events
+    fixture's timestamp-without-timezone parquet reads as TIMESTAMP_NTZ and
+    the legacy ``spark.sql.legacy.parquet.nanosAsLong`` conf is silently
+    ignored (verified by direct probe on pyspark 4.1.2). Column types are
+    normalized structurally instead — see :func:`normalize_event_ts`, which
+    keys off the observed dtype rather than trusting any conf.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
+
+
+def normalize_event_ts(df, col: str = "ts"):
+    """Normalize an event-time column to session-local TimestampType.
+
+    The read-path dtype of the events fixture depends on the Spark version:
+
+    - Spark 4.x reads timestamp-without-timezone parquet as TIMESTAMP_NTZ.
+      With the session pinned to UTC (``normalize_session``), casting
+      NTZ -> TIMESTAMP is a pure reinterpretation (same wall-clock instant),
+      so downstream epoch math matches DuckDB's naive ``epoch()`` exactly.
+    - Spark 3.x with ``nanosAsLong`` reads TIMESTAMP(NANOS) as BIGINT
+      nanoseconds; converted losslessly (values are micro-resolution).
+
+    Keyed off the observed dtype, not a conf, so it cannot silently rot when
+    a legacy conf is dropped (exactly what happened to ``nanosAsLong`` on
+    pyspark 4.1.2 — VERDICT r3). Applied centrally by every events read path
+    (``queries.registry.table``, ``load_tables``,
+    ``streaming.streams.read_events_stream``); works on batch and streaming
+    DataFrames alike (``withWatermark`` requires TimestampType).
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def get_spark(app_name: str = "fund_data_pipeline_spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -81,6 +113,8 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None
     out = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = normalize_event_ts(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

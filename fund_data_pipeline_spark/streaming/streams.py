@@ -25,7 +25,6 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 _SINK_IDS = itertools.count()
 
@@ -33,12 +32,13 @@ _SINK_IDS = itertools.count()
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events landing zone.
 
-    The fixture stores ``ts`` as nanosecond parquet timestamps; like the
-    batch reader (queries.registry.table) we read them as longs and convert
-    losslessly to native microsecond timestamps.
+    ``ts`` is normalized to TimestampType exactly like the batch reader
+    (queries.registry.table): watermarks require TIMESTAMP, and on Spark 4.x
+    the fixture's timestamp-without-timezone parquet reads as TIMESTAMP_NTZ.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..session import normalize_event_ts, normalize_session
+
+    normalize_session(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sdf = (
         spark.readStream.schema(schema)
@@ -46,9 +46,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(sf_dir)
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return sdf
+    return normalize_event_ts(sdf)
 
 
 def run_to_memory(sdf: DataFrame, mode: str, shuffle_partitions: int | None = 8) -> DataFrame:
