@@ -20,13 +20,16 @@ and the hash-guarded merge on the other.
                      (.../03_detail_sync)
 - ``holdings``       holdings + allocations: substring/length guards ->
                      path-date -> dedup -> hash -> merge (.../04_holdings_sync)
+- ``repair``         failed-row repair feed (G2/U3): failed subset ->
+                     reprocess -> merge back with status='Repaired'
+                     (.../02_daily_performance/financial_times/03_ft_nav_repair.py)
 
 The whole reference pipeline (4 subprocess modules, CSV IR between every
 stage — main_pipeline.py:16-33) collapses into in-process lazy lineages:
 each flow is ~1-2 Spark jobs instead of dozens of file round-trips.
 """
 
-from . import daily_nav, dividends, holdings, master_sync, price_history, static_details
+from . import daily_nav, dividends, holdings, master_sync, price_history, repair, static_details
 
 __all__ = [
     "daily_nav",
@@ -34,5 +37,6 @@ __all__ = [
     "holdings",
     "master_sync",
     "price_history",
+    "repair",
     "static_details",
 ]

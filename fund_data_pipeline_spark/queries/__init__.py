@@ -109,6 +109,7 @@ _OUT_OF_WINDOW_WHY = {
     "promo_revenue_share": "scan-filter scalar agg; covered by pricing_summary (driver-green r2+r3; r1 hash mismatch, fixed in r2)",
     "top_supplier_revenue": "join + having-max; covered by regional_supplier_volume (driver-green r2+r3)",
     "small_quantity_revenue": "scan-filter scalar agg; covered by pricing_summary (driver-green r2+r3)",
+    "repair_feed_merge": "new r4 operator (G2/U3); merge family represented in-window by hash_guarded_merge (driver-green r2+r3), and the r3 failures hold their window slots until driver-green",
     "distinct_counts": "COUNT DISTINCT covered by event_type_summary's n_users (in-window)",
     "rollup_revenue": "ROLLUP covered by cube_order_stats (CUBE superset, driver-green r2)",
     "grouping_sets_revenue": "GROUPING SETS covered by cube_order_stats (driver-green r2)",

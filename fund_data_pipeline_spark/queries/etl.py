@@ -442,6 +442,82 @@ def hash_guarded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repair_feed_merge",
+    doc="G2/U3: failed-row repair feed (03_ft_nav_repair.py:39-54,92-101) — "
+    "rows whose status is not terminal are re-fed, recomputed from the "
+    "source-of-truth price feed, stamped 'Repaired', and merged back; "
+    "successful rows pass through untouched and unrepairable rows keep "
+    "their failed status.",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS true_price FROM orders
+), target AS (
+  SELECT key,
+         CASE WHEN key % 7 = 0 THEN NULL ELSE true_price END AS price,
+         CASE WHEN key % 7 = 0 THEN 'Error'
+              WHEN key % 13 = 0 THEN NULL
+              ELSE 'Success' END AS status
+  FROM base
+), repaired AS (
+  SELECT t.key, b.true_price AS price, 'Repaired' AS status
+  FROM target t JOIN base b ON t.key = b.key AND b.key % 7 = 0
+  WHERE t.status IS NULL OR t.status NOT IN ('Success', 'Repaired')
+)
+SELECT t.key,
+       COALESCE(r.status, t.status) AS status,
+       CAST(COALESCE(r.price, t.price) AS DOUBLE) AS price
+FROM target t LEFT JOIN repaired r ON t.key = r.key
+""",
+)
+def repair_feed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-DataFrame form of pipelines.repair.repair_feed (the I/O-bearing
+    operator is exercised by tests/test_pipelines.py over a real merge table;
+    this entry puts the failed-subset -> reprocess -> merge semantics under
+    the value-hash oracle)."""
+    from ..pipelines.repair import failed_subset
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("true_price"),
+    )
+    # synthetic daily result: every 7th key failed its scrape (null price),
+    # every 13th got no verdict; the corrected feed covers only the scrape
+    # errors, so no-verdict rows stay unrepaired (reference: return None)
+    target = base.select(
+        "key",
+        F.when(F.col("key") % 7 == 0, F.lit(None).cast("decimal(18,2)"))
+        .otherwise(F.col("true_price"))
+        .alias("price"),
+        F.when(F.col("key") % 7 == 0, F.lit("Error"))
+        .when(F.col("key") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("Success"))
+        .alias("status"),
+    )
+    failed = failed_subset(target, "status", ("Success", "Repaired"))
+    fixes = base.filter(F.col("key") % 7 == 0)
+    repaired = (
+        failed.select("key")
+        .join(fixes, "key")
+        .select("key", F.col("true_price").alias("price"), F.lit("Repaired").alias("status"))
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "row_hash",
+            F.md5(
+                F.concat(
+                    F.coalesce(F.col("status"), F.lit("")),
+                    F.coalesce(F.col("price").cast("string"), F.lit("")),
+                )
+            ),
+        )
+
+    merged = merge_as_dataframe(hashed(target), hashed(repaired), keys=["key"])
+    return merged.select("key", "status", F.col("price").cast("double").alias("price"))
+
+
+@register(
     "lifecycle_status_transitions",
     doc="L1-L5: first/last_seen from order history, then the status machine "
     "(new->active on real name, active->inactive past the 7-day grace).",

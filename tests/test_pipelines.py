@@ -342,3 +342,66 @@ def test_compact_partition(spark, tmp_path):
     assert n_files == 1  # tiny table -> single target-sized file
     assert len(list(pathlib.Path(path).rglob("*.parquet"))) == 1
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+
+
+# --------------------------------------------------------------- repair feed
+
+
+def test_repair_feed_merges_repaired_rows(spark, tmp_path):
+    from fund_data_pipeline_spark.pipelines import repair
+
+    target = str(tmp_path / "nav_results")
+    log = str(tmp_path / "repair_log")
+    rows = [
+        ("AAA", 10.0, "Success"),
+        ("BBB", None, "Error"),
+        ("CCC", 0.0, "Failed"),
+        ("DDD", None, None),  # no verdict at all -> must be retried
+    ]
+    day = spark.createDataFrame(rows, "ticker string, nav_price double, status string")
+    day = day.withColumn("row_hash", F.md5(F.concat_ws("|", "ticker", F.col("nav_price").cast("string"))))
+    merge.merge_upsert(spark, target, day, keys=["ticker"])
+
+    # corrected feed knows BBB and CCC; DDD stays unrepairable
+    fixes = spark.createDataFrame([("BBB", 20.0), ("CCC", 30.0)], "ticker string, nav_price double")
+
+    def reprocess(failed):
+        fixed = failed.select("ticker").join(fixes, "ticker")
+        return fixed.withColumn(
+            "row_hash", F.md5(F.concat_ws("|", "ticker", F.col("nav_price").cast("string")))
+        )
+
+    stats = repair.repair_feed(
+        spark, target, reprocess, keys=["ticker"], repair_log_path=log, collect_stats=True
+    )
+    assert (stats.n_failed, stats.n_repaired) == (3, 2)
+    assert (stats.merge.inserted, stats.merge.updated, stats.merge.unchanged) == (0, 2, 2)
+
+    after = {r.ticker: r for r in spark.read.parquet(target).collect()}
+    assert after["AAA"].status == "Success" and after["AAA"].nav_price == 10.0
+    assert after["BBB"].status == "Repaired" and after["BBB"].nav_price == 20.0
+    assert after["CCC"].status == "Repaired" and after["CCC"].nav_price == 30.0
+    assert after["DDD"].status is None and after["DDD"].nav_price is None  # untouched
+
+    logged = {r.ticker: r for r in spark.read.parquet(log).collect()}
+    assert set(logged) == {"BBB", "CCC"} and all(r.status == "Repaired" for r in logged.values())
+
+    # perfect-run path: repairing again finds the 1 still-unverdicted row,
+    # reprocess can't fix it, merge is a no-op on values
+    stats2 = repair.repair_feed(spark, target, reprocess, keys=["ticker"], collect_stats=True)
+    assert (stats2.n_failed, stats2.n_repaired) == (1, 0)
+
+
+def test_failed_subset_fallback_predicate(spark):
+    from fund_data_pipeline_spark.pipelines import repair
+
+    df = spark.createDataFrame(
+        [("AAA", 10.0), ("BBB", None), ("CCC", 0.0)], "ticker string, nav_price double"
+    )
+    # no status column: the reference's null-or-zero nav fallback (:49-50)
+    failed = repair.failed_subset(
+        df, fallback_predicate=F.col("nav_price").isNull() | (F.col("nav_price") == 0)
+    )
+    assert {r.ticker for r in failed.collect()} == {"BBB", "CCC"}
+    with pytest.raises(ValueError):
+        repair.failed_subset(df.select("ticker"))
