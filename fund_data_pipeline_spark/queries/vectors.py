@@ -20,11 +20,30 @@ from .registry import QUERIES, register, table
 
 _QUERY_VEC_ID = 0
 
-#: hyperplane-LSH bucket width. 8 bits/256 buckets is demo scale — at real
-#: corpus sizes raise this (buckets ~ corpus_size / desired_bucket_rows);
-#: every expression below, multi-probe included, is parameterized on it.
+#: Default hyperplane-LSH bucket width used by the REGISTERED catalog
+#: queries (their oracles are generated at this width). 8 bits/256 buckets
+#: fits the sf fixtures; the library entry points
+#: (:func:`ann_bucketed_topk`, :func:`cosine_near_dup`) take ``n_bits`` per
+#: call — size it with :func:`lsh_bits_for_corpus` at real corpus sizes.
 N_LSH_BITS = 8
 EMB_DIM = 64
+
+
+def lsh_bits_for_corpus(n_rows: int, target_bucket_rows: int = 1024) -> int:
+    """Bucket width for a corpus: ``bits ~ log2(n_rows / target_bucket_rows)``.
+
+    Keeps the expected bucket population near ``target_bucket_rows`` so the
+    within-bucket work (a quadratic self-join for near-dup, a linear scan
+    for top-k probes) stays constant as the corpus grows — the knob that
+    turns the sf-fixture demo into the 100 TB plan. Clamped to [4, 30]
+    (bucket ids are bigint bit-vectors; >30 planes adds discrimination the
+    64-dim quantized projections can't deliver).
+    """
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return 4
+    return max(4, min(30, round(math.log2(n_rows / target_bucket_rows))))
 
 # Deterministic ±1 hyperplane matrix: h(i, j) = +1 iff (i*A + j*B) % M < T.
 # Pure integer arithmetic, so BOTH engines build the identical matrix with
@@ -198,14 +217,28 @@ LIMIT 10
 """,
 )
 def embedding_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_bucketed_topk(spark, sf_dir)
+
+
+def ann_bucketed_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_bits: int = N_LSH_BITS,
+    k: int = 10,
+    query_vec_id: int = _QUERY_VEC_ID,
+) -> DataFrame:
+    """Multi-probe LSH top-k, parameterized on bucket width: ``n_bits``
+    planes give 2**n_bits buckets and n_bits+1 probes (own bucket + every
+    Hamming-1 neighbor). Size via :func:`lsh_bits_for_corpus`."""
     emb = table(spark, sf_dir, "embeddings")
     b = emb.select(
         "vec_id",
         "label",
         _quant("embedding").alias("qe"),
-        _bucket_col(_quant("embedding")).alias("bucket"),
+        _bucket_col(_quant("embedding"), n_bits).alias("bucket"),
     )
-    q = b.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+    q = b.filter(F.col("vec_id") == query_vec_id).select(
         F.col("qe").alias("query_qe"), F.col("bucket").alias("query_bucket")
     )
     # multi-probe: the query's own bucket + every bucket one bit-flip away
@@ -216,13 +249,13 @@ def embedding_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("query_bucket"),
                 *[
                     F.col("query_bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                    for i in range(N_LSH_BITS)
+                    for i in range(n_bits)
                 ],
             )
         ).alias("probe_bucket"),
     )
     scored = (
-        b.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        b.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
         .select(
             "vec_id",
@@ -238,7 +271,7 @@ def embedding_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("vec_id", "label", cosine.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(10)
+        .limit(k)
     )
 
 
@@ -266,9 +299,25 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(anorm AS DOUBLE)) * sqrt(CAST(cnorm AS DO
 """,
 )
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_near_dup(spark, sf_dir)
+
+
+def cosine_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_bits: int = N_LSH_BITS,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Bucketed cosine near-dup, parameterized on bucket width: expected
+    within-bucket pair count is ~(N/2**n_bits)**2 per bucket, so raise
+    ``n_bits`` with corpus size (:func:`lsh_bits_for_corpus`) to keep the
+    self-join local and bounded."""
     emb = table(spark, sf_dir, "embeddings")
     b = emb.select(
-        "vec_id", _quant("embedding").alias("qe"), _bucket_col(_quant("embedding")).alias("bucket")
+        "vec_id",
+        _quant("embedding").alias("qe"),
+        _bucket_col(_quant("embedding"), n_bits).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("c")
     pairs = a.join(
@@ -284,7 +333,9 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = F.col("dot").cast("double") / (
         F.sqrt(F.col("anorm").cast("double")) * F.sqrt(F.col("cnorm").cast("double"))
     )
-    return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(F.col("cosine") >= 0.35)
+    return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
 
 
 @register(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from fund_data_pipeline_spark.operators import multimodal, sampling
@@ -162,8 +163,11 @@ def test_topk_cosine_partial_topk_bounds_rows(spark):
     assert out.count() == 3
 
 
-def test_ann_multiprobe_recall_on_planted_neighbors(spark, tmp_path):
-    """Multi-probe hyperplane-LSH must recover genuinely-near neighbors.
+@pytest.mark.parametrize("n_bits", [8, 12])
+def test_ann_multiprobe_recall_on_planted_neighbors(spark, tmp_path, n_bits):
+    """Multi-probe hyperplane-LSH must recover genuinely-near neighbors —
+    at the default bucket width AND a wider one (recall comes from near-dups
+    agreeing with the query on every plane, so it must survive more planes).
 
     The sf fixtures' embeddings are near-uniform (top-10 cosines ~0.3), where
     NO sublinear method has high recall, so recall is asserted on planted
@@ -171,7 +175,7 @@ def test_ann_multiprobe_recall_on_planted_neighbors(spark, tmp_path):
     """
     import numpy as np
 
-    from fund_data_pipeline_spark.queries import QUERIES
+    from fund_data_pipeline_spark.queries.vectors import ann_bucketed_topk
 
     rng = np.random.default_rng(7)
     base = rng.normal(size=(200, 64))
@@ -184,7 +188,16 @@ def test_ann_multiprobe_recall_on_planted_neighbors(spark, tmp_path):
     df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
     df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
 
-    ann = QUERIES["embedding_ann_bucketed_topk"].spark(spark, str(tmp_path)).collect()
+    ann = ann_bucketed_topk(spark, str(tmp_path), n_bits=n_bits).collect()
     got = {r["vec_id"] for r in ann}
     n_found = len(got & set(range(1000, 1010)))
-    assert n_found >= 8, f"multi-probe ANN found only {n_found}/10 planted near-dups"
+    assert n_found >= 8, f"{n_bits}-bit multi-probe ANN found only {n_found}/10 planted near-dups"
+
+
+def test_lsh_bits_for_corpus_heuristic():
+    from fund_data_pipeline_spark.queries.vectors import lsh_bits_for_corpus
+
+    assert lsh_bits_for_corpus(500) == 4  # tiny corpus: floor
+    assert lsh_bits_for_corpus(1024 * 256) == 8  # fixture-ish: default width
+    assert lsh_bits_for_corpus(10**9) == 20  # 1B vectors: ~1k/bucket
+    assert lsh_bits_for_corpus(10**15) == 30  # ceiling clamp
