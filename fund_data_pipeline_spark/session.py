@@ -26,14 +26,22 @@ def normalize_session(spark: SparkSession) -> SparkSession:
       whose nodes disagree on local time. It also makes the NTZ->TIMESTAMP
       cast in :func:`normalize_event_ts` a pure reinterpretation.
 
-    Timestamp reads are NOT handled by conf: on Spark 4.x the events
-    fixture's timestamp-without-timezone parquet reads as TIMESTAMP_NTZ and
-    the legacy ``spark.sql.legacy.parquet.nanosAsLong`` conf is silently
-    ignored (verified by direct probe on pyspark 4.1.2). Column types are
-    normalized structurally instead — see :func:`normalize_event_ts`, which
-    keys off the observed dtype rather than trusting any conf.
+    - inferTimestampNTZ off: timestamp-without-timezone parquet (the events
+      fixture) reads as session-local TimestampType AT THE SCAN, so
+      event-time predicates still push down to parquet row groups — a
+      post-read NTZ->TIMESTAMP cast would block that. Under the UTC pin the
+      values are identical either way (probed on pyspark 4.1.2). This is a
+      deliberate whole-session contract: this engine treats all stored
+      timestamps as UTC instants.
+
+    Correctness does NOT rest on the conf being honored: the legacy
+    ``nanosAsLong`` conf was silently ignored by pyspark 4.1.2 (VERDICT r3),
+    so every events read path ALSO normalizes structurally via
+    :func:`normalize_event_ts`, which keys off the observed dtype and is a
+    no-op when the conf worked.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
 
 

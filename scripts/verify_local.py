@@ -28,6 +28,11 @@ def main() -> int:
     from fund_data_pipeline_spark.oracle import compare_query, duckdb_connect
     from fund_data_pipeline_spark.session import get_spark
 
+    unknown = only - set(Q.QUERIES)
+    if unknown:
+        print(f"unknown queries: {' '.join(sorted(unknown))}")
+        return 2
+
     spark = get_spark("verify_local")
     con = duckdb_connect(sf_dir)
 
