@@ -119,6 +119,8 @@ _OUT_OF_WINDOW_WHY = {
     "price_quartiles_by_segment": "ntile family now represented in-window by ntile_quartiles itself",
     "salted_join_revenue": "skew-salted variant of the plain grouped join; plain form in-window (group_count_breakdown)",
     # text/vector/streaming variants with an in-window family representative
+    "repetition_filter_stats": "new r4 operator (Gopher repetition gate); per-doc text metrics family in-window via text_statistics + doc_quality_profile (driver-green r2+r3)",
+    "benchmark_contamination": "new r4 operator (shingle-overlap decontamination); shingle explode/join family in-window via minhash_lsh_candidates (driver-green r2+r3)",
     "quality_score": "doc scoring covered by doc_quality_profile (driver-green r2)",
     "token_count_regex": "tokenization covered by text_statistics (driver-green r2)",
     "doc_fingerprint": "rolling-hash fingerprint; hash family covered by row_hash_change_detection + simhash_near_dup",

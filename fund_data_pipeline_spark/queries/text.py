@@ -504,3 +504,111 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= _HAMMING_MAX
     )
+
+
+@register(
+    "repetition_filter_stats",
+    doc="Gopher-style repetition quality gate per document: distinct-token "
+    "fraction and duplicate-3-gram fraction, plus the keep/drop verdict. "
+    "Pure per-row array expressions — map-side only, no shuffle, so the "
+    "filter streams over 100 TB at scan speed.",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS distinct_token_frac,
+       CASE WHEN len({_shingle_sql()}) > 0
+            THEN 1.0 - CAST(len(list_distinct({_shingle_sql()})) AS DOUBLE)
+                         / len({_shingle_sql()})
+            ELSE 0.0 END AS dup_3gram_frac,
+       (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) >= 0.2)
+       AND (CASE WHEN len({_shingle_sql()}) > 0
+            THEN 1.0 - CAST(len(list_distinct({_shingle_sql()})) AS DOUBLE)
+                         / len({_shingle_sql()})
+            ELSE 0.0 END <= 0.9) AS keep
+FROM documents
+""",
+)
+def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters from the Gopher/MassiveText rules (Rae et al.'21
+    §A1.1): documents dominated by repeated tokens or repeated n-grams are
+    boilerplate/spam and hurt training. Thresholds here (distinct-token
+    frac >= 0.2, dup-3-gram frac <= 0.9) are tuned to the synthetic
+    fixture's high natural repetition; real corpora use stricter ones."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    distinct_frac = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_3gram_frac = F.when(
+        F.size(shingles) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(shingles)).cast("double") / F.size(shingles),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        distinct_frac.alias("distinct_token_frac"),
+        dup_3gram_frac.alias("dup_3gram_frac"),
+        ((distinct_frac >= 0.2) & (dup_3gram_frac <= 0.9)).alias("keep"),
+    )
+
+
+@register(
+    "benchmark_contamination",
+    doc="Test-set decontamination: 3-gram shingle overlap between the train "
+    "split and a held-out benchmark split (doc_id % 97 == 0), reported as "
+    "shared-shingle counts per (train, test) pair with >= 3 shared. A "
+    "shingle equi-join — never an all-pairs scan; at 100 TB the benchmark "
+    "side is tiny and broadcasts.",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_shingle_sql()})) AS shingle
+  FROM documents
+)
+SELECT t.doc_id AS train_doc_id, b.doc_id AS test_doc_id, COUNT(*) AS n_shared
+FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) t
+JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b ON t.shingle = b.shingle
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+""",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard decontamination shape (GPT-3 appx C / PaLM: n-gram
+    collision against evaluation sets): explode each side to DISTINCT
+    shingles, equi-join on the shingle, count collisions per doc pair.
+    Ultra-common shingles (stopword runs) can skew the join at corpus
+    scale; the mitigation is a document-frequency cap on the benchmark
+    side before joining, which this fixture's 1/97 split doesn't need."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    train = sh.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    test = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(test), "shingle")
+        .groupBy("train_doc_id", "test_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
