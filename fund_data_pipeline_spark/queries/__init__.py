@@ -127,6 +127,7 @@ _OUT_OF_WINDOW_WHY = {
     "multimodal_binary_meta": "JVM-side binary metadata covered at driver in r2; slot ceded to ex-failing queries",
     "embedding_lsh_buckets": "bucket assignment is a sub-step of embedding_ann_bucketed_topk (in-window)",
     "embedding_topk_pandas": "same oracle as embedding_topk_cosine (in-window); exercises the Arrow kernel path",
+    "streaming_session_counts": "new r4 operator (native session_window); streaming family in-window via streaming_tumbling_counts, session semantics in-window via sessionization (driver-green r3)",
     "streaming_dedup_users": "streaming family represented by streaming_tumbling_counts (driver-green r2)",
     "streaming_stateful_user_stats": "streaming family represented by streaming_tumbling_counts (driver-green r2)",
     "stratified_hash_sample": "hash-split family covered by train_val_test_split (driver-green r2)",

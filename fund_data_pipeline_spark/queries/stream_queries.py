@@ -123,3 +123,61 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("n_events").alias("n_events"),
         F.max_by("value_q_sum", "n_events").alias("value_q_sum"),
     )
+
+
+@register(
+    "streaming_session_counts",
+    doc="Native session windows (session_window, 30-minute gap) per user on "
+    "the streaming path, drained with availableNow in complete mode — the "
+    "operator-native form of the batch sessionization query (which builds "
+    "sessions from lag+cumsum). Same sessions, same exact-integer outputs.",
+    oracle="""
+WITH base AS (
+  SELECT user_id, ts, event_id, value, epoch_us(ts) AS ep_us
+  FROM events
+), gaps AS (
+  SELECT user_id, ts, event_id, value, ep_us,
+         CASE WHEN ep_us - LAG(ep_us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 THEN 1 ELSE 0 END AS is_new_session
+  FROM base
+), sessions AS (
+  SELECT user_id, event_id, value, ep_us,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(ep_us) AS session_start_us,
+       MAX(ep_us) AS session_end_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS session_value_cents
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session semantics parity note: Spark merges an event into a session
+    while its time is STRICTLY inside (start, last+gap), i.e. an event
+    exactly gap-after the previous one starts a new session — matching the
+    oracle's ``gap > 30min -> new session`` via the shared half-open
+    boundary. session_window.end is last_event + gap, so the oracle's
+    MAX(ep_us) is recovered as end - gap."""
+    ev = read_events_stream(spark, sf_dir)
+    gap_us = 30 * 60 * 1_000_000
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("session_value_cents"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("w.end")) - F.lit(gap_us)).alias("session_end_us"),
+            "session_value_cents",
+        )
+    )
+    return run_to_memory(agg, "complete")

@@ -157,3 +157,19 @@ def test_bucketed_merge_shuffles_batch_only(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bm_target")
         spark.sql("DROP TABLE IF EXISTS bm_target_v2")
+
+
+def test_event_ts_predicates_push_to_scan(spark, sf_dir):
+    """Event-time filters must reach the parquet scan. This is exactly what
+    the scan-level timestamp read buys (inferTimestampNTZ off in
+    normalize_session): a post-read NTZ->TIMESTAMP cast would strip the
+    pushdown, turning every time-range query into a full scan at 100 TB."""
+    from fund_data_pipeline_spark.queries.registry import table
+
+    ev = table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ev.filter(F.col("ts") >= "2024-01-02").explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(ts" in plan, plan
