@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -97,7 +98,7 @@ def main() -> None:
     # showed 1.5x jitter between identical runs (r2) and a uniform +27%
     # drift (r3) — without spread, those are indistinguishable from
     # regressions.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
     for name in names:
@@ -113,7 +114,7 @@ def main() -> None:
             timings[name] = round(runs[0], 3)
             stats[name] = {
                 "min": round(runs[0], 3),
-                "median": round(runs[len(runs) // 2], 3),
+                "median": round(statistics.median(runs), 3),
                 "max": round(runs[-1], 3),
             }
         except Exception as e:  # a broken query should show up, not crash bench

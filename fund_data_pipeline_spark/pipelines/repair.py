@@ -98,18 +98,26 @@ def repair_feed(
        repaired batch is also appended there (the ft_repair_log.csv analog,
        as parquet).
 
-    The repaired batch is pinned with an eager ``localCheckpoint`` before
-    the merge: its lineage reads the very files the merge is about to swap
-    out, so the lineage is truncated rather than trusted to never recompute
+    Status-less targets (the ``fallback_predicate`` path): the merge keeps
+    the target's own columns, so the stamp survives only in the repair log
+    — exactly the reference's behavior (03_ft_nav_repair.py:129-133 drops
+    ``status`` before the DB insert and keeps it in ft_repair_log.csv).
+
+    The failed subset is pinned with an eager ``localCheckpoint`` up front:
+    one scan of the target serves the count, the reprocess input, and the
+    log write — and because the merge rewrites the very files this lineage
+    read, the lineage is truncated rather than trusted to never recompute
     mid-swap. Checkpoint size is the failed subset, not the table.
     """
     current = read_table(spark, target_path)
     failed = failed_subset(
         current, status_col, (success_value, repaired_value), fallback_predicate
-    )
+    ).localCheckpoint(eager=True)
     n_failed = failed.count()
     if n_failed == 0:
         return RepairStats(0, 0, None)
+    # pinned too: the reprocess step (often a re-fetch or an expensive join)
+    # feeds the count, the log write, and the merge — compute it once
     repaired = (
         reprocess(failed)
         .withColumn(status_col, F.lit(repaired_value))

@@ -156,12 +156,14 @@ GROUP BY user_id, session_seq
 """,
 )
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session semantics parity note: Spark merges an event into a session
-    while its time is STRICTLY inside (start, last+gap), i.e. an event
-    exactly gap-after the previous one starts a new session — matching the
-    oracle's ``gap > 30min -> new session`` via the shared half-open
-    boundary. session_window.end is last_event + gap, so the oracle's
-    MAX(ep_us) is recovered as end - gap."""
+    """Session semantics parity note: Spark MERGES an event that lands
+    exactly gap-after the previous one into the same session (verified
+    empirically on session_window), and the oracle's ``gap > 30min -> new
+    session`` likewise keeps an exact-gap event in the current session —
+    both treat the boundary inclusively, so the session sets agree.
+    (Tightening the oracle to ``>=`` WOULD diverge on exact-gap fixtures.)
+    session_window.end is last_event + gap, so the oracle's MAX(ep_us) is
+    recovered as end - gap."""
     ev = read_events_stream(spark, sf_dir)
     gap_us = 30 * 60 * 1_000_000
     agg = (

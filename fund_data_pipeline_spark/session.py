@@ -54,8 +54,11 @@ def normalize_event_ts(df, col: str = "ts"):
       With the session pinned to UTC (``normalize_session``), casting
       NTZ -> TIMESTAMP is a pure reinterpretation (same wall-clock instant),
       so downstream epoch math matches DuckDB's naive ``epoch()`` exactly.
-    - Spark 3.x with ``nanosAsLong`` reads TIMESTAMP(NANOS) as BIGINT
-      nanoseconds; converted losslessly (values are micro-resolution).
+    - A BIGINT read is interpreted as integer nanoseconds and converted
+      losslessly (values are micro-resolution). Nothing in this engine sets
+      the legacy ``nanosAsLong`` conf anymore (pyspark 4.1.2 ignores it),
+      but a harness-owned session configured that way elsewhere still
+      normalizes correctly through this branch.
 
     Keyed off the observed dtype, not a conf, so it cannot silently rot when
     a legacy conf is dropped (exactly what happened to ``nanosAsLong`` on
@@ -105,7 +108,14 @@ def get_spark(app_name: str = "fund_data_pipeline_spark", shuffle_partitions: in
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None) -> dict:
-    """Read the fixture star schema from ``sf_dir`` and register temp views."""
+    """Read the fixture star schema from ``sf_dir`` and register temp views.
+
+    Normalizes the session first (UTC pin + scan-level timestamp reads):
+    this entry point takes arbitrary sessions, and without the pin the
+    NTZ->TIMESTAMP normalization of events.ts would reinterpret wall-clock
+    time in whatever zone the harness session happened to carry.
+    """
+    normalize_session(spark)
     names = tables or (
         "region",
         "nation",

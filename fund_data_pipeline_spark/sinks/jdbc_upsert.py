@@ -45,7 +45,9 @@ def upsert_sql(
     dialect: str = "postgresql",
 ) -> str:
     """The reference's ON CONFLICT statement for ``dialect``, parameterized
-    with qmark placeholders (DBAPI ``executemany`` style).
+    in the dialect's native DBAPI paramstyle: ``%s`` (format) for
+    postgresql — what psycopg2/psycopg3/pg8000 actually accept — and ``?``
+    (qmark) for sqlite.
 
     ``hash_col=None`` drops the guard (the reference's stg_daily_nav path,
     which has no row_hash — SURVEY §1.4); otherwise the UPDATE fires only
@@ -61,13 +63,15 @@ def upsert_sql(
         raise ValueError("no updatable columns: everything is a key or skipped")
     if dialect == "postgresql":
         distinct = f"{table}.{hash_col} IS DISTINCT FROM excluded.{hash_col}"
+        placeholder = "%s"
     elif dialect == "sqlite":
         distinct = f"{table}.{hash_col} IS NOT excluded.{hash_col}"
+        placeholder = "?"
     else:
         raise ValueError(f"unknown dialect {dialect!r}; use 'postgresql' or 'sqlite'")
     sql = (
         f"INSERT INTO {table} ({', '.join(cols)}) "
-        f"VALUES ({', '.join('?' for _ in cols)}) "
+        f"VALUES ({', '.join(placeholder for _ in cols)}) "
         f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET "
         + ", ".join(f"{c} = excluded.{c}" for c in set_cols)
     )

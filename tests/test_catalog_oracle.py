@@ -11,7 +11,8 @@ out-of-window queries (``queries/__init__._OUT_OF_WINDOW_WHY``) are gated by
 ``pytest tests/`` — environment shifts like the pyspark 4.1.2 TIMESTAMP_NTZ
 read change (VERDICT r3) fail here, in-round, not at the driver.
 
-Runs at sf0.001 (~2 min for 73 queries, dominated by streaming drains).
+Runs at sf0.001 (a couple of minutes for the full catalog, dominated by
+streaming drains).
 """
 
 from __future__ import annotations

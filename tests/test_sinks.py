@@ -22,7 +22,7 @@ def test_upsert_sql_postgres_matches_reference_shape():
     )
     assert sql == (
         "INSERT INTO stg_daily_nav (ticker, as_of_date, nav_price, updated_at, row_hash) "
-        "VALUES (?, ?, ?, ?, ?) "
+        "VALUES (%s, %s, %s, %s, %s) "
         "ON CONFLICT (ticker, as_of_date) DO UPDATE SET "
         "nav_price = excluded.nav_price, row_hash = excluded.row_hash "
         "WHERE stg_daily_nav.row_hash IS DISTINCT FROM excluded.row_hash"
