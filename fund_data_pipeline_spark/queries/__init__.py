@@ -125,6 +125,7 @@ _OUT_OF_WINDOW_WHY = {
     "token_count_regex": "tokenization covered by text_statistics (driver-green r2)",
     "doc_fingerprint": "rolling-hash fingerprint; hash family covered by row_hash_change_detection + simhash_near_dup",
     "multimodal_binary_meta": "JVM-side binary metadata covered at driver in r2; slot ceded to ex-failing queries",
+    "embedding_ivf_topk": "new r4 operator (IVF coarse-quantizer ANN); ANN family in-window via embedding_ann_bucketed_topk (driver-green r2+r3)",
     "embedding_lsh_buckets": "bucket assignment is a sub-step of embedding_ann_bucketed_topk (in-window)",
     "embedding_topk_pandas": "same oracle as embedding_topk_cosine (in-window); exercises the Arrow kernel path",
     "streaming_session_counts": "new r4 operator (native session_window); streaming family in-window via streaming_tumbling_counts, session semantics in-window via sessionization (driver-green r3)",

@@ -352,3 +352,137 @@ def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()["embedding"]
     return topk_cosine(emb, qvec, k=20, exclude_vec_id=_QUERY_VEC_ID)
+
+
+#: IVF defaults for the registered query (oracle generated at these values)
+N_IVF_CELLS = 16
+N_IVF_PROBE = 2
+
+
+@register(
+    "embedding_ivf_topk",
+    doc=f"IVF-style ANN: coarse quantization to {N_IVF_CELLS} deterministic "
+    f"centroid cells (the first {N_IVF_CELLS} vectors), nprobe={N_IVF_PROBE} "
+    "cell search, exact integer cosine re-rank. Cell assignment is a pure "
+    "map-side argmin against centroid literals — the whole plan is "
+    "scan -> filter(cell) -> TakeOrderedAndProject, zero shuffles.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, {_Q} AS qe FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id < {N_IVF_CELLS}
+), d AS (
+  SELECT e.vec_id, e.label, e.qe, c.cid,
+         list_sum(list_transform(e.qe, x -> x * x))
+           - 2 * list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> e.qe[i] * c.ce[i]))
+           + list_sum(list_transform(c.ce, x -> x * x)) AS dist
+  FROM e CROSS JOIN c
+), a AS (
+  SELECT vec_id, label, qe, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+), cells AS (
+  SELECT vec_id, label, qe, cid AS cell FROM a WHERE rn = 1
+), probes AS (
+  SELECT cid AS probe_cell FROM a WHERE vec_id = {_QUERY_VEC_ID} AND rn <= {N_IVF_PROBE}
+), q AS (
+  SELECT qe AS query_qe FROM e WHERE vec_id = {_QUERY_VEC_ID}
+), scored AS (
+  SELECT s.vec_id, s.label,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> q.query_qe[i] * s.qe[i])) AS dot,
+         list_sum(list_transform(q.query_qe, x -> x * x)) AS qnorm,
+         list_sum(list_transform(s.qe, x -> x * x)) AS enorm
+  FROM cells s CROSS JOIN q
+  WHERE s.cell IN (SELECT probe_cell FROM probes) AND s.vec_id <> {_QUERY_VEC_ID}
+)
+SELECT vec_id, label,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(enorm AS DOUBLE))) AS cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(spark, sf_dir)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_cells: int = N_IVF_CELLS,
+    nprobe: int = N_IVF_PROBE,
+    k: int = 10,
+    query_vec_id: int = _QUERY_VEC_ID,
+) -> DataFrame:
+    """IVF coarse quantization, Spark-first.
+
+    Centroids are deliberately tiny (that is the point of a coarse
+    quantizer), so they come to the driver once — ``n_cells`` bounded rows,
+    like the single query-vector fetch in ``embedding_topk_pandas`` — and
+    re-enter the plan as literals. Cell assignment is then
+    ``array_min(array<struct<dist, cid>>)``: per-row exact integer math, no
+    join, no shuffle; lexicographic struct comparison gives the same
+    (dist, cid) tie-break as the oracle's ROW_NUMBER ordering. The probe
+    set (query's nprobe nearest cells) is computed by the same expression
+    on the single query row. At 100 TB: the scan streams, the cell filter
+    prunes to ~nprobe/n_cells of the corpus (store partitioned/bucketed by
+    cell to prune at the source), and top-k compiles to
+    TakeOrderedAndProject. A trained k-means codebook drops in by replacing
+    the centroid SELECT — the plan shape is identical.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _quant("embedding").alias("qe")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cid"), "qe")
+        .collect()
+    )
+
+    def dist_to(c):
+        # literals must be BIGINT: quantized components fit int32, but their
+        # products don't, and F.lit of a small int is IntegerType
+        ce = F.array(*[F.lit(int(v)) for v in c["qe"]]).cast("array<bigint>")
+        return (
+            _dot(F.col("qe"), F.col("qe"))
+            - 2 * _dot(F.col("qe"), ce)
+            + _dot(ce, ce)
+        )
+
+    dist_arr = F.array(
+        *[
+            F.struct(dist_to(c).alias("dist"), F.lit(int(c["cid"])).cast("long").alias("cid"))
+            for c in cents
+        ]
+    )
+    with_cell = emb.withColumn("cell", F.array_min(dist_arr)["cid"])
+
+    qrow = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.slice(F.array_sort(dist_arr), 1, nprobe).alias("probes"), "qe")
+        .first()
+    )
+    probe_cells = [int(r["cid"]) for r in qrow["probes"]]
+    query_qe = F.array(*[F.lit(int(v)) for v in qrow["qe"]]).cast("array<bigint>")
+
+    scored = (
+        with_cell.filter(
+            F.col("cell").isin(probe_cells) & (F.col("vec_id") != query_vec_id)
+        )
+        .select(
+            "vec_id",
+            "label",
+            _dot(query_qe, F.col("qe")).alias("dot"),
+            _dot(query_qe, query_qe).alias("qnorm"),
+            _dot(F.col("qe"), F.col("qe")).alias("enorm"),
+        )
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("enorm").cast("double"))
+    )
+    return (
+        scored.select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )

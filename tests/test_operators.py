@@ -201,3 +201,25 @@ def test_lsh_bits_for_corpus_heuristic():
     assert lsh_bits_for_corpus(1024 * 256) == 8  # fixture-ish: default width
     assert lsh_bits_for_corpus(10**9) == 20  # 1B vectors: ~1k/bucket
     assert lsh_bits_for_corpus(10**15) == 30  # ceiling clamp
+
+
+def test_ivf_topk_recall_on_planted_neighbors(spark, tmp_path):
+    """IVF coarse quantization must put near-duplicates of the query in the
+    query's own cell (their nearest centroid is the same), so nprobe=2
+    retrieves all planted neighbors."""
+    import numpy as np
+
+    from fund_data_pipeline_spark.queries.vectors import ivf_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 64))
+    q = base[0]
+    planted = q + 0.08 * rng.normal(size=(10, 64))
+    rows = [(int(i), f"l{i % 5}", [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(1000 + i, "dup", [float(x) for x in v]) for i, v in enumerate(planted)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {r["vec_id"] for r in ivf_topk(spark, str(tmp_path), k=10).collect()}
+    n_found = len(got & set(range(1000, 1010)))
+    assert n_found >= 8, f"IVF found only {n_found}/10 planted near-dups"
