@@ -109,3 +109,32 @@ def keep_only_latest(root: str) -> list[str]:
         shutil.rmtree(child)
         dropped.append(child.name)
     return dropped
+
+
+def vacuum_snapshots(table_path: str) -> list[str]:
+    """GC orphan snapshot directories of a manifest-layout merge table.
+
+    ``merge.merge_upsert(layout="manifest")`` prunes the superseded snapshot
+    as part of each successful swap, but a write that crashes between the
+    snapshot write and the manifest repoint leaves an orphan ``_v_NNNNN``
+    directory the pointer never referenced. This removes every snapshot
+    except the live one (resolved through ``_MANIFEST`` first, so a reader
+    can never observe a half-vacuumed table) and returns the deleted names.
+
+    On an object store, run this from the janitor job AFTER the read-grace
+    period — an in-flight reader may still be scanning a directory the
+    pointer abandoned moments ago.
+    """
+    from .merge import MANIFEST_NAME
+
+    path = Path(table_path)
+    mf = path / MANIFEST_NAME
+    if not mf.exists():
+        return []
+    live = mf.read_text().strip()
+    removed = []
+    for snap in sorted(path.glob("_v_*")):
+        if snap.is_dir() and snap.name != live:
+            shutil.rmtree(snap)
+            removed.append(snap.name)
+    return removed

@@ -140,3 +140,28 @@ def test_connected_components_unconverged_raises(spark):
     with pytest.warns(UserWarning, match="fixpoint"):
         labels = connected_components(nodes, chain, max_iterations=1, strict=False)
         labels.collect()
+
+
+def test_vacuum_snapshots_removes_orphans_only(spark, tmp_path):
+    """A crash between snapshot write and manifest repoint leaves an orphan
+    _v_ dir; vacuum removes it and never touches the live snapshot."""
+    from fund_data_pipeline_spark import maintenance
+    from fund_data_pipeline_spark.merge import merge_upsert, read_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(10).withColumnRenamed("id", "k").withColumn(
+        "row_hash", F.md5(F.col("k").cast("string"))
+    )
+    merge_upsert(spark, path, df, keys=["k"], layout="manifest")
+    before = sorted(r.k for r in read_table(spark, path).collect())
+
+    # simulate a crashed writer: snapshot exists, manifest never repointed
+    orphan = tmp_path / "t" / "_v_99999"
+    df.limit(3).write.parquet(str(orphan))
+    assert orphan.exists()
+
+    removed = maintenance.vacuum_snapshots(path)
+    assert removed == ["_v_99999"]
+    assert sorted(r.k for r in read_table(spark, path).collect()) == before
+    # idempotent: nothing left to remove
+    assert maintenance.vacuum_snapshots(path) == []
