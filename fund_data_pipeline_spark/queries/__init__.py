@@ -111,6 +111,8 @@ _OUT_OF_WINDOW_WHY = {
     "small_quantity_revenue": "scan-filter scalar agg; covered by pricing_summary (driver-green r2+r3)",
     "repair_feed_merge": "new r4 operator (G2/U3); merge family represented in-window by hash_guarded_merge (driver-green r2+r3), and the r3 failures hold their window slots until driver-green",
     "distinct_counts": "COUNT DISTINCT covered by event_type_summary's n_users (in-window)",
+    "order_price_percentiles": "new r4 operator (percentile_disc); grouped-agg family in-window via group_count_breakdown + pricing_summary (driver-green r2+r3)",
+    "dedup_keep_list": "new r4 operator (per-doc keep verdict); identical machinery to in-window dedup_clusters (driver-green r2+r3) finished with one window",
     "rollup_revenue": "ROLLUP covered by cube_order_stats (CUBE superset, driver-green r2)",
     "grouping_sets_revenue": "GROUPING SETS covered by cube_order_stats (driver-green r2)",
     "repeat_buyers_intersect": "INTERSECT covered by buyer_set_ops (driver-green r2)",

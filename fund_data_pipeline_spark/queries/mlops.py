@@ -163,6 +163,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_list",
+    doc="Operational dedup output: every document with its fuzzy-dup cluster "
+    "and a keep/drop verdict (keeper = lowest doc_id per cluster; singletons "
+    "keep themselves). The table a corpus-dedup job actually joins against.",
+    oracle=f"""
+WITH RECURSIVE {minhash_bands_sql()},
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+),
+cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY cluster_id) AS keep
+FROM cc
+""",
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LSH-edge + connected-components machinery as dedup_clusters,
+    finished to the per-document verdict: one shuffle-per-round for the
+    components (bounded by graph diameter), one window for the keeper."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    bands = minhash_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    cc = graph.connected_components(docs.select(F.col("doc_id").alias("node")), edges)
+    keeper = F.min("node").over(Window.partitionBy("cluster_id"))
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == keeper).alias("keep"),
+    )
+
+
+@register(
     "image_decode_features",
     doc="Multimodal decode plumbing (operators.multimodal): payload bytes -> "
     "Arrow-batched mapInPandas feature extraction (stubbed decoder, real "

@@ -101,6 +101,33 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_price_percentiles",
+    doc="A: exact rank-based percentiles (percentile_disc) of order value "
+    "per priority. Discrete percentiles return actual data elements — no "
+    "float interpolation — so both engines emit identical bits.",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       quantile_disc(o_totalprice, 0.50) AS p50,
+       quantile_disc(o_totalprice, 0.90) AS p90,
+       quantile_disc(o_totalprice, 0.99) AS p99,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
+            F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice)").alias("p90"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
     "rollup_revenue",
     doc="A: hierarchical subtotals via ROLLUP with grouping_id disambiguation.",
     oracle="""
