@@ -172,3 +172,61 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").try_cast("bigint").alias("k_value"),
     )
+
+
+@register(
+    "conversion_funnel",
+    doc="Ordered conversion funnel view -> click -> purchase per user: each "
+    "stage counts users whose first stage-event strictly follows their "
+    "first event of the previous stage. Three filtered per-user aggregates "
+    "chained by equi-joins on user_id — shuffle cost is O(users per "
+    "stage), shrinking down-funnel; no window over the full event stream.",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel
+""",
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ep = F.unix_micros(F.col("ts"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("ep", ep)
+        .join(v, "user_id")
+        .filter(F.col("ep") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("ep", ep)
+        .join(c, "user_id")
+        .filter(F.col("ep") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
