@@ -112,3 +112,30 @@ def latest_nav_per_fund(nav: DataFrame) -> DataFrame:
             F.max("as_of_date").alias("as_of_date"),
         )
     )
+
+
+def run_repair(
+    spark: SparkSession,
+    target_path: str,
+    reprocess,
+    repair_log_path: str | None = None,
+):
+    """The reference's repair pass (03_ft_nav_repair.py) as a pipeline step.
+
+    stg_daily_nav has no status column, so the failed subset is the
+    reference's fallback predicate (:49-50): rows whose nav_price is
+    missing or non-positive. ``reprocess`` recomputes those rows from a
+    corrected source (re-parse of the raw landing files, an alternate
+    feed); repairs merge back on the natural key, and the Repaired stamp
+    lands in the repair log (the target keeps its own schema).
+    """
+    from .repair import repair_feed
+
+    return repair_feed(
+        spark,
+        target_path,
+        lambda failed: prepare_load(reprocess(failed)),
+        DAILY_NAV_KEY,
+        fallback_predicate=F.col("nav_price").isNull() | (F.col("nav_price") <= 0),
+        repair_log_path=repair_log_path,
+    )

@@ -405,3 +405,32 @@ def test_failed_subset_fallback_predicate(spark):
     assert {r.ticker for r in failed.collect()} == {"BBB", "CCC"}
     with pytest.raises(ValueError):
         repair.failed_subset(df.select("ticker"))
+
+
+def test_daily_nav_run_repair_fixes_bad_nav(spark, tmp_path):
+    target = str(tmp_path / "stg_daily_nav")
+    # a loaded table where one row slipped through with no usable NAV (the
+    # clean() positive-filter guards the main flow; repair exists for tables
+    # that already contain such rows — the reference's exact scenario)
+    conformed = spark.createDataFrame(
+        [
+            ("AAA", "FUND", "yfinance", 10.0, "USD", dt.date(2024, 3, 1)),
+            ("BBB", "FUND", "yfinance", None, "USD", dt.date(2024, 3, 1)),
+        ],
+        "ticker string, asset_type string, source string, nav_price double, "
+        "currency string, as_of_date date",
+    ).withColumn("nav_price", F.col("nav_price").cast("decimal(18,4)"))
+    batch = daily_nav.prepare_load(conformed)
+    DAILY_NAV_KEY = ["ticker", "asset_type", "source", "as_of_date"]
+    merge.merge_upsert(spark, target, batch, DAILY_NAV_KEY)
+
+    def reprocess(failed):
+        return failed.withColumn("nav_price", F.lit(12.5).cast("decimal(18,4)"))
+
+    stats = daily_nav.run_repair(spark, target, reprocess, repair_log_path=str(tmp_path / "log"))
+    assert (stats.n_failed, stats.n_repaired) == (1, 1)
+    after = {r.ticker: r for r in spark.read.parquet(target).collect()}
+    assert str(after["BBB"].nav_price) == "12.5000"
+    assert str(after["AAA"].nav_price) == "10.0000"  # untouched
+    logged = spark.read.parquet(str(tmp_path / "log")).collect()
+    assert len(logged) == 1 and logged[0].status == "Repaired"
