@@ -101,6 +101,11 @@ def get_spark(app_name: str = "fund_data_pipeline_spark", shuffle_partitions: in
         # column that silently becomes DATE/INT by inference breaks merge
         # key comparisons and round-trips; string is the stable contract.
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # zstd writes: measured on this container (lineitem sf0.1, warm):
+        # write 0.55s vs snappy 0.54s, read 0.25s vs 0.22s, size 5.5MB vs
+        # 7.4MB — 26% smaller at CPU parity. At 100 TB that is 26% less
+        # storage AND 26% less scan I/O on a disk/network-bound cluster.
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
