@@ -222,3 +222,69 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(kernel, out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("clip_frac", T.DoubleType(), True),
+    ]
+)
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, int, float, float]:
+    """Deterministic fake decode: (sample_rate, duration_ms, rms, clip_frac).
+
+    Real implementation decodes with soundfile/torchaudio and computes the
+    same summary stats over PCM samples; the stub derives stable values
+    from the payload bytes so the distributed path is testable without a
+    codec. rms/clip_frac are the standard speech-corpus quality gates
+    (silence and clipping filters).
+    """
+    try:  # pragma: no cover - library absent in this container
+        import io
+
+        import soundfile  # type: ignore
+
+        data, rate = soundfile.read(io.BytesIO(payload))
+        n = len(data)
+        rms = float((data**2).mean() ** 0.5) if n else 0.0
+        clip = float((abs(data) >= 0.999).mean()) if n else 0.0
+        return int(rate), int(n * 1000 / rate) if rate else 0, rms, clip
+    except Exception:
+        digest = hashlib.md5(payload or b"").digest()
+        rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+        duration_ms = 200 + int.from_bytes(digest[1:3], "big") % 60_000
+        rms = digest[3] / 255.0
+        clip = (digest[4] % 32) / 255.0
+        return rate, duration_ms, rms, clip
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio decode/feature stage, same contract as the image kernel:
+    Arrow-batched ``mapInPandas``, (media_id, payload) in,
+    :data:`AUDIO_FEATURES_SCHEMA` out. Feeds the silence/clipping quality
+    gates of a speech-training pipeline."""
+    cols = ["media_id", payload_col]
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [_decode_audio_stub(p if p is not None else b"") for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "sample_rate": [f[0] for f in feats],
+                    "duration_ms": [f[1] for f in feats],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf[payload_col]],
+                    "rms": [f[2] for f in feats],
+                    "clip_frac": [f[3] for f in feats],
+                }
+            )
+
+    return df.select(*cols).mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
