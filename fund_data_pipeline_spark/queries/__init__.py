@@ -113,6 +113,7 @@ _OUT_OF_WINDOW_WHY = {
     "distinct_counts": "COUNT DISTINCT covered by event_type_summary's n_users (in-window)",
     "order_price_percentiles": "new r4 operator (percentile_disc); grouped-agg family in-window via group_count_breakdown + pricing_summary (driver-green r2+r3)",
     "conversion_funnel": "new r4 operator (staged event funnel); event-time family in-window via event_type_summary + sessionization, join family via active_customers_semi (driver-green r2/r3)",
+    "table_profile": "new r4 operator (one-pass ANALYZE-style profiler); agg family in-window via group_count_breakdown + event_type_summary's count-distinct (driver-green r2/r3)",
     "dedup_keep_list": "new r4 operator (per-doc keep verdict); identical machinery to in-window dedup_clusters (driver-green r2+r3) finished with one window",
     "rollup_revenue": "ROLLUP covered by cube_order_stats (CUBE superset, driver-green r2)",
     "grouping_sets_revenue": "GROUPING SETS covered by cube_order_stats (driver-green r2)",

@@ -661,3 +661,52 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.join(supp, best.suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
     )
+
+
+_PROFILE_COLS = ("c_custkey", "c_nationkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "table_profile",
+    doc="One-pass data-quality profile of customer: per-column null count, "
+    "exact distinct count, lexicographic min/max (string-cast; non-float "
+    "columns only, so both engines render identically). Spark computes ALL "
+    "columns' stats in a single aggregate pass over the table, then "
+    "unpivots — the ANALYZE-style profiling an ingest pipeline runs per "
+    "batch.",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM customer"""
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "customer")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # aggregate in the native type, cast the result: MIN(bigint) is
+            # numeric order; min of the string cast would be lexicographic
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
