@@ -1,0 +1,97 @@
+"""General as-of join operator (pandas ``merge_asof`` parity, Spark-first).
+
+The catalog query ``asof_last_click_before_purchase``
+(queries/advanced.py) is the fixed-shape instance; this is the reusable
+library form: LEFT as-of semantics over arbitrary key/order/value columns,
+backward or forward direction, optional tolerance.
+
+Implementation is the scalable union + window-LOCF pattern, NOT a range
+join: both sides are unioned with a side tag, one shuffle partitions by
+the equi-keys, and a running ``last(..., ignorenulls=True)`` carries the
+most recent right-side row onto each left row. Cost is a single shuffle +
+sort regardless of time-range width; a range join would explode with the
+match window. At 100 TB the shuffle is on the by-keys — salting applies if
+one entity dominates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """LEFT as-of join: each ``left`` row gets the nearest ``right`` row.
+
+    - ``on``: ordering column present on both sides (timestamp or numeric).
+    - ``by``: equi-join keys (the shuffle keys).
+    - ``value_cols``: right-side columns to carry over (default: everything
+      except ``on``/``by``), each emitted as ``<name><suffix>``; the
+      matched right ``on`` value is emitted as ``<on><suffix>``.
+    - ``direction``: ``"backward"`` (right.on <= left.on, the common case)
+      or ``"forward"`` (right.on >= left.on). Exact ties match in both
+      directions, like ``merge_asof``.
+    - ``tolerance``: optional max distance as a Column-compatible value in
+      the ``on`` column's difference domain (e.g. ``F.expr("INTERVAL 1
+      HOUR")`` for timestamps, a number for numerics); matches farther
+      away are nulled out, preserving LEFT semantics.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    by = list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by, on)]
+    value_cols = list(value_cols)
+
+    payload = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in value_cols])
+    left_cols = left.columns
+    r = right.select(
+        *by,
+        F.col(on),
+        payload.alias("__asof_payload"),
+        F.lit(0).alias("__asof_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in (*by, on)],
+    )
+    l = left.select(
+        *by,
+        F.col(on),
+        F.lit(None).cast(r.schema["__asof_payload"].dataType).alias("__asof_payload"),
+        F.lit(1).alias("__asof_side"),
+        *[F.col(c) for c in left_cols if c not in (*by, on)],
+    )
+    # side=0 sorts right rows before left at equal `on` => inclusive match.
+    # forward = backward over the reversed order.
+    if direction == "backward":
+        w = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("__asof_side").asc())
+    else:
+        w = Window.partitionBy(*by).orderBy(F.col(on).desc(), F.col("__asof_side").asc())
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = r.unionByName(l).withColumn(
+        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__asof_side") == 1)
+    match_on = F.col(f"__asof_match.{on}")
+    if tolerance is not None:
+        dist = (F.col(on) - match_on) if direction == "backward" else (match_on - F.col(on))
+        out = out.withColumn(
+            "__asof_match", F.when(dist <= tolerance, F.col("__asof_match"))
+        )
+        match_on = F.col(f"__asof_match.{on}")
+    return out.select(
+        *by,
+        F.col(on),
+        *[F.col(c) for c in left_cols if c not in (*by, on)],
+        match_on.alias(f"{on}{suffix}"),
+        *[F.col(f"__asof_match.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -237,3 +237,54 @@ def test_audio_features_shape_and_determinism(spark):
     assert multimodal.extract_audio_features(media).columns == [
         "media_id", "sample_rate", "duration_ms", "n_bytes", "rms", "clip_frac",
     ]
+
+
+def test_asof_join_backward_forward_and_tolerance(spark):
+    from fund_data_pipeline_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 20, 2.0), ("A", 30, 3.0), ("B", 15, 9.0)],
+        "sym string, t long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 5, 100), ("A", 20, 200), ("A", 25, 300), ("B", 40, 400), ("C", 7, 500)],
+        "sym string, t long, qty long",
+    )
+
+    back = {(r.sym, r.t): (r.t_right, r.px_right) for r in
+            asof_join(trades, quotes, on="t", by=["sym"]).collect()}
+    assert back[("A", 5)] == (None, None)        # nothing at-or-before
+    assert back[("A", 20)] == (20, 2.0)          # exact tie matches
+    assert back[("A", 25)] == (20, 2.0)          # latest at-or-before
+    assert back[("B", 40)] == (15, 9.0)
+    assert back[("C", 7)] == (None, None)        # LEFT: unmatched key kept
+
+    fwd = {(r.sym, r.t): (r.t_right, r.px_right) for r in
+           asof_join(trades, quotes, on="t", by=["sym"], direction="forward").collect()}
+    assert fwd[("A", 5)] == (10, 1.0)            # earliest at-or-after
+    assert fwd[("A", 20)] == (20, 2.0)
+    assert fwd[("A", 25)] == (30, 3.0)
+    assert fwd[("B", 40)] == (None, None)
+
+    tol = {(r.sym, r.t): (r.t_right, r.px_right) for r in
+           asof_join(trades, quotes, on="t", by=["sym"], tolerance=5).collect()}
+    assert tol[("A", 25)] == (20, 2.0)           # distance 5 <= 5 kept
+    assert tol[("B", 40)] == (None, None)        # distance 25 nulled
+
+
+def test_asof_join_matches_catalog_query(spark):
+    """The library operator reproduces the oracle-checked catalog query."""
+    from fund_data_pipeline_spark.operators.asof import asof_join
+    from fund_data_pipeline_spark.queries import QUERIES
+    from fund_data_pipeline_spark.queries.registry import table as qtable
+
+    sf = "/root/testdata/sf0.001"
+    ev = qtable(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    lib = asof_join(purchases, clicks, on="ts", by=["user_id"]).select(
+        "event_id", "user_id", "ts",
+        F.col("ts_right").alias("click_ts"), F.col("value_right").alias("click_value"),
+    )
+    ref = QUERIES["asof_last_click_before_purchase"].spark(spark, sf)
+    assert sorted(map(tuple, lib.collect())) == sorted(map(tuple, ref.collect()))
