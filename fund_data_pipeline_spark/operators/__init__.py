@@ -6,12 +6,16 @@
   schema, batching, and partitioning are real and tested)
 - ``sampling``    deterministic hash-based sampling and train/val/test
   splits (reproducible across engines and runs, no RNG state)
+- ``asof``        reusable LEFT as-of join (merge_asof parity: backward/
+  forward, tolerance) via the one-shuffle union + window-LOCF pattern
+- ``graph``       connected components (min-label propagation) for dedup
+  cluster assignment
 
 The dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
 embedding-cosine), similarity search, and text analysis live in
 :mod:`fund_data_pipeline_spark.queries` as oracle-checked catalog entries.
 """
 
-from . import graph, multimodal, sampling
+from . import asof, graph, multimodal, sampling
 
-__all__ = ["graph", "multimodal", "sampling"]
+__all__ = ["asof", "graph", "multimodal", "sampling"]
