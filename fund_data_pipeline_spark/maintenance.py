@@ -117,13 +117,18 @@ def vacuum_snapshots(table_path: str) -> list[str]:
     ``merge.merge_upsert(layout="manifest")`` prunes the superseded snapshot
     as part of each successful swap, but a write that crashes between the
     snapshot write and the manifest repoint leaves an orphan ``_v_NNNNN``
-    directory the pointer never referenced. This removes every snapshot
-    except the live one (resolved through ``_MANIFEST`` first, so a reader
-    can never observe a half-vacuumed table) and returns the deleted names.
+    directory the pointer never referenced. This removes snapshots with a
+    version STRICTLY BELOW the live pointer's and returns the deleted
+    names.
 
-    On an object store, run this from the janitor job AFTER the read-grace
-    period — an in-flight reader may still be scanning a directory the
-    pointer abandoned moments ago.
+    The below-live rule is what makes the janitor safe against a CONCURRENT
+    writer: a writer only ever creates versions above the current pointer,
+    so a snapshot it is mid-writing (or has just repointed to) can never be
+    selected for deletion here. A crash orphan left at a version >= live is
+    skipped this pass and becomes collectable once the table advances past
+    it. On an object store, additionally run the janitor AFTER the
+    read-grace period — an in-flight reader may still be scanning a
+    directory the pointer abandoned moments ago.
     """
     from .merge import MANIFEST_NAME
 
@@ -132,9 +137,17 @@ def vacuum_snapshots(table_path: str) -> list[str]:
     if not mf.exists():
         return []
     live = mf.read_text().strip()
+    try:
+        live_version = int(live.rsplit("_", 1)[-1])
+    except ValueError:
+        return []
     removed = []
     for snap in sorted(path.glob("_v_*")):
-        if snap.is_dir() and snap.name != live:
+        try:
+            version = int(snap.name.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if snap.is_dir() and version < live_version:
             shutil.rmtree(snap)
             removed.append(snap.name)
     return removed

@@ -46,6 +46,13 @@ def asof_join(
       the ``on`` column's difference domain (e.g. ``F.expr("INTERVAL 1
       HOUR")`` for timestamps, a number for numerics); matches farther
       away are nulled out, preserving LEFT semantics.
+
+    NULL handling (merge_asof rejects null keys; this keeps LEFT
+    semantics instead): right rows with a null ``on`` can never match —
+    they are dropped before the union — and left rows with a null ``on``
+    are kept with a null match. Ties among right rows at the same
+    (by, on) are broken deterministically by the greatest value tuple, so
+    results are stable across shuffle orders.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -53,6 +60,7 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*by, on)]
     value_cols = list(value_cols)
+    right = right.filter(F.col(on).isNotNull())
 
     payload = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in value_cols])
     left_cols = left.columns
@@ -71,14 +79,24 @@ def asof_join(
         *[F.col(c) for c in left_cols if c not in (*by, on)],
     )
     # side=0 sorts right rows before left at equal `on` => inclusive match.
-    # forward = backward over the reversed order.
+    # forward = backward over the reversed order. The payload struct is the
+    # final sort key: among right rows tied on (by, on), last() then
+    # deterministically carries the greatest value tuple regardless of
+    # shuffle order (left rows are separated by side first, so their null
+    # payloads never interleave).
     if direction == "backward":
-        w = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("__asof_side").asc())
+        w = Window.partitionBy(*by).orderBy(
+            F.col(on).asc(), F.col("__asof_side").asc(), F.col("__asof_payload").asc()
+        )
     else:
-        w = Window.partitionBy(*by).orderBy(F.col(on).desc(), F.col("__asof_side").asc())
+        w = Window.partitionBy(*by).orderBy(
+            F.col(on).desc(), F.col("__asof_side").asc(), F.col("__asof_payload").asc()
+        )
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = r.unionByName(l).withColumn(
-        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+        "__asof_match",
+        # a left row with null `on` has no position in the order; null match
+        F.when(F.col(on).isNotNull(), F.last("__asof_payload", ignorenulls=True).over(w)),
     )
     out = carried.filter(F.col("__asof_side") == 1)
     match_on = F.col(f"__asof_match.{on}")

@@ -112,20 +112,23 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float, str]:
     Derived purely from the payload bytes so results are stable across
     runs/engines. Replace with a Pillow decode when the library exists.
     """
-    try:  # pragma: no cover - library absent in this container
+    try:
         from PIL import Image  # type: ignore
-        import io
-
-        img = Image.open(io.BytesIO(payload))
-        w, h = img.size
-        luma = sum(img.convert("L").getdata()) / (w * h)
-        return w, h, float(luma), hashlib.md5(img.tobytes()).hexdigest()[:16]
-    except Exception:
+    except ImportError:
+        # library absent (this container): deterministic fake
         digest = hashlib.md5(payload or b"").digest()
         w = 64 + digest[0] * 4  # plausible 64..1084 px
         h = 64 + digest[1] * 4
         luma = digest[2] / 255.0 * 100.0
         return w, h, luma, digest.hex()[:16]
+    # library present: decode failures RAISE — a corrupt payload must not
+    # silently become plausible fake stats that pass downstream gates
+    import io  # pragma: no cover - library absent in this container
+
+    img = Image.open(io.BytesIO(payload))
+    w, h = img.size
+    luma = sum(img.convert("L").getdata()) / (w * h)
+    return w, h, float(luma), hashlib.md5(img.tobytes()).hexdigest()[:16]
 
 
 def extract_image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -245,23 +248,25 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, int, float, float]:
     codec. rms/clip_frac are the standard speech-corpus quality gates
     (silence and clipping filters).
     """
-    try:  # pragma: no cover - library absent in this container
-        import io
-
+    try:
         import soundfile  # type: ignore
-
-        data, rate = soundfile.read(io.BytesIO(payload))
-        n = len(data)
-        rms = float((data**2).mean() ** 0.5) if n else 0.0
-        clip = float((abs(data) >= 0.999).mean()) if n else 0.0
-        return int(rate), int(n * 1000 / rate) if rate else 0, rms, clip
-    except Exception:
+    except ImportError:
+        # library absent (this container): deterministic fake
         digest = hashlib.md5(payload or b"").digest()
         rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
         duration_ms = 200 + int.from_bytes(digest[1:3], "big") % 60_000
         rms = digest[3] / 255.0
         clip = (digest[4] % 32) / 255.0
         return rate, duration_ms, rms, clip
+    # library present: decode failures RAISE — a corrupt payload must not
+    # silently become plausible fake stats that pass the quality gates
+    import io  # pragma: no cover - library absent in this container
+
+    data, rate = soundfile.read(io.BytesIO(payload))
+    n = len(data)
+    rms = float((data**2).mean() ** 0.5) if n else 0.0
+    clip = float((abs(data) >= 0.999).mean()) if n else 0.0
+    return int(rate), int(n * 1000 / rate) if rate else 0, rms, clip
 
 
 def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:

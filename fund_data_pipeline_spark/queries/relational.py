@@ -669,11 +669,11 @@ _PROFILE_COLS = ("c_custkey", "c_nationkey", "c_name", "c_mktsegment")
 @register(
     "table_profile",
     doc="One-pass data-quality profile of customer: per-column null count, "
-    "exact distinct count, lexicographic min/max (string-cast; non-float "
-    "columns only, so both engines render identically). Spark computes ALL "
-    "columns' stats in a single aggregate pass over the table, then "
-    "unpivots — the ANALYZE-style profiling an ingest pipeline runs per "
-    "batch.",
+    "exact distinct count, native-order min/max with the RESULT cast to "
+    "string (non-float columns only, so both engines render identically). "
+    "Spark computes ALL columns' stats in a single aggregate pass over the "
+    "table, then unpivots — the ANALYZE-style profiling an ingest pipeline "
+    "runs per batch.",
     oracle="\nUNION ALL\n".join(
         f"""SELECT '{c}' AS column_name,
        COUNT(*) - COUNT({c}) AS n_nulls,

@@ -441,14 +441,15 @@ def ivf_topk(
     )
 
     def dist_to(c):
-        # literals must be BIGINT: quantized components fit int32, but their
-        # products don't, and F.lit of a small int is IntegerType
+        # argmin over cells: the row's own qe.qe term is constant across
+        # cells, so it is dropped (ordering unchanged); the centroid's ce.ce
+        # is a Python-computed literal. Per row this leaves exactly one
+        # 64-element dot product per cell. Literals must be BIGINT:
+        # quantized components fit int32, but their products don't, and
+        # F.lit of a small int is IntegerType.
         ce = F.array(*[F.lit(int(v)) for v in c["qe"]]).cast("array<bigint>")
-        return (
-            _dot(F.col("qe"), F.col("qe"))
-            - 2 * _dot(F.col("qe"), ce)
-            + _dot(ce, ce)
-        )
+        ce_sq = sum(int(v) * int(v) for v in c["qe"])
+        return F.lit(ce_sq).cast("long") - 2 * _dot(F.col("qe"), ce)
 
     dist_arr = F.array(
         *[
@@ -465,6 +466,9 @@ def ivf_topk(
     )
     probe_cells = [int(r["cid"]) for r in qrow["probes"]]
     query_qe = F.array(*[F.lit(int(v)) for v in qrow["qe"]]).cast("array<bigint>")
+    # exact Python integer math: the query norm is one constant, not a
+    # per-candidate-row aggregate
+    qnorm_sq = sum(int(v) * int(v) for v in qrow["qe"])
 
     scored = (
         with_cell.filter(
@@ -474,7 +478,7 @@ def ivf_topk(
             "vec_id",
             "label",
             _dot(query_qe, F.col("qe")).alias("dot"),
-            _dot(query_qe, query_qe).alias("qnorm"),
+            F.lit(qnorm_sq).cast("long").alias("qnorm"),
             _dot(F.col("qe"), F.col("qe")).alias("enorm"),
         )
     )

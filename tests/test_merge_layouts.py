@@ -143,8 +143,9 @@ def test_connected_components_unconverged_raises(spark):
 
 
 def test_vacuum_snapshots_removes_orphans_only(spark, tmp_path):
-    """A crash between snapshot write and manifest repoint leaves an orphan
-    _v_ dir; vacuum removes it and never touches the live snapshot."""
+    """vacuum collects below-live leftovers (a crashed post-swap prune) and
+    never touches the live snapshot or anything at/above the pointer — an
+    at-or-above version may belong to a concurrent writer."""
     from fund_data_pipeline_spark import maintenance
     from fund_data_pipeline_spark.merge import merge_upsert, read_table
 
@@ -153,15 +154,19 @@ def test_vacuum_snapshots_removes_orphans_only(spark, tmp_path):
         "row_hash", F.md5(F.col("k").cast("string"))
     )
     merge_upsert(spark, path, df, keys=["k"], layout="manifest")
+    merge_upsert(spark, path, df.limit(5), keys=["k"], layout="manifest")  # live = _v_00002
     before = sorted(r.k for r in read_table(spark, path).collect())
 
-    # simulate a crashed writer: snapshot exists, manifest never repointed
-    orphan = tmp_path / "t" / "_v_99999"
-    df.limit(3).write.parquet(str(orphan))
-    assert orphan.exists()
+    # crashed post-swap prune: the superseded snapshot lingers below live
+    stale = tmp_path / "t" / "_v_00001"
+    df.limit(3).write.parquet(str(stale))
+    # concurrent/crashed writer ABOVE the pointer: must be left alone
+    inflight = tmp_path / "t" / "_v_00003"
+    df.limit(2).write.parquet(str(inflight))
 
     removed = maintenance.vacuum_snapshots(path)
-    assert removed == ["_v_99999"]
+    assert removed == ["_v_00001"]
+    assert inflight.exists()
     assert sorted(r.k for r in read_table(spark, path).collect()) == before
-    # idempotent: nothing left to remove
+    # idempotent: nothing below live remains
     assert maintenance.vacuum_snapshots(path) == []

@@ -272,13 +272,13 @@ def test_asof_join_backward_forward_and_tolerance(spark):
     assert tol[("B", 40)] == (None, None)        # distance 25 nulled
 
 
-def test_asof_join_matches_catalog_query(spark):
+def test_asof_join_matches_catalog_query(spark, sf_dir):
     """The library operator reproduces the oracle-checked catalog query."""
     from fund_data_pipeline_spark.operators.asof import asof_join
     from fund_data_pipeline_spark.queries import QUERIES
     from fund_data_pipeline_spark.queries.registry import table as qtable
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     ev = qtable(spark, sf, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
@@ -288,3 +288,26 @@ def test_asof_join_matches_catalog_query(spark):
     )
     ref = QUERIES["asof_last_click_before_purchase"].spark(spark, sf)
     assert sorted(map(tuple, lib.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_asof_join_null_keys_and_ties(spark):
+    from fund_data_pipeline_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", None, 9.9), ("A", 20, 2.0), ("A", 20, 2.5)],
+        "sym string, t long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 5, 100), ("A", 25, 300), ("A", None, 400)],
+        "sym string, t long, qty long",
+    )
+    for direction in ("backward", "forward"):
+        got = {r.t: (r.t_right, r.px_right) for r in
+               asof_join(trades, quotes, on="t", by=["sym"], direction=direction).collect()}
+        assert got[None] == (None, None), direction  # null left key never matches
+        if direction == "backward":
+            assert got[5] == (None, None)  # null-t quote is NOT a predecessor
+            assert got[25] == (20, 2.5)    # tie broken to greatest value tuple
+        else:
+            assert got[5] == (20, 2.5)
+            assert got[25] == (None, None)
