@@ -57,6 +57,11 @@ from pyspark.sql import functions as F
 
 from .dedup import dedup_keyed
 
+#: Partition-pruned merge: above this many touched partitions the driver-side
+#: isin literal list is replaced by a broadcast semi-join prune (a multi-year
+#: backfill would otherwise inflate the plan with thousands of literals).
+_ISIN_PRUNE_MAX = 64
+
 
 @dataclass
 class MergeStats:
@@ -83,6 +88,7 @@ def merge_upsert(
     collect_stats: bool = False,
     partition_col: str | None = None,
     layout: str = "rename",
+    allow_new_columns: bool = False,
 ) -> MergeStats:
     """Upsert ``source`` into the Parquet table at ``target_path``.
 
@@ -101,6 +107,14 @@ def merge_upsert(
       partitions' files are untouched on disk). Must be one of ``keys``.
     - ``layout``: ``"rename"`` (POSIX swap) or ``"manifest"``
       (object-store-safe snapshot + pointer; see module docstring).
+    - ``allow_new_columns=True``: schema evolution — source columns absent
+      from the target widen the output schema instead of being dropped. New
+      columns behave as always-update (source wins whenever a source row is
+      present, even under an unchanged hash — the old hash predates the
+      column, so the guard must not freeze the new column at NULL); target
+      rows with no source match get NULL. Default False keeps the
+      conform-to-target contract: the reference conforms every feed to the
+      master schema before loading, so an unexpected column is dropped.
     """
     keys = list(keys)
     if layout not in ("rename", "manifest"):
@@ -125,30 +139,64 @@ def merge_upsert(
         return stats
 
     if partition_col is not None:
-        # Partition-pruned read: the isin filter on the partition column is
-        # resolved at planning time against the hive dir names, so only the
-        # touched partitions are ever listed or scanned. The partition col is
-        # cast back to the source's dtype — partition-value inference (when a
-        # session has it enabled) must not change the merge key's type.
         src_dtype = dict(source.dtypes)[partition_col]
-        touched = [r[0] for r in source.select(partition_col).distinct().collect()]
-        target = (
-            spark.read.parquet(str(path))
-            .filter(F.col(partition_col).cast(src_dtype).isin(touched))
-            .withColumn(partition_col, F.col(partition_col).cast(src_dtype))
-        )
+        distinct_parts = source.select(partition_col).distinct()
+        # Daily-batch fast path: collect the touched partition values (capped)
+        # so the isin filter resolves at planning time against the hive dir
+        # names — only touched partitions are ever listed or scanned. The
+        # partition col is cast back to the source's dtype so partition-value
+        # inference can't change the merge key's type. A backfill touching
+        # more than _ISIN_PRUNE_MAX partitions would bloat the plan with a
+        # giant literal list instead, so it switches to a broadcast semi-join
+        # prune: the scan keeps the bare partition column (dynamic partition
+        # pruning stays eligible) and no unbounded collect hits the driver.
+        touched = [
+            r[0] for r in distinct_parts.limit(_ISIN_PRUNE_MAX + 1).collect()
+        ]
+        if len(touched) <= _ISIN_PRUNE_MAX:
+            target = (
+                spark.read.parquet(str(path))
+                .filter(F.col(partition_col).cast(src_dtype).isin(touched))
+                .withColumn(partition_col, F.col(partition_col).cast(src_dtype))
+            )
+        else:
+            raw = spark.read.parquet(str(path))
+            tgt_dtype = dict(raw.dtypes)[partition_col]
+            probe = F.broadcast(
+                distinct_parts.select(
+                    F.col(partition_col).cast(tgt_dtype).alias("__touched_part")
+                ).distinct()
+            )
+            target = (
+                raw.join(
+                    probe,
+                    raw[partition_col] == probe["__touched_part"],
+                    "left_semi",
+                )
+                .withColumn(partition_col, F.col(partition_col).cast(src_dtype))
+            )
     else:
         target = read_table(spark, str(path))
     out_cols = target.columns
+    new_cols = [c for c in source.columns if c not in out_cols]
+    if allow_new_columns:
+        out_cols = out_cols + new_cols
 
-    t = target.alias("t")
-    s = source.alias("s")
+    reserved = {"__t_present", "__s_present", "__action"}
+    clash = reserved & (set(target.columns) | set(source.columns))
+    if clash:
+        raise ValueError(f"column names reserved by merge_upsert: {sorted(clash)}")
+    # Presence must be decided by explicit markers, not key-null tests: the
+    # join is eqNullSafe precisely so NULL key values can match, and a target
+    # row whose first key is NULL would otherwise be misclassified as an
+    # insert (preserve_cols taken from source, stats wrong).
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, cond, "full_outer")
 
-    s_present = F.col(f"s.{keys[0]}").isNotNull()
-    # use a non-key col for target presence when key cols could be null-joined
-    t_present = F.col(f"t.{keys[0]}").isNotNull()
+    s_present = F.col("s.__s_present").isNotNull()
+    t_present = F.col("t.__t_present").isNotNull()
     if unconditional:
         changed = F.lit(True)
     else:
@@ -156,16 +204,23 @@ def merge_upsert(
 
     preserve = set(preserve_cols)
     always = set(always_update_cols)
+    src_dtypes = dict(source.dtypes)
 
     merged_cols: list[Column] = []
     for c in out_cols:
         s_c = F.col(f"s.{c}") if c in source.columns else F.lit(None)
-        t_c = F.col(f"t.{c}")
+        t_c = (
+            F.col(f"t.{c}")
+            if c in target.columns
+            else F.lit(None).cast(src_dtypes[c])
+        )
         if c in keys:
             expr = F.coalesce(t_c, s_c)
         elif c in preserve:
             expr = F.when(t_present, t_c).otherwise(s_c)
-        elif c in always:
+        elif c in always or c in new_cols:
+            # new columns are always-update: the stored hash predates them,
+            # so the hash guard must not freeze them at NULL on matched rows
             expr = F.when(s_present, s_c).otherwise(t_c)
         else:
             expr = (
@@ -331,15 +386,21 @@ def merge_as_dataframe(
     natural-key table guarantees.
     """
     keys = list(keys)
-    t = target.alias("t")
-    s = source.alias("s")
+    reserved = {"__t_present", "__s_present"}
+    clash = reserved & (set(target.columns) | set(source.columns))
+    if clash:
+        raise ValueError(f"column names reserved by merge_as_dataframe: {sorted(clash)}")
+    # explicit presence markers: with eqNullSafe keys a NULL key can match,
+    # so key-null tests would misclassify a matched null-keyed target row
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
     if null_safe_keys:
         cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     else:
         cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
     joined = t.join(s, cond, "full_outer")
-    t_present = F.col(f"t.{keys[0]}").isNotNull()
-    s_present = F.col(f"s.{keys[0]}").isNotNull()
+    t_present = F.col("t.__t_present").isNotNull()
+    s_present = F.col("s.__s_present").isNotNull()
     changed = _null_safe_ne(F.col(f"t.{hash_col}"), F.col(f"s.{hash_col}"))
     preserve = set(preserve_cols)
     cols = []

@@ -170,3 +170,108 @@ def test_vacuum_snapshots_removes_orphans_only(spark, tmp_path):
     assert sorted(r.k for r in read_table(spark, path).collect()) == before
     # idempotent: nothing below live remains
     assert maintenance.vacuum_snapshots(path) == []
+
+
+def _hashed(spark, rows, schema="ticker string, value double, first_seen string"):
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn(
+        "row_hash", F.md5(F.concat_ws("|", F.coalesce("ticker", F.lit("")), F.col("value").cast("string")))
+    )
+
+
+def test_merge_null_key_target_row_is_matched_not_inserted(spark, tmp_path):
+    """eqNullSafe keys mean a NULL key can match; presence markers (not
+    key-null tests) must classify that row as an update, keep preserve_cols
+    from the target, and not duplicate it."""
+    path = tmp_path / "nullkey"
+    base = _hashed(spark, [("AAA", 1.0, "day0"), (None, 2.0, "day0")])
+    merge_upsert(spark, str(path), base, keys=["ticker"], preserve_cols=["first_seen"])
+
+    batch = _hashed(spark, [(None, 9.0, "day5")])  # same NULL key, new value
+    stats = merge_upsert(
+        spark, str(path), batch, keys=["ticker"],
+        preserve_cols=["first_seen"], collect_stats=True,
+    )
+    assert stats.inserted == 0 and stats.updated == 1 and stats.unchanged == 1
+
+    rows = {r["ticker"]: (r["value"], r["first_seen"]) for r in spark.read.parquet(str(path)).collect()}
+    assert len(rows) == 2
+    assert rows[None] == (9.0, "day0")  # value updated, first_seen preserved from target
+    assert rows["AAA"] == (1.0, "day0")
+
+
+def test_merge_as_dataframe_null_key_matches(spark):
+    from fund_data_pipeline_spark.merge import merge_as_dataframe
+
+    t = _hashed(spark, [(None, 2.0, "day0")])
+    s = _hashed(spark, [(None, 9.0, "day5")])
+    out = merge_as_dataframe(t, s, ["ticker"], preserve_cols=["first_seen"]).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == 9.0 and out[0]["first_seen"] == "day0"
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    path = tmp_path / "evolve"
+    base = _hashed(spark, [("AAA", 1.0, "d0"), ("BBB", 2.0, "d0")])
+    merge_upsert(spark, str(path), base, keys=["ticker"])
+
+    batch = _hashed(spark, [("BBB", 2.0, "d1")]).withColumn("sector", F.lit("tech"))
+
+    # default: conform-to-target, new column dropped
+    merge_upsert(spark, str(path), batch, keys=["ticker"])
+    assert "sector" not in spark.read.parquet(str(path)).columns
+
+    # allow_new_columns: schema widens; matched row gets the value even though
+    # its hash is unchanged (the old hash predates the column); unmatched
+    # target rows get NULL
+    merge_upsert(spark, str(path), batch, keys=["ticker"], allow_new_columns=True)
+    out = {r["ticker"]: r["sector"] for r in spark.read.parquet(str(path)).collect()}
+    assert out == {"AAA": None, "BBB": "tech"}
+
+
+def test_merge_reserved_column_names_raise(spark, tmp_path):
+    df = _hashed(spark, [("AAA", 1.0, "d0")]).withColumn("__t_present", F.lit(True))
+    path = tmp_path / "rsv"
+    merge_upsert(spark, str(path), df.drop("__t_present"), keys=["ticker"])
+    with pytest.raises(ValueError, match="reserved"):
+        merge_upsert(spark, str(path), df, keys=["ticker"])
+
+
+def test_backfill_prune_switches_to_semi_join(spark, tmp_path, monkeypatch):
+    """Above _ISIN_PRUNE_MAX touched partitions the prune must go through the
+    broadcast semi-join path and still produce the same result with untouched
+    partitions byte-identical."""
+    from fund_data_pipeline_spark import merge as M
+
+    monkeypatch.setattr(M, "_ISIN_PRUNE_MAX", 2)
+    path = tmp_path / "backfill"
+    days = [f"2024-01-{d:02d}" for d in range(1, 6)]
+    base = _snapshot(spark, [("AAA", d, float(i)) for i, d in enumerate(days)])
+    merge_upsert(spark, str(path), base, keys=["ticker", "dt"], partition_col="dt")
+
+    untouched_before = {
+        k: v for k, v in _file_state(path).items() if k.startswith("dt=2024-01-01")
+    }
+    # backfill touching 4 partitions (> cap of 2) with updates + one new row
+    batch = _snapshot(
+        spark,
+        [("AAA", d, 100.0 + i) for i, d in enumerate(days[1:])]
+        + [("ZZZ", "2024-01-03", 7.0)],
+    )
+    stats = merge_upsert(
+        spark, str(path), batch, keys=["ticker", "dt"],
+        partition_col="dt", collect_stats=True,
+    )
+    assert stats.inserted == 1 and stats.updated == 4
+
+    untouched_after = {
+        k: v for k, v in _file_state(path).items() if k.startswith("dt=2024-01-01")
+    }
+    assert untouched_after == untouched_before
+
+    out = {
+        (r["ticker"], r["dt"]): r["value"] for r in spark.read.parquet(str(path)).collect()
+    }
+    assert out[("AAA", "2024-01-01")] == 0.0
+    assert out[("ZZZ", "2024-01-03")] == 7.0
+    assert all(out[("AAA", d)] == 100.0 + i for i, d in enumerate(days[1:]))
