@@ -130,12 +130,17 @@ def main() -> None:
         print(f"bench: merge_partition_pruned failed: {e}", file=sys.stderr)
         aux["merge_partition_pruned"] = -1.0
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # A failed query must not make the benchmark look faster: with any -1.0
+    # sentinel present the headline total is reported as null (and the
+    # failures named) instead of silently summing only the surviving queries.
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    total = None if failed else round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
+                "failed": failed,
                 "unit": "sec",
                 "queries": timings,
                 "stats": stats,

@@ -148,6 +148,14 @@ def vacuum_snapshots(table_path: str) -> list[str]:
         except ValueError:
             continue
         if snap.is_dir() and version < live_version:
-            shutil.rmtree(snap)
+            # A concurrent writer prunes the snapshot it just superseded
+            # (_manifest_write); if both it and this janitor reach the same
+            # directory, one rmtree loses the race mid-walk. Either way the
+            # directory ends up gone, so a vanished path is success, not
+            # failure — but only count it as removed if this process did it.
+            try:
+                shutil.rmtree(snap)
+            except FileNotFoundError:
+                continue
             removed.append(snap.name)
     return removed

@@ -331,7 +331,9 @@ def _manifest_write(df: DataFrame, path: Path) -> None:
     tmp.write_text(snap.name)
     os.replace(tmp, path / MANIFEST_NAME)
     if current is not None and current.exists():
-        shutil.rmtree(current)
+        # a concurrent vacuum_snapshots janitor may prune the superseded
+        # snapshot first; losing that race is fine — the directory is gone
+        shutil.rmtree(current, ignore_errors=True)
 
 
 def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> None:

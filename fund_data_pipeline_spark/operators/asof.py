@@ -60,6 +60,24 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*by, on)]
     value_cols = list(value_cols)
+    # merge_asof parity: reject silently-ambiguous output up front instead of
+    # emitting duplicate columns or ambiguous struct fields.
+    if len(set(value_cols)) != len(value_cols):
+        raise ValueError(f"value_cols contains duplicates: {value_cols}")
+    overlap = set(value_cols) & {on, *by}
+    if overlap:
+        raise ValueError(f"value_cols may not contain on/by columns: {sorted(overlap)}")
+    reserved = {"__asof_payload", "__asof_side", "__asof_match"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"column names reserved by asof_join: {sorted(clash)}")
+    emitted = [f"{on}{suffix}", *[f"{c}{suffix}" for c in value_cols]]
+    collide = set(emitted) & set(left.columns)
+    if collide:
+        raise ValueError(
+            f"suffixed output columns collide with left columns: {sorted(collide)}; "
+            f"pass a different suffix"
+        )
     right = right.filter(F.col(on).isNotNull())
 
     payload = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in value_cols])

@@ -28,12 +28,30 @@ postgres dialect.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 
 #: columns the reference never updates on conflict (db_connector.py:402)
 DEFAULT_SKIP_UPDATE = ("id", "updated_at")
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_identifiers(table: str, names: Sequence[str]) -> None:
+    """Identifiers are interpolated unquoted into the statement, so anything
+    that would need quoting (mixed case folds differently per dialect,
+    reserved words, punctuation) — or that arrives from untrusted metadata —
+    is rejected rather than emitted into SQL."""
+    # allow schema-qualified tables: each dot-separated part must be clean
+    bad = [p for p in table.split(".") if not _IDENT.match(p)]
+    bad += [n for n in names if not _IDENT.match(n)]
+    if bad:
+        raise ValueError(
+            f"identifiers not safe to interpolate unquoted: {bad!r}; "
+            f"rename to ^[A-Za-z_][A-Za-z0-9_]*$"
+        )
 
 
 def upsert_sql(
@@ -55,6 +73,7 @@ def upsert_sql(
     """
     cols = list(columns)
     keys = list(keys)
+    _check_identifiers(table, cols + keys + ([hash_col] if hash_col else []))
     missing = [k for k in keys if k not in cols]
     if missing:
         raise ValueError(f"keys {missing} not in columns {cols}")

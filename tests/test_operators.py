@@ -311,3 +311,20 @@ def test_asof_join_null_keys_and_ties(spark):
         else:
             assert got[5] == (20, 2.5)
             assert got[25] == (None, None)
+
+
+def test_asof_join_rejects_ambiguous_outputs(spark):
+    from fund_data_pipeline_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame([("A", 1, 9.9)], "sym string, t int, px double")
+    trades = spark.createDataFrame([("A", 2, 10.0)], "sym string, t int, qty double")
+
+    with pytest.raises(ValueError, match="duplicates"):
+        asof_join(trades, quotes, on="t", by=["sym"], value_cols=["px", "px"])
+    with pytest.raises(ValueError, match="on/by"):
+        asof_join(trades, quotes, on="t", by=["sym"], value_cols=["t"])
+    with pytest.raises(ValueError, match="collide"):
+        # left already has qty; carrying right's qty under the same name clashes
+        asof_join(trades, quotes.withColumnRenamed("px", "qty"), on="t", by=["sym"], suffix="")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(trades.withColumn("__asof_side", F.lit(1)), quotes, on="t", by=["sym"])

@@ -73,3 +73,18 @@ def test_write_upsert_executor_path_sqlite(spark, tmp_path):
     with sqlite3.connect(db) as conn:
         got = dict(conn.execute("SELECT ticker, price FROM nav").fetchall())
     assert got == {"AAA": 1.0, "BBB": 9.0, "CCC": 3.0, "DDD": 4.0}
+
+
+def test_upsert_sql_rejects_unsafe_identifiers():
+    from fund_data_pipeline_spark.sinks.jdbc_upsert import upsert_sql
+
+    with pytest.raises(ValueError, match="unquoted"):
+        upsert_sql("t; DROP TABLE x", ["k", "v"], ["k"])
+    with pytest.raises(ValueError, match="unquoted"):
+        upsert_sql("t", ["k", 'v"'], ["k"])
+    with pytest.raises(ValueError, match="unquoted"):
+        upsert_sql("t", ["k", "v"], ["k"], hash_col="row hash")
+    # schema-qualified table names stay legal
+    assert upsert_sql("public.master", ["k", "v", "row_hash"], ["k"]).startswith(
+        "INSERT INTO public.master"
+    )
