@@ -29,14 +29,26 @@ stage — main_pipeline.py:16-33) collapses into in-process lazy lineages:
 each flow is ~1-2 Spark jobs instead of dozens of file round-trips.
 """
 
-from . import daily_nav, dividends, holdings, master_sync, price_history, repair, static_details
+from . import (
+    daily_nav,
+    dividends,
+    holdings,
+    master_sync,
+    orchestrator,
+    price_history,
+    repair,
+    static_details,
+)
+from .orchestrator import run_pipeline
 
 __all__ = [
     "daily_nav",
     "dividends",
     "holdings",
     "master_sync",
+    "orchestrator",
     "price_history",
     "repair",
+    "run_pipeline",
     "static_details",
 ]

@@ -1,0 +1,260 @@
+"""Top-level fail-stop orchestrator + run summary (O1/O7).
+
+The reference's ``main_pipeline.py:16-33`` runs its four sync modules as
+subprocesses in a fixed order and aborts the whole run on the first
+non-zero exit; ``src/utils/logger.py:81-117`` (``log_execution_summary``)
+then prints per-stage row counts, failure counts, and durations. This
+module rebuilds both on Spark terms:
+
+- a *stage* is just ``(name, thunk)`` where the thunk runs one pipeline
+  flow and returns its stats — no subprocesses, no CSV intermediate
+  representation; each flow is one in-process lazy lineage.
+- :func:`run_all` executes stages in order. A stage exception marks that
+  stage failed and (fail-stop, the default) marks every later stage
+  skipped — mirroring the reference's abort — while still returning the
+  full :class:`RunReport` so the caller sees exactly how far the run got.
+- :class:`RunReport.summary_lines` is the ``log_execution_summary``
+  analog: per-stage status, duration, and per-table insert/update/
+  unchanged counts, plus run totals.
+
+:func:`default_stages` wires the standard chain — master_sync →
+daily_nav (+ optional repair) → static_details → holdings — off a
+landing-zone directory layout; a stage whose landing directory is absent
+is reported as skipped rather than failing the run (a daily run does not
+break because one feed delivered nothing — the reference logs and moves
+on only for empty feeds, but hard-fails on errors, and so does this).
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import Column, SparkSession
+
+from ..merge import MergeStats
+from .repair import RepairStats
+
+Stage = tuple[str, Callable[[], object]]
+
+
+@dataclass
+class StageResult:
+    name: str
+    status: str  # "ok" | "failed" | "skipped"
+    duration_sec: float = 0.0
+    tables: dict[str, MergeStats] = field(default_factory=dict)
+    side_counts: dict[str, int] = field(default_factory=dict)
+    error: str | None = None
+
+
+@dataclass
+class RunReport:
+    stages: list[StageResult] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return all(s.status != "failed" for s in self.stages)
+
+    def totals(self) -> MergeStats:
+        agg = MergeStats(0, 0, 0)
+        for st in self.stages:
+            for ms in st.tables.values():
+                if ms.inserted >= 0:
+                    agg.inserted += ms.inserted
+                    agg.updated += ms.updated
+                    agg.unchanged += ms.unchanged
+                    agg.deleted_by_retention += ms.deleted_by_retention
+        return agg
+
+    def summary_lines(self) -> list[str]:
+        """log_execution_summary parity (reference logger.py:81-117)."""
+        lines = ["== pipeline run summary =="]
+        for st in self.stages:
+            detail = "; ".join(
+                f"{t}: +{m.inserted} ~{m.updated} ={m.unchanged}"
+                for t, m in st.tables.items()
+            )
+            extra = "; ".join(f"{k}={v}" for k, v in st.side_counts.items())
+            parts = [p for p in (detail, extra) if p]
+            tail = f" — {'; '.join(parts)}" if parts else ""
+            err = f" ({st.error})" if st.error else ""
+            lines.append(
+                f"stage {st.name}: {st.status} in {st.duration_sec:.1f}s{tail}{err}"
+            )
+        n_ok = sum(s.status == "ok" for s in self.stages)
+        n_failed = sum(s.status == "failed" for s in self.stages)
+        n_skipped = sum(s.status == "skipped" for s in self.stages)
+        tot = self.totals()
+        wall = sum(s.duration_sec for s in self.stages)
+        lines.append(
+            f"TOTAL: {n_ok} ok, {n_failed} failed, {n_skipped} skipped in "
+            f"{wall:.1f}s; inserted {tot.inserted}, updated {tot.updated}, "
+            f"unchanged {tot.unchanged}"
+        )
+        return lines
+
+
+def _record(result: StageResult, value: object) -> None:
+    """Normalize a flow's return value into the report.
+
+    Flows return one of: ``MergeStats``, ``dict[str, MergeStats]``,
+    ``(MergeStats, invalid_rows_df)``, or ``RepairStats``. The invalid-row
+    side channel is counted (it is the small quarantine subset, and the
+    reference summary reports failure counts too).
+    """
+    if isinstance(value, MergeStats):
+        result.tables[result.name] = value
+    elif isinstance(value, RepairStats):
+        result.side_counts["rows_failed"] = value.n_failed
+        result.side_counts["rows_repaired"] = value.n_repaired
+        if value.merge is not None:
+            result.tables[f"{result.name}(merged)"] = value.merge
+    elif isinstance(value, dict):
+        result.tables.update(value)
+    elif isinstance(value, tuple) and len(value) == 2:
+        stats, side = value
+        result.tables[result.name] = stats
+        try:
+            result.side_counts["rows_quarantined"] = side.count()
+        except AttributeError:
+            pass
+    elif value is not None:
+        result.side_counts["returned"] = 1
+
+
+def run_all(stages: Sequence[Stage], fail_stop: bool = True) -> RunReport:
+    """Execute ``stages`` in order with fail-stop semantics (O1).
+
+    On a stage exception the stage is recorded failed (with the traceback's
+    final line as the error) and, under ``fail_stop`` (default, the
+    reference's behavior), every remaining stage is recorded skipped. With
+    ``fail_stop=False`` later stages still run — useful when flows are
+    independent (the reference's modules each own disjoint tables).
+    """
+    report = RunReport()
+    aborted_by: str | None = None
+    for name, thunk in stages:
+        result = StageResult(name=name, status="ok")
+        if aborted_by is not None:
+            result.status = "skipped"
+            result.error = f"fail-stop: {aborted_by} failed"
+            report.stages.append(result)
+            continue
+        t0 = time.perf_counter()
+        try:
+            _record(result, thunk())
+        except Exception as e:  # noqa: BLE001 — a stage is a fault boundary
+            result.status = "failed"
+            result.error = "".join(traceback.format_exception_only(type(e), e)).strip()
+            if fail_stop:
+                aborted_by = name
+        result.duration_sec = time.perf_counter() - t0
+        report.stages.append(result)
+    return report
+
+
+# ---------------------------------------------------------------------------
+# standard chain off a landing-zone layout
+# ---------------------------------------------------------------------------
+
+
+def default_stages(
+    spark: SparkSession,
+    landing_root: str,
+    warehouse: str,
+    today: Column | None = None,
+    nav_reprocess: Callable | None = None,
+) -> list[Stage]:
+    """The reference's four-module chain as stages over a landing layout::
+
+        <landing_root>/master_list/   scrape CSVs for the security master
+        <landing_root>/daily_nav/     daily NAV feed CSVs
+        <landing_root>/fund_details/  static detail CSVs (info/fees/risk/policy)
+        <landing_root>/holdings/      holdings CSVs
+        <landing_root>/allocations/<kind>/   one dir per allocation kind
+
+    A stage whose landing directory is empty or absent becomes a no-op
+    returning ``None`` (reported ok with no tables) — feeds that delivered
+    nothing must not abort the run. ``nav_reprocess`` enables the NAV
+    repair pass (G2) right after the daily load.
+    """
+    from ..sources.csv_landing import read_landing_csvs
+    from . import daily_nav, holdings, master_sync, static_details
+
+    root = Path(landing_root)
+
+    def _has(sub: str) -> bool:
+        d = root / sub
+        return d.is_dir() and any(d.rglob("*.csv"))
+
+    def _master():
+        if not _has("master_list"):
+            return None
+        src = read_landing_csvs(spark, [str(root / "master_list")])
+        stats, invalid = master_sync.run(
+            spark, [src], f"{warehouse}/stg_security_master", as_of=today, today=today
+        )
+        return stats, invalid
+
+    def _nav():
+        if not _has("daily_nav"):
+            return None
+        return daily_nav.run(
+            spark, [str(root / "daily_nav")], f"{warehouse}/stg_daily_nav", today
+        )
+
+    def _nav_repair():
+        if nav_reprocess is None or not Path(f"{warehouse}/stg_daily_nav").exists():
+            return None
+        return daily_nav.run_repair(
+            spark,
+            f"{warehouse}/stg_daily_nav",
+            nav_reprocess,
+            repair_log_path=f"{warehouse}/nav_repair_log",
+        )
+
+    def _details():
+        if not _has("fund_details"):
+            return None
+        raw = read_landing_csvs(spark, [str(root / "fund_details")])
+        return static_details.run(spark, raw, warehouse)
+
+    def _holdings():
+        if not _has("holdings"):
+            return None
+        hraw = read_landing_csvs(spark, [str(root / "holdings")])
+        alloc: dict = {}
+        alloc_root = root / "allocations"
+        if alloc_root.is_dir():
+            for kind_dir in sorted(p for p in alloc_root.iterdir() if p.is_dir()):
+                if any(kind_dir.rglob("*.csv")):
+                    alloc[kind_dir.name] = read_landing_csvs(spark, [str(kind_dir)])
+        return holdings.run(spark, hraw, alloc, warehouse)
+
+    stages: list[Stage] = [
+        ("master_sync", _master),
+        ("daily_nav", _nav),
+        ("nav_repair", _nav_repair),
+        ("static_details", _details),
+        ("holdings", _holdings),
+    ]
+    return stages
+
+
+def run_pipeline(
+    spark: SparkSession,
+    landing_root: str,
+    warehouse: str,
+    today: Column | None = None,
+    nav_reprocess: Callable | None = None,
+    fail_stop: bool = True,
+) -> RunReport:
+    """One-call entry point: the reference's ``main_pipeline.py`` analog."""
+    return run_all(
+        default_stages(spark, landing_root, warehouse, today, nav_reprocess),
+        fail_stop=fail_stop,
+    )

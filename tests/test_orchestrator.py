@@ -1,0 +1,121 @@
+"""O1/O7: fail-stop orchestration + run-summary reporting over a full
+landing-zone fixture (reference main_pipeline.py:16-33 + logger.py:81-117)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fund_data_pipeline_spark.pipelines import orchestrator, run_pipeline
+
+
+def _write_landing(root):
+    (root / "master_list").mkdir(parents=True)
+    (root / "master_list" / "ft.csv").write_text(
+        "Symbol,asset_type,Fund Name,status,source,date_added\n"
+        "vtsax,Mutual Fund,Vanguard Total,,ft,2024-03-01\n"
+        "SPY,ETF,SPDR S&P 500,active,yf,2024-03-01\n"
+    )
+    (root / "daily_nav").mkdir()
+    (root / "daily_nav" / "nav.csv").write_text(
+        "Ticker,Asset_Type,Source,nav_price,currency,as_of_date,scrape_date\n"
+        "VTSAX,FUND,yf,12.99,USD,2024-03-01,2024-03-01\n"
+        "SPY,ETF,yf,500.10,USD,2024-03-09,2024-03-01\n"  # future date: quarantined
+    )
+    (root / "fund_details").mkdir()
+    (root / "fund_details" / "details.csv").write_text(
+        "Symbol,asset_type,source,Fund Name,aum,expense_ratio,initial_charge,"
+        "holdings_count,returns_1y,std_dev_3y,as_of_date\n"
+        'vtsax,FUND,yf,Vanguard,842.33m USD,0.04%,45,"1,234",150.5,2550.0,2024-03-01\n'
+    )
+    (root / "holdings").mkdir()
+    (root / "holdings" / "h.csv").write_text(
+        "ticker,asset_type,source,Item_Name,holding_ticker,Value_Net,as_of_date\n"
+        "VTSAX,FUND,ft,Apple Inc,AAPL,+5.2%,2024-03-01\n"
+    )
+    (root / "allocations" / "sector").mkdir(parents=True)
+    (root / "allocations" / "sector" / "a.csv").write_text(
+        "ticker,asset_type,source,item_name,value_net,as_of_date\n"
+        "VTSAX,FUND,ft,Technology,45.5%,2024-03-01\n"
+    )
+
+
+def test_run_pipeline_full_chain(spark, tmp_path):
+    landing = tmp_path / "landing"
+    warehouse = tmp_path / "warehouse"
+    _write_landing(landing)
+
+    report = run_pipeline(
+        spark, str(landing), str(warehouse), today=F.lit("2024-03-05").cast("date")
+    )
+    assert report.ok
+    by_name = {s.name: s for s in report.stages}
+    assert [s.name for s in report.stages] == [
+        "master_sync", "daily_nav", "nav_repair", "static_details", "holdings",
+    ]
+    assert all(s.status == "ok" for s in report.stages)
+
+    # per-stage stats reached the report
+    assert by_name["master_sync"].tables["master_sync"].inserted == 2
+    assert by_name["daily_nav"].tables["daily_nav"].inserted == 1
+    assert by_name["daily_nav"].side_counts["rows_quarantined"] == 1
+    assert by_name["static_details"].tables["stg_fund_info"].inserted == 1
+    assert by_name["holdings"].tables["stg_allocations"].inserted == 1
+
+    # the warehouse actually has the tables
+    for t in (
+        "stg_security_master", "stg_daily_nav", "stg_fund_info",
+        "stg_fund_fees", "stg_fund_risk", "stg_fund_policy",
+        "stg_fund_holdings", "stg_allocations",
+    ):
+        assert (warehouse / t).is_dir(), t
+    assert spark.read.parquet(str(warehouse / "stg_daily_nav")).count() == 1
+
+    # run summary: one line per stage + totals (logger.py:81-117 parity)
+    lines = report.summary_lines()
+    assert lines[0] == "== pipeline run summary =="
+    assert len(lines) == 2 + len(report.stages)
+    assert "stage daily_nav: ok" in lines[2] and "rows_quarantined=1" in lines[2]
+    assert lines[-1].startswith("TOTAL: 5 ok, 0 failed, 0 skipped")
+    tot = report.totals()
+    assert tot.inserted == 2 + 1 + 4 + 2  # master + nav + details x4 + holdings/alloc
+
+    # idempotent re-run: hash guards elide everything except the K5 master
+    report2 = run_pipeline(
+        spark, str(landing), str(warehouse), today=F.lit("2024-03-05").cast("date")
+    )
+    assert report2.ok and report2.totals().inserted == 0
+
+
+def test_run_all_fail_stop(spark):
+    calls = []
+
+    def ok_stage():
+        calls.append("a")
+
+    def boom():
+        raise RuntimeError("feed exploded")
+
+    def never():
+        calls.append("c")
+
+    report = orchestrator.run_all([("a", ok_stage), ("b", boom), ("c", never)])
+    assert not report.ok
+    assert [s.status for s in report.stages] == ["ok", "failed", "skipped"]
+    assert "feed exploded" in report.stages[1].error
+    assert report.stages[2].error == "fail-stop: b failed"
+    assert calls == ["a"]  # c never ran
+
+    # independent-flows mode: later stages still run
+    calls.clear()
+    report = orchestrator.run_all(
+        [("a", ok_stage), ("b", boom), ("c", never)], fail_stop=False
+    )
+    assert [s.status for s in report.stages] == ["ok", "failed", "ok"]
+    assert calls == ["a", "c"]
+
+
+def test_missing_feeds_do_not_fail_the_run(spark, tmp_path):
+    (tmp_path / "landing").mkdir()
+    report = run_pipeline(spark, str(tmp_path / "landing"), str(tmp_path / "wh"))
+    assert report.ok
+    assert all(s.status == "ok" and not s.tables for s in report.stages)
