@@ -13,6 +13,8 @@ fund_data_pipeline_spark.operators.similarity for bench use.)
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -414,6 +416,7 @@ def ivf_topk(
     nprobe: int = N_IVF_PROBE,
     k: int = 10,
     query_vec_id: int = _QUERY_VEC_ID,
+    centroids: Sequence[tuple[int, Sequence[int]]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization, Spark-first.
 
@@ -434,11 +437,16 @@ def ivf_topk(
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _quant("embedding").alias("qe")
     )
-    cents = (
-        emb.filter(F.col("vec_id") < n_cells)
-        .select(F.col("vec_id").alias("cid"), "qe")
-        .collect()
-    )
+    if centroids is not None:
+        cents = [{"cid": int(cid), "qe": list(qe)} for cid, qe in centroids]
+    else:
+        # deterministic first-N codebook (the registered oracle's form);
+        # train_ivf_codebook supplies a k-means codebook with the same shape
+        cents = (
+            emb.filter(F.col("vec_id") < n_cells)
+            .select(F.col("vec_id").alias("cid"), "qe")
+            .collect()
+        )
 
     def dist_to(c):
         # argmin over cells: the row's own qe.qe term is constant across
@@ -490,3 +498,41 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def train_ivf_codebook(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_cells: int = N_IVF_CELLS,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[tuple[int, list[int]]]:
+    """Seeded k-means coarse quantizer for :func:`ivf_topk`.
+
+    The first-N codebook is deterministic but blind to the corpus shape: on
+    a skewed corpus the first N vectors may all come from one mode, leaving
+    other modes split across far-away cells and tanking recall. This trains
+    ``pyspark.ml.clustering.KMeans`` (distributed, seeded — same centroids
+    every run) over the quantized embeddings and returns ``[(cid, qe), ...]``
+    in exactly the shape ``ivf_topk(centroids=...)`` consumes. Centers are
+    rounded back to the quantized integer domain so cell assignment stays
+    exact integer math — the plan is byte-identical to the first-N form,
+    only the literals differ.
+
+    Scale (100 TB): k-means is the one iterative stage and Spark ML runs it
+    distributed; train on a sample (`df.sample`) for very large corpora —
+    coarse centroids converge long before full-corpus precision matters.
+    Only ``n_cells`` tiny rows are ever collected.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        array_to_vector(_quant("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(emb)
+    return [
+        (cid, [int(round(float(v))) for v in center])
+        for cid, center in enumerate(model.clusterCenters())
+    ]

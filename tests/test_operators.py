@@ -328,3 +328,51 @@ def test_asof_join_rejects_ambiguous_outputs(spark):
         asof_join(trades, quotes.withColumnRenamed("px", "qty"), on="t", by=["sym"], suffix="")
     with pytest.raises(ValueError, match="reserved"):
         asof_join(trades.withColumn("__asof_side", F.lit(1)), quotes, on="t", by=["sym"])
+
+
+def test_trained_ivf_codebook_beats_first_n_on_skewed_corpus(spark, tmp_path):
+    """On a corpus whose first N vectors all come from one mode, the first-N
+    codebook has no centroid near the query's mode and recall collapses; a
+    seeded k-means codebook gives every mode its own cell(s), so at equal
+    nprobe it must retrieve the planted neighbors."""
+    import numpy as np
+
+    from fund_data_pipeline_spark.queries.vectors import ivf_topk, train_ivf_codebook
+
+    rng = np.random.default_rng(29)
+    mode_a = rng.normal(loc=0.0, size=64)
+    mode_c = rng.normal(loc=0.0, size=64)
+    mode_c = mode_c / np.linalg.norm(mode_c) * 10 + 20  # far-away mode
+    # first 100 vectors (ids 0..99): tight mode A — the first-16 codebook
+    # is drawn entirely from here
+    rows = [
+        (int(i), "a", [float(x) for x in (mode_a + 0.05 * rng.normal(size=64))])
+        for i in range(100)
+    ]
+    # query mode: id 500 is the query, 1000+ are planted near-dups
+    q = mode_c + 0.05 * rng.normal(size=64)
+    rows.append((500, "c", [float(x) for x in q]))
+    rows += [
+        (1000 + i, "dup", [float(x) for x in (q + 0.01 * rng.normal(size=64))])
+        for i in range(10)
+    ]
+    # scatter more mode-C points so k-means sees the mode
+    rows += [
+        (2000 + i, "c", [float(x) for x in (mode_c + 0.05 * rng.normal(size=64))])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+
+    planted = set(range(1000, 1010))
+    first_n = {
+        r["vec_id"] for r in ivf_topk(spark, sf, k=10, query_vec_id=500).collect()
+    }
+    codebook = train_ivf_codebook(spark, sf, seed=7)
+    trained = {
+        r["vec_id"]
+        for r in ivf_topk(spark, sf, k=10, query_vec_id=500, centroids=codebook).collect()
+    }
+    assert len(trained & planted) >= 8
+    assert len(trained & planted) >= len(first_n & planted)
