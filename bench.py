@@ -8,6 +8,13 @@ Each query is executed to completion (count + collect of a bounded result)
 so the timing covers the full scan->shuffle->result path, not just plan
 construction. A warmup run of the smallest query amortizes JVM/codegen
 startup out of the numbers.
+
+Scale coverage: the container ships sf0.001 / sf0.01 / sf0.1 only, so the
+largest recordable point is sf0.1 (set SPARK_GRAFT_SF_DIR to any of them).
+The 0.001 -> 0.01 -> 0.1 series spans two orders of magnitude; headline
+totals should scale sub-linearly in it (scans dominate; aggregates and
+top-k stay small) — a super-linear jump between adjacent SFs is the
+regression signal an sf1 run would otherwise give.
 """
 
 from __future__ import annotations

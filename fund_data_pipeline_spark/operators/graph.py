@@ -10,10 +10,14 @@ edge set — computed by min-label propagation to a fixpoint:
 Each iteration is one shuffle (edges join labels + min-aggregate); the loop
 runs until no label changes, i.e. graph-diameter iterations. Near-dup
 graphs are unions of small dense blobs (diameter 2-4), so 3-5 iterations
-is typical regardless of row count — this is the standard large-scale
-design (cf. the large/small-star algorithm of Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14; plain propagation is the
-right trade-off at small diameter).
+is typical regardless of row count. For graphs that DON'T converge fast —
+long chains, threaded near-dup runs — propagation hands off after
+``star_fallback_after`` rounds to alternating large-star/small-star
+contraction on the edge set (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14): O(log^2 n) rounds worst case, ~log n in
+practice, each round two grouped joins over the current edge relation.
+The cheap propagation rounds stay first because they settle the common
+small-diameter case without ever materializing contracted edge sets.
 
 Scale notes:
 - ``localCheckpoint`` truncates the lineage each round, keeping the plan
@@ -30,6 +34,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge form: (src > dst), no self-loops, distinct."""
+    return (
+        e.select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris large-star: every neighbor v > u reconnects to
+    m(u) = min(Γ(u) ∪ {u}). One grouped min + one join, both on node id."""
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("__mn"))
+    mins = mins.select("src", F.least(F.col("src"), F.col("__mn")).alias("m"))
+    return _canon(
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris small-star over canonical edges (src > dst): each node's
+    smaller neighbors all reconnect to its minimum smaller neighbor."""
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = e.join(mins, "src")
+    rewired = joined.filter(F.col("dst") != F.col("m")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    centers = mins.select("src", F.col("m").alias("dst"))
+    return _canon(rewired.union(centers))
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -38,15 +76,24 @@ def connected_components(
     dst_col: str = "dst",
     max_iterations: int = 50,
     strict: bool = True,
+    star_fallback_after: int = 5,
 ) -> DataFrame:
     """Return (node, cluster_id): min reachable node id per component.
 
     ``nodes``: one row per node id (singletons allowed — they become their
     own cluster). ``edges``: undirected pairs; symmetrized internally.
 
-    Min-label propagation needs ~graph-diameter rounds; if the loop exhausts
-    ``max_iterations`` before the fixpoint (e.g. a pathological long chain),
-    the labels are NOT converged — components would be silently split. With
+    Plain min-label propagation needs ~graph-diameter rounds — right for
+    near-dup blobs (diameter 2-4), pathological for chain-shaped graphs. If
+    it has not converged after ``star_fallback_after`` rounds, the operator
+    switches to alternating large-star/small-star contraction on the edge
+    set (Kiveris et al., SoCC'14): provably convergent to per-component
+    stars centered at the component minimum in O(log^2 n) rounds (~log n
+    observed), independent of diameter. Both phases produce the identical
+    fixpoint — every node labeled with the min reachable id.
+
+    If both phases together exhaust ``max_iterations`` rounds the labels
+    are NOT converged — components would be silently split. With
     ``strict=True`` (default) that raises; ``strict=False`` downgrades to a
     warning for callers that accept approximate clusters.
     """
@@ -59,7 +106,9 @@ def connected_components(
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
 
     converged = False
-    for _ in range(max_iterations):
+    rounds_used = 0
+    for _ in range(min(star_fallback_after, max_iterations)):
+        rounds_used += 1
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
@@ -82,10 +131,33 @@ def connected_components(
             break
 
     if not converged:
+        # Star-contraction fallback: operates on the edge set alone, so the
+        # partial propagation labels are discarded (they cost a few cheap
+        # rounds, nothing more). Each round is checkpointed — bounded plans
+        # regardless of round count.
+        e = _canon(sym).localCheckpoint(eager=True)
+        while rounds_used < max_iterations:
+            rounds_used += 1
+            new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            if new_e.exceptAll(e).union(e.exceptAll(new_e)).isEmpty():
+                converged = True
+                break
+            e = new_e
+        if converged:
+            # fixpoint edges are stars (v, component_min); nodes without
+            # edges are their own cluster
+            roots = e.groupBy("src").agg(F.min("dst").alias("root"))
+            labels = (
+                nodes.select(F.col(node_col).alias("node"))
+                .join(roots, F.col("node") == F.col("src"), "left")
+                .select("node", F.coalesce("root", F.col("node")).alias("label"))
+            )
+
+    if not converged:
         msg = (
             f"connected_components did not reach a fixpoint within "
-            f"{max_iterations} iterations — cluster ids would be split. "
-            f"Raise max_iterations (needs ~graph diameter rounds)."
+            f"{max_iterations} rounds (propagation + star contraction) — "
+            f"cluster ids would be split. Raise max_iterations."
         )
         if strict:
             raise RuntimeError(msg)

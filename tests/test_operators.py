@@ -376,3 +376,25 @@ def test_trained_ivf_codebook_beats_first_n_on_skewed_corpus(spark, tmp_path):
     }
     assert len(trained & planted) >= 8
     assert len(trained & planted) >= len(first_n & planted)
+
+
+def test_connected_components_1000_node_path_star_contraction(spark):
+    """A 1000-node path has diameter 999: plain propagation would need ~999
+    rounds and previously raised at the 50-round cap. Star contraction must
+    reach the fixpoint in ~log n contraction rounds — well under 25 — and still
+    produce the exact component min for every node, under a permuted id
+    assignment (labels must flow against the id order too)."""
+    import random
+
+    from fund_data_pipeline_spark.operators import graph
+
+    rng = random.Random(13)
+    ids = list(range(1000))
+    rng.shuffle(ids)
+    nodes = spark.createDataFrame([(i,) for i in ids], "node long")
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(999)], "src long, dst long"
+    )
+    cc = graph.connected_components(nodes, edges, max_iterations=25).collect()
+    assert len(cc) == 1000
+    assert all(r.cluster_id == 0 for r in cc)
