@@ -4,18 +4,21 @@
   resize / frame-sample plumbing over ``mapInPandas`` (decoders stubbed —
   the image/audio libraries are not in this container; the Spark-side
   schema, batching, and partitioning are real and tested)
-- ``sampling``    deterministic hash-based sampling and train/val/test
-  splits (reproducible across engines and runs, no RNG state)
+- ``sampling``    deterministic hash-based sampling, train/val/test
+  splits, and per-stratum mixture rates (reproducible across engines and
+  runs, no RNG state)
+- ``chunking``    token-window document chunking with overlap — the
+  context-window prep stage; pure scan + explode
 - ``asof``        reusable LEFT as-of join (merge_asof parity: backward/
   forward, tolerance) via the one-shuffle union + window-LOCF pattern
-- ``graph``       connected components (min-label propagation) for dedup
-  cluster assignment
+- ``graph``       connected components (min-label propagation, with
+  large-star/small-star contraction fallback) for dedup cluster assignment
 
 The dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
 embedding-cosine), similarity search, and text analysis live in
 :mod:`fund_data_pipeline_spark.queries` as oracle-checked catalog entries.
 """
 
-from . import asof, graph, multimodal, sampling
+from . import asof, chunking, graph, multimodal, sampling
 
-__all__ = ["asof", "graph", "multimodal", "sampling"]
+__all__ = ["asof", "chunking", "graph", "multimodal", "sampling"]

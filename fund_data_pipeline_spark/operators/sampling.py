@@ -65,3 +65,37 @@ def train_val_test(
 ) -> DataFrame:
     """Attach a deterministic split label; same key => same split, always."""
     return df.withColumn(split_col, split_column(key, weights, labels))
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — training-mixture construction.
+
+    The data-mixture stage of a training pipeline keeps strata (language,
+    source, quality tier) at different rates: downsample the dominant
+    stratum, keep the rare ones whole. Same hash-bucket machinery as
+    :func:`deterministic_sample`, so the sample is reproducible, stable
+    under repartitioning, and co-sampled across tables on the same key —
+    and the whole thing is one map-side filter, no shuffle, no state.
+
+    ``rates`` maps stratum value -> keep fraction in [0, 1]; strata not
+    listed use ``default_rate``. A NULL stratum uses ``default_rate`` too.
+    """
+    for v, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {v!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    threshold = None
+    for v, r in rates.items():
+        bound = F.lit(int(round(r * N_BUCKETS)))
+        cond = F.col(stratum_col) == v
+        threshold = F.when(cond, bound) if threshold is None else threshold.when(cond, bound)
+    default_bound = F.lit(int(round(default_rate * N_BUCKETS)))
+    threshold = default_bound if threshold is None else threshold.otherwise(default_bound)
+    return df.filter(hash_bucket(key) < threshold)

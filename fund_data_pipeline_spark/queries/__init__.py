@@ -145,6 +145,10 @@ _OUT_OF_WINDOW_WHY = {
     "train_val_test_split": "driver-green r2+r3+r4; hash-split family in-window via stratified_hash_sample",
     "embedding_ann_bucketed_topk": "driver-green r2+r3+r4; ANN family in-window via embedding_ivf_topk + embedding_lsh_buckets",
     "embedding_cosine_near_dup": "driver-green r2+r3+r4; bucketed cosine family in-window via embedding_ivf_topk + embedding_topk_pandas",
+    # new in round 5 — the window was already committed to the 20 formerly
+    # never-checked queries; these take their driver slots next rotation
+    "doc_chunking": "new r5 operator (token-window chunking); explode/tokenize family in-window via token_count_regex + quality_score",
+    "language_rebalance_mixture": "new r5 operator (per-stratum mixture rates); hash-sample family in-window via stratified_hash_sample",
 }
 
 

@@ -236,3 +236,39 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("width").alias("min_width"),
         F.max("height").alias("max_height"),
     )
+
+
+#: mixture rates for the registered query: downsample dominant English,
+#: half-keep Chinese, keep the rare languages whole (the canonical
+#: rebalancing mixture); oracle below is generated from the same dict
+_MIXTURE_RATES = {"en": 0.3, "zh": 0.5}
+_MIXTURE_DEFAULT = 1.0
+
+
+def _mixture_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN {int(round(r * sampling.N_BUCKETS))}"
+        for v, r in _MIXTURE_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE {int(round(_MIXTURE_DEFAULT * sampling.N_BUCKETS))} END"
+
+
+@register(
+    "language_rebalance_mixture",
+    doc="Training-mixture construction (operators.sampling.mixture_sample): "
+    "per-language keep rates (en 30%, zh 50%, rest 100%) via the "
+    "deterministic md5 bucket — membership itself is oracle-checked. One "
+    "map-side filter; co-sampled with any table sampled on doc_id.",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % {sampling.N_BUCKETS} < {_mixture_case_sql()}
+""",
+)
+def language_rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mixed = sampling.mixture_sample(
+        docs, "doc_id", "lang", _MIXTURE_RATES, default_rate=_MIXTURE_DEFAULT
+    )
+    return mixed.select("doc_id", "lang")

@@ -612,3 +612,38 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@register(
+    "doc_chunking",
+    doc="Token-window chunking with overlap (operators.chunking): each doc "
+    "explodes into 32-token windows at stride 24, the context-window prep "
+    "stage of a training pipeline. Pure scan+explode — no shuffle, no UDF; "
+    "chunk text is md5'd so the checked result stays narrow.",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start / 24 AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, start + 1, least(start + 32, len(toks)))) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, least(start + 32, len(toks))), ' ')) AS chunk_hash
+FROM s
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_by_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_by_tokens(docs, chunk_size=32, stride=24)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )

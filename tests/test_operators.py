@@ -398,3 +398,57 @@ def test_connected_components_1000_node_path_star_contraction(spark):
     cc = graph.connected_components(nodes, edges, max_iterations=25).collect()
     assert len(cc) == 1000
     assert all(r.cluster_id == 0 for r in cc)
+
+
+def test_chunk_by_tokens_overlap_and_boundaries(spark):
+    from fund_data_pipeline_spark.operators.chunking import chunk_by_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "one two"),                             # shorter than a chunk
+            (3, "   "),                                 # whitespace-only: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_by_tokens(docs, chunk_size=4, stride=3)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+
+    # doc 1: starts 0,3,6,9 -> windows [0:4],[3:7],[6:10],[9:10]
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2), (1, 3)]
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6"  # overlap of 1 token
+    assert rows[(1, 3)].chunk_text == "t9" and rows[(1, 3)].n_tokens == 1
+    # every token appears in at least one chunk
+    seen = set()
+    for k, r in rows.items():
+        if k[0] == 1:
+            seen.update(r.chunk_text.split(" "))
+    assert seen == {f"t{i}" for i in range(10)}
+
+    assert rows[(2, 0)].chunk_text == "one two" and rows[(2, 0)].n_tokens == 2
+    assert not any(k[0] == 3 for k in rows)
+
+    with pytest.raises(ValueError, match="stride"):
+        chunk_by_tokens(docs, chunk_size=4, stride=5)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from fund_data_pipeline_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else ("zh" if i % 4 == 1 else None)) for i in range(4000)],
+        "doc_id long, lang string",
+    )
+    out = mixture_sample(df, "doc_id", "lang", {"en": 0.25, "zh": 0.5}, default_rate=1.0)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts[None] == 1000           # default rate keeps every NULL-stratum row
+    assert 0.18 <= counts["en"] / 2000 <= 0.32   # ~25% of 2000
+    assert 0.40 <= counts["zh"] / 1000 <= 0.60   # ~50% of 1000
+
+    # deterministic: the exact same doc_ids survive a re-run
+    again = mixture_sample(df, "doc_id", "lang", {"en": 0.25, "zh": 0.5}, default_rate=1.0)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+    with pytest.raises(ValueError, match="rate"):
+        mixture_sample(df, "doc_id", "lang", {"en": 1.5})
