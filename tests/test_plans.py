@@ -52,7 +52,14 @@ def test_regional_supplier_volume_no_cartesian(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["pricing_summary", "text_statistics", "exact_dedup", "embedding_topk_cosine"],
+    [
+        "pricing_summary",
+        "text_statistics",
+        "exact_dedup",
+        "embedding_topk_cosine",
+        "doc_chunking",
+        "language_rebalance_mixture",
+    ],
 )
 def test_headline_hot_paths_stay_jvm_side(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
