@@ -70,3 +70,37 @@ def chunk_by_tokens(
         F.size(chunk).alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def pack_token_budget(
+    chunks: DataFrame,
+    budget: int,
+    group_cols: Sequence[str] = (),
+    order_cols: Sequence[str] = ("doc_id", "chunk_idx"),
+    tokens_col: str = "n_tokens",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget training sequences (packing).
+
+    Streaming boundary packing: within each group, chunks are laid out in
+    ``order_cols`` order and ``pack_id = floor(running_total_before / budget)``
+    — a chunk straddling a budget boundary stays in the pack it started in,
+    so packs can overrun by at most one chunk (the standard deterministic
+    approximation; exact bin packing is NP-hard and order-destroying).
+    One window over (group, order) — a single shuffle; grouping by source
+    or shard keeps window partitions bounded at 100 TB (an empty
+    ``group_cols`` means ONE global ordered partition: fine for tests,
+    wrong at scale — always group in production).
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(tokens_col)).over(w)
+    before = running - F.col(tokens_col)
+    return chunks.withColumn(pack_col, F.floor(before / F.lit(budget)))

@@ -149,6 +149,8 @@ _OUT_OF_WINDOW_WHY = {
     # never-checked queries; these take their driver slots next rotation
     "doc_chunking": "new r5 operator (token-window chunking); explode/tokenize family in-window via token_count_regex + quality_score",
     "language_rebalance_mixture": "new r5 operator (per-stratum mixture rates); hash-sample family in-window via stratified_hash_sample",
+    "sequence_packing": "new r5 operator (token-budget packing over chunk windows); window-cumsum family in-window via running_revenue_by_supplier, chunk machinery shared with doc_chunking",
+    "length_percentile_gate": "new r5 operator (per-stratum percent_rank gate); ranking-window family in-window via ntile_quartiles + order_price_percentiles",
 }
 
 

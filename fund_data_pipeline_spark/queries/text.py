@@ -647,3 +647,96 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.md5("chunk_text").alias("chunk_hash"),
     )
+
+
+#: shared chunking CTE for the packing oracle (identical token windows to
+#: doc_chunking, with source carried through for the pack grouping)
+_CHUNK_CTE = r"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, source, toks, unnest(range(0, len(toks), 24)) AS start
+  FROM t
+), chunks AS (
+  SELECT doc_id, source,
+         CAST(start / 24 AS BIGINT) AS chunk_idx,
+         CAST(len(list_slice(toks, start + 1, least(start + 32, len(toks)))) AS BIGINT) AS n_tokens
+  FROM s
+)
+"""
+
+
+@register(
+    "sequence_packing",
+    doc="Fixed-token-budget sequence packing (operators.chunking."
+    "pack_token_budget): chunks are laid out per source in (doc_id, "
+    "chunk_idx) order and assigned pack_id = floor(tokens_before/256) — "
+    "streaming boundary packing, one window shuffle, grouped by source so "
+    "window partitions stay bounded at scale. Checked as per-pack "
+    "chunk/token totals.",
+    oracle=_CHUNK_CTE
+    + """
+, packed AS (
+  SELECT source, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0) AS BIGINT) AS pack_id
+  FROM chunks
+)
+SELECT source, pack_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY source, pack_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_by_tokens, pack_token_budget
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_by_tokens(docs, id_cols=("doc_id", "source"), chunk_size=32, stride=24)
+    packed = pack_token_budget(chunks, budget=256, group_cols=("source",))
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+@register(
+    "length_percentile_gate",
+    doc="Per-language length-percentile gate: drop the shortest 10% of "
+    "documents within each language (percent_rank window over exact token "
+    "counts — the dynamic-threshold form of a min-length filter; a fixed "
+    "cutoff would over-prune terse languages and under-prune verbose ones).",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE length(trim(text)) > 0
+), r AS (
+  SELECT doc_id, lang, n_tokens,
+         percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens) AS pr
+  FROM t
+)
+SELECT doc_id, lang, n_tokens
+FROM r
+WHERE pr >= 0.10
+""",
+)
+def length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("n_tokens"))
+    return (
+        base.withColumn("__pr", pr)
+        .filter(F.col("__pr") >= 0.10)
+        .select("doc_id", "lang", "n_tokens")
+    )

@@ -452,3 +452,31 @@ def test_mixture_sample_rates_and_determinism(spark):
 
     with pytest.raises(ValueError, match="rate"):
         mixture_sample(df, "doc_id", "lang", {"en": 1.5})
+
+
+def test_pack_token_budget_boundary_semantics(spark):
+    from fund_data_pipeline_spark.operators.chunking import pack_token_budget
+
+    chunks = spark.createDataFrame(
+        [
+            # (doc, idx, tokens) laid out in order: cumsum-before 0,3,6,9,12
+            ("s1", 1, 0, 3), ("s1", 1, 1, 3), ("s1", 2, 0, 3),
+            ("s1", 3, 0, 3), ("s1", 3, 1, 3),
+            ("s2", 1, 0, 10),
+        ],
+        "source string, doc_id long, chunk_idx long, n_tokens long",
+    )
+    out = pack_token_budget(
+        chunks, budget=8, group_cols=("source",), order_cols=("doc_id", "chunk_idx")
+    )
+    packs = {(r.source, r.doc_id, r.chunk_idx): r.pack_id for r in out.collect()}
+    # s1: before-totals 0,3,6 -> pack 0 (the 6-start chunk straddles the
+    # boundary but stays in the pack it started in); 9,12 -> pack 1
+    assert packs[("s1", 1, 0)] == 0 and packs[("s1", 1, 1)] == 0
+    assert packs[("s1", 2, 0)] == 0
+    assert packs[("s1", 3, 0)] == 1 and packs[("s1", 3, 1)] == 1
+    # groups pack independently
+    assert packs[("s2", 1, 0)] == 0
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_token_budget(chunks, budget=0)
