@@ -151,6 +151,7 @@ _OUT_OF_WINDOW_WHY = {
     "language_rebalance_mixture": "new r5 operator (per-stratum mixture rates); hash-sample family in-window via stratified_hash_sample",
     "sequence_packing": "new r5 operator (token-budget packing over chunk windows); window-cumsum family in-window via running_revenue_by_supplier, chunk machinery shared with doc_chunking",
     "length_percentile_gate": "new r5 operator (per-stratum percent_rank gate); ranking-window family in-window via ntile_quartiles + order_price_percentiles",
+    "leakage_safe_split": "new r5 operator (content-hash split key); split family in-window via train_val_test_split's machinery (driver-green r2-r4) + stratified_hash_sample (in-window)",
 }
 
 

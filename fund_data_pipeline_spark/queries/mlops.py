@@ -272,3 +272,31 @@ def language_rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang", _MIXTURE_RATES, default_rate=_MIXTURE_DEFAULT
     )
     return mixed.select("doc_id", "lang")
+
+
+@register(
+    "leakage_safe_split",
+    doc="Leakage-safe train/val/test split: the split key is the CONTENT "
+    "hash (md5 of text), not the doc id, so byte-identical duplicates can "
+    "never straddle a split boundary and leak eval data into training. "
+    "Same map-side bucket machinery as train_val_test_split; membership "
+    "itself is oracle-checked.",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN b < {int(0.8 * sampling.N_BUCKETS)} THEN 'train'
+            WHEN b < {int(0.9 * sampling.N_BUCKETS)} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(md5(text)), 1, 8)) AS BIGINT)
+           % {sampling.N_BUCKETS} AS b
+  FROM documents
+)
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    split = sampling.split_column(
+        F.md5(F.col("text")), (0.8, 0.1, 0.1), ("train", "val", "test")
+    )
+    return docs.select("doc_id", split.alias("split"))

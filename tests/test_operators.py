@@ -480,3 +480,19 @@ def test_pack_token_budget_boundary_semantics(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_token_budget(chunks, budget=0)
+
+
+def test_leakage_safe_split_colocates_exact_duplicates(spark, sf_dir):
+    from fund_data_pipeline_spark.queries.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [(i, "identical body") for i in range(50)]
+        + [(100 + i, f"unique body {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet("/tmp/lss_docs/documents.parquet")
+    out = QUERIES["leakage_safe_split"].spark(spark, "/tmp/lss_docs")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    dup_splits = {rows[i] for i in range(50)}
+    assert len(dup_splits) == 1  # every identical doc in the same split
+    assert set(rows.values()) <= {"train", "val", "test"}
