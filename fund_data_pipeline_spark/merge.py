@@ -153,14 +153,20 @@ def merge_upsert(
         touched = [
             r[0] for r in distinct_parts.limit(_ISIN_PRUNE_MAX + 1).collect()
         ]
+        # mergeSchema: a prior allow_new_columns merge rewrites only touched
+        # partitions, so partition files can legitimately carry different
+        # widths; a single-footer schema sample would nondeterministically
+        # drop the evolved column. Footer-merging is a distributed
+        # metadata-only job bounded by file count — correct first, and cheap
+        # relative to the merge itself.
         if len(touched) <= _ISIN_PRUNE_MAX:
             target = (
-                spark.read.parquet(str(path))
+                spark.read.option("mergeSchema", "true").parquet(str(path))
                 .filter(F.col(partition_col).cast(src_dtype).isin(touched))
                 .withColumn(partition_col, F.col(partition_col).cast(src_dtype))
             )
         else:
-            raw = spark.read.parquet(str(path))
+            raw = spark.read.option("mergeSchema", "true").parquet(str(path))
             tgt_dtype = dict(raw.dtypes)[partition_col]
             probe = F.broadcast(
                 distinct_parts.select(
@@ -267,13 +273,32 @@ def _live_snapshot(path: Path) -> Path | None:
     return None
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(spark: SparkSession, path: str, merge_schema: bool | None = None) -> DataFrame:
     """Read a merge-managed table regardless of layout: resolves the
     ``_MANIFEST`` pointer when present, else reads the directory directly
-    (plain and hive-partitioned layouts)."""
+    (plain and hive-partitioned layouts).
+
+    ``merge_schema=None`` (default) auto-enables parquet ``mergeSchema`` for
+    hive-partitioned tables: a partition-pruned ``allow_new_columns`` merge
+    rewrites only touched partitions, so files legitimately differ in width
+    and a one-footer schema sample could silently drop the evolved column
+    (reading it as absent or NULL depending on which file supplies the
+    schema). Rename/manifest layouts rewrite the whole snapshot per merge —
+    uniform schema — so they skip the footer-merge. Pass ``False`` to force
+    the cheap single-footer path, or ``True`` to force merging."""
     p = Path(path)
     live = _live_snapshot(p)
-    return spark.read.parquet(str(live if live is not None else p))
+    base = live if live is not None else p
+    if merge_schema is None:
+        merge_schema = (
+            live is None
+            and base.is_dir()
+            and any(d.is_dir() and "=" in d.name for d in base.iterdir())
+        )
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(str(base))
 
 
 def _table_exists(path: Path, layout: str) -> bool:

@@ -72,6 +72,65 @@ def chunk_by_tokens(
     )
 
 
+def scrub_boilerplate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    segment_tokens: int = 16,
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (RefinedWeb/CCNet-style line dedup,
+    re-expressed over token segments since the corpus may not be line-
+    structured): a segment appearing in more than ``max_doc_freq`` distinct
+    documents is boilerplate (headers, footers, navigation, license
+    blurbs) and is removed from every document; the remaining segments are
+    reassembled in original order.
+
+    Output: ``*id_cols, n_segments, n_removed, clean_text`` — one row per
+    non-empty input document.
+
+    Plan shape (100 TB): segment via :func:`chunk_by_tokens` with
+    stride == size (scan + explode, no shuffle); ONE aggregate builds the
+    hot-segment set, which is small by construction (distinct segments
+    with doc-frequency > K — bounded by corpus_size/K) and is broadcast
+    into a map-side anti-join, so no second shuffle of the corpus against
+    the hot set; one final aggregate per document reassembles. The
+    in-order reassembly uses ``array_sort`` over (chunk_idx, text) structs
+    inside the aggregate — no window, no per-doc sort shuffle beyond the
+    groupBy itself.
+    """
+    ids = list(id_cols)
+    segs = chunk_by_tokens(
+        df, text_col, ids, chunk_size=segment_tokens, stride=segment_tokens
+    )
+    hot = (
+        segs.groupBy("chunk_text")
+        .agg(F.countDistinct(*ids).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("chunk_text")
+    )
+    kept = segs.join(F.broadcast(hot), "chunk_text", "left_anti")
+    totals = segs.groupBy(*ids).agg(F.count(F.lit(1)).alias("n_segments"))
+    reassembled = kept.groupBy(*ids).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("clean_text"),
+    )
+    return totals.join(reassembled, ids, "left").select(
+        *ids,
+        "n_segments",
+        (F.col("n_segments") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def pack_token_budget(
     chunks: DataFrame,
     budget: int,

@@ -67,6 +67,44 @@ def train_val_test(
     return df.withColumn(split_col, split_column(key, weights, labels))
 
 
+def shuffled_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int = 16,
+    seed: str = "42",
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training-data serialization.
+
+    Training order must be (a) shuffled, (b) reproducible given a seed, and
+    (c) computable without a single global sort. The standard sharded form:
+    ``shard = md5(seed|key) bucket`` picks the output file, and the
+    position *within* a shard is the rank of the same hash — together a
+    seeded permutation of the corpus (read shards in order, rows in
+    shard_pos order). Changing the seed re-permutes everything; re-running
+    with the same seed is byte-stable.
+
+    Scale: the shard assignment is map-side; the within-shard rank is one
+    window per shard — n_shards independent partitions, each
+    corpus/n_shards rows, instead of the single-partition global
+    ROW_NUMBER a naive "ORDER BY random()" serializer needs. Size n_shards
+    so a shard fits one task (e.g. 10k shards at 100 TB -> ~10 GB each,
+    then raise it); the writer maps one shard to one output file.
+    """
+    from pyspark.sql import Window
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    c = F.col(key).cast("string")
+    skey = F.md5(F.concat(F.lit(f"{seed}|"), c))
+    shard = (F.conv(F.substring(skey, 1, 8), 16, 10).cast("long") % n_shards).cast("int")
+    w = Window.partitionBy(shard).orderBy(skey, c)
+    return df.withColumn(shard_col, shard).withColumn(
+        pos_col, F.row_number().over(w).cast("long")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key: str,

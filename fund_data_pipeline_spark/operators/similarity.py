@@ -49,6 +49,76 @@ _OUT = T.StructType(
 )
 
 
+def banded_pairs_skew_bounded(
+    bands: DataFrame,
+    key_cols: Sequence[str] = ("band", "band_key"),
+    id_col: str = "doc_id",
+    block_size: int = 4096,
+) -> DataFrame:
+    """Candidate pairs from an LSH banding relation, skew-bounded.
+
+    The naive form is a self-equi-join on the band key: a bucket with m
+    members emits m^2/2 pairs inside ONE task, so a single hot band (mass
+    boilerplate, empty docs, a pathological shingle) becomes a quadratic
+    straggler at corpus scale. This operator decomposes each bucket's
+    triangular self-join into a grid of blocks of at most ``block_size``
+    members: member i in block bi pairs with every block bj >= bi, so the
+    join key becomes (band key, bi, bj) and no task ever holds more than
+    ``block_size`` rows per side (<= block_size^2 candidate pairs). The
+    emitted pair set is IDENTICAL to the naive join — each (i<j) pair
+    matches exactly one (bi, bj) cell — so recall is unchanged; only the
+    parallelism of hot buckets changes. Buckets at or under ``block_size``
+    (the overwhelming majority) replicate nothing: one (0,0) cell.
+
+    Cost: one extra shuffle for the per-bucket row_number, hash-partitioned
+    on the same band key the join uses. Total replicated rows are
+    O(sum_bucket m * ceil(m/block_size)) — proportional to the pair count
+    the join must produce anyway, never more than a constant factor.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    keys = list(key_cols)
+    left, right = _blocked_sides(bands, keys, id_col, block_size)
+    left, right = left.alias("a"), right.alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys] + [
+        F.col("a.__blk") == F.col("b.__pi"),
+        F.col("a.__pj") == F.col("b.__blk"),
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+    ]
+    return (
+        left.join(right, cond)
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _blocked_sides(
+    bands: DataFrame, keys: list[str], id_col: str, block_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """The two replicated relations of the grid decomposition. Left carries
+    (__blk=own block, __pj=partner block >= __blk); right carries
+    (__pi=partner block <= __blk, __blk=own block). Join keys are
+    (keys, left.__blk=right.__pi, left.__pj=right.__blk): every join-key
+    group holds at most ``block_size`` rows per side by construction —
+    asserted directly by the skew test."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    wb = Window.partitionBy(*keys)
+    ranked = (
+        bands.select(*keys, id_col)
+        .withColumn("__blk", ((F.row_number().over(w) - 1) / block_size).cast("int"))
+        .withColumn("__max_blk", F.max("__blk").over(wb))
+    )
+    left = ranked.withColumn(
+        "__pj", F.explode(F.sequence(F.col("__blk"), F.col("__max_blk")))
+    ).drop("__max_blk")
+    right = ranked.withColumn(
+        "__pi", F.explode(F.sequence(F.lit(0), F.col("__blk")))
+    ).drop("__max_blk")
+    return left, right
+
+
 def topk_cosine(
     emb: DataFrame,
     query_vec: Sequence[float],

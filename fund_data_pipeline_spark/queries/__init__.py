@@ -27,21 +27,21 @@ from . import mlops  # noqa: E402,F401
 #: component gets a driver-checked row.
 #:
 #: Window policy (round-2 VERDICT rule): any query that has EVER failed a
-#: driver check stays in the window until it has a green driver row. All
-#: round-3 debts (event_type_summary, clicks_before_purchase_range_join,
-#: streaming_tumbling_counts) earned green rows in CORRECTNESS_r04, so the
-#: round-5 window rotates per the round-4 VERDICT's top instruction: every
-#: query that has NEVER had a driver-checked row (20 of them) enters the
-#: window, alongside 30 kept representatives — prioritizing the operators
-#: whose implementation changed this round (merge presence flags + schema
-#: evolution → hash_guarded_merge/repair_feed_merge, asof validation →
-#: asof_last_click_before_purchase, connected-components fallback →
-#: dedup_clusters/dedup_keep_list, IVF codebook → embedding_ivf_topk) so
-#: any regression from those changes is caught by the hard gate, not just
-#: locally. After this round every one of the 82 catalog queries has had a
-#: driver row. Every excluded query is listed in _OUT_OF_WINDOW_WHY below
-#: with the CORRECTNESS round(s) that checked it green, still registered,
-#: and still gated by scripts/verify_local.py + tests/test_catalog_oracle.py.
+#: driver check stays in the window until it has a green driver row.
+#: Round-6 rotation (per the round-5 VERDICT item 4): the four r5 reds stay
+#: in — multimodal_binary_meta / pii_scrub_stats /
+#: streaming_stateful_user_stats (uncast-SUM oracle bug, fixed this round:
+#: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in the driver's pandas
+#: canonicalizer) and image_decode_features (now upgraded from oracle=None
+#: to a hard stub-equivalent oracle). The five r5-new queries that have
+#: never had a driver row (doc_chunking, sequence_packing,
+#: length_percentile_gate, leakage_safe_split, language_rebalance_mixture)
+#: enter the window; five multi-round-green representatives rotate out
+#: (citations in _OUT_OF_WINDOW_WHY). After this round all 87 catalog
+#: queries have had a driver row. Every excluded query is listed in
+#: _OUT_OF_WINDOW_WHY below with the CORRECTNESS round(s) that checked it
+#: green, still registered, and still gated by scripts/verify_local.py +
+#: tests/test_catalog_oracle.py.
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
     # headline queries (benched) — stay in-window every round
@@ -50,13 +50,8 @@ _CHECKED_FIRST = [
     "regional_supplier_volume",
     # relational/agg/join representatives (driver-green r2–r4)
     "group_count_breakdown",
-    "cube_order_stats",
-    "pivot_status_by_segment",
-    "unpivot_part_metrics",
     "customers_without_orders",
     "active_customers_semi",
-    "buyer_set_ops",
-    "clicks_before_purchase_range_join",
     "asof_last_click_before_purchase",
     "top_orders_per_customer",
     "running_revenue_by_supplier",
@@ -98,7 +93,13 @@ _CHECKED_FIRST = [
     "streaming_stateful_user_stats",
     "stratified_hash_sample",
     "pii_scrub_stats",
-    "image_decode_features",  # no SQL oracle — driver records the rows-only check
+    "image_decode_features",  # stub-equivalent oracle added r6 (was rows-only)
+    # ---- r5-new operators, never driver-checked: all five enter in r6 ----
+    "doc_chunking",
+    "sequence_packing",
+    "length_percentile_gate",
+    "leakage_safe_split",
+    "language_rebalance_mixture",
 ]
 
 
@@ -108,6 +109,14 @@ _CHECKED_FIRST = [
 #: parked past position 50). "driver-green rN" cites the CORRECTNESS round
 #: that checked the subsuming representative.
 _OUT_OF_WINDOW_WHY = {
+    # Rotated out in round 6 to cede slots to the five never-driver-checked
+    # r5 operators (window policy: multi-round-green representatives rotate,
+    # ever-red stays until green).
+    "cube_order_stats": "driver-green r2+r3+r4+r5 (pays its r1 failure x4); CUBE/ROLLUP/GROUPING-SETS family locally gated",
+    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5; pivot family stable five consecutive rounds",
+    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5; unpivot/stack family stable five consecutive rounds",
+    "buyer_set_ops": "driver-green r2+r3+r4+r5; INTERSECT/EXCEPT family also covered by the locally-gated repeat_buyers_intersect/churned_buyers_except",
+    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5 (r3 NTZ env failure paid in r4); range-join family in-window via asof_last_click_before_purchase",
     # Rotated out in round 5 to cede slots to the 20 never-driver-checked
     # queries. Every entry below HAS green driver row(s) — cited per query —
     # and none has an unpaid failure (the r3 TIMESTAMP_NTZ failures
@@ -145,13 +154,13 @@ _OUT_OF_WINDOW_WHY = {
     "train_val_test_split": "driver-green r2+r3+r4; hash-split family in-window via stratified_hash_sample",
     "embedding_ann_bucketed_topk": "driver-green r2+r3+r4; ANN family in-window via embedding_ivf_topk + embedding_lsh_buckets",
     "embedding_cosine_near_dup": "driver-green r2+r3+r4; bucketed cosine family in-window via embedding_ivf_topk + embedding_topk_pandas",
-    # new in round 5 — the window was already committed to the 20 formerly
-    # never-checked queries; these take their driver slots next rotation
-    "doc_chunking": "new r5 operator (token-window chunking); explode/tokenize family in-window via token_count_regex + quality_score",
-    "language_rebalance_mixture": "new r5 operator (per-stratum mixture rates); hash-sample family in-window via stratified_hash_sample",
-    "sequence_packing": "new r5 operator (token-budget packing over chunk windows); window-cumsum family in-window via running_revenue_by_supplier, chunk machinery shared with doc_chunking",
-    "length_percentile_gate": "new r5 operator (per-stratum percent_rank gate); ranking-window family in-window via ntile_quartiles + order_price_percentiles",
-    "leakage_safe_split": "new r5 operator (content-hash split key); split family in-window via train_val_test_split's machinery (driver-green r2-r4) + stratified_hash_sample (in-window)",
+    # new in round 6 — the window was already committed to the four r5 reds
+    # plus the five never-checked r5 operators; these take driver slots next
+    # rotation (window policy: new queries queue behind unpaid failures)
+    "token_vocabulary": "new r6 operator (top-k vocabulary with doc frequency); explode/agg/top-k family in-window via token_count_regex + top_unshipped_orders",
+    "boilerplate_scrub": "new r6 operator (corpus boilerplate segment removal); chunk/anti-join/reassemble machinery shares chunk_by_tokens with in-window doc_chunking",
+    "deterministic_shuffle_order": "new r6 operator (seeded sharded corpus shuffle); md5-bucket family in-window via stratified_hash_sample + leakage_safe_split",
+    "streaming_click_purchase_join": "new r6 operator (stream-stream watermarked join); streaming family in-window via streaming_session_counts + streaming_stateful_user_stats, batch range-join semantics driver-green via clicks_before_purchase_range_join r1-r5",
 }
 
 

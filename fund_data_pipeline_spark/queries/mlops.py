@@ -82,7 +82,7 @@ WITH scrubbed AS (
   FROM documents
 )
 SELECT COUNT(*) AS n_docs,
-       SUM(CASE WHEN len_after <> len_before THEN 1 ELSE 0 END) AS n_scrubbed,
+       CAST(SUM(CASE WHEN len_after <> len_before THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
        CAST(SUM(len_before - len_after) AS BIGINT) AS bytes_removed
 FROM scrubbed
 """,
@@ -137,18 +137,14 @@ FROM cc GROUP BY cluster_id HAVING COUNT(*) > 1
 """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import banded_pairs_skew_bounded
+
     docs = table(spark, sf_dir, "documents")
-    bands = minhash_bands(docs)
-    a, b = bands.alias("a"), bands.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
+    # skew-bounded band join (pair set identical to the naive join — the
+    # oracle's edges CTE); connected_components symmetrizes edges itself,
+    # so the a<b orientation is sufficient
+    edges = banded_pairs_skew_bounded(minhash_bands(docs)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     cc = graph.connected_components(docs.select(F.col("doc_id").alias("node")), edges)
     return (
@@ -193,18 +189,11 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (bounded by graph diameter), one window for the keeper."""
     from pyspark.sql import Window
 
+    from ..operators.similarity import banded_pairs_skew_bounded
+
     docs = table(spark, sf_dir, "documents")
-    bands = minhash_bands(docs)
-    a, b = bands.alias("a"), bands.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
+    edges = banded_pairs_skew_bounded(minhash_bands(docs)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     cc = graph.connected_components(docs.select(F.col("doc_id").alias("node")), edges)
     keeper = F.min("node").over(Window.partitionBy("cluster_id"))
@@ -219,11 +208,35 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_decode_features",
     doc="Multimodal decode plumbing (operators.multimodal): payload bytes -> "
     "Arrow-batched mapInPandas feature extraction (stubbed decoder, real "
-    "batch path). No SQL equivalent for the UDF stage -> rows-only check.",
-    oracle=None,
+    "batch path). The stub decode is a pure function of md5(payload) "
+    "(operators/multimodal.py:_decode_image_stub), so the whole UDF stage "
+    "IS SQL-expressible: the oracle recomputes width/height/phash from the "
+    "same md5 byte-slices, making this a hard hash-checked row rather than "
+    "rows-only. (mean_luma is float-derived and intentionally excluded from "
+    "the checked aggregate surface; the golden pytest covers it.)",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) * 4 AS width,
+         64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) * 4 AS height,
+         substr(md5(text), 1, 16) AS phash
+  FROM documents
+  ORDER BY doc_id
+  LIMIT 200
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT phash) AS BIGINT) AS n_distinct_phash,
+       MIN(width) AS min_width,
+       MAX(height) AS max_height
+FROM feats
+""",
 )
 def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").limit(200)
+    # orderBy+limit (TakeOrderedAndProject), not bare limit: the 200-row
+    # subset must be deterministic and engine-independent for the oracle.
+    docs = table(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
@@ -275,6 +288,34 @@ def language_rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "deterministic_shuffle_order",
+    doc="Seeded corpus shuffle for training serialization (operators."
+    "sampling.shuffled_shards): shard = md5-seed bucket, position = hash "
+    "rank within shard — a reproducible permutation with NO global sort "
+    "(16 independent window partitions here; 10k+ shards at corpus scale). "
+    "Both shard membership and exact within-shard order are oracle-checked.",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS skey FROM documents
+), s AS (
+  SELECT doc_id, skey,
+         CAST(CAST(concat('0x', substr(skey, 1, 8)) AS BIGINT) % 16 AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, CAST(doc_id AS VARCHAR))
+            AS BIGINT) AS shard_pos
+FROM s
+""",
+)
+def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return sampling.shuffled_shards(docs, "doc_id", n_shards=16, seed="42").select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
+@register(
     "leakage_safe_split",
     doc="Leakage-safe train/val/test split: the split key is the CONTENT "
     "hash (md5 of text), not the doc id, so byte-identical duplicates can "
@@ -288,15 +329,19 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(md5(text)), 1, 8)) AS BIGINT)
+         CAST(concat('0x', substr(md5(md5(coalesce(text, ''))), 1, 8)) AS BIGINT)
            % {sampling.N_BUCKETS} AS b
   FROM documents
 )
 """,
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # coalesce BEFORE hashing: split_column's when-chain has no otherwise, so
+    # md5(NULL) would yield a NULL split while the oracle's CASE falls through
+    # to 'test' — NULL-text docs must land in a deterministic split on both
+    # sides (ADVICE r5).
     docs = table(spark, sf_dir, "documents")
     split = sampling.split_column(
-        F.md5(F.col("text")), (0.8, 0.1, 0.1), ("train", "val", "test")
+        F.md5(F.coalesce(F.col("text"), F.lit(""))), (0.8, 0.1, 0.1), ("train", "val", "test")
     )
     return docs.select("doc_id", split.alias("split"))

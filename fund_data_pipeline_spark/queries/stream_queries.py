@@ -103,7 +103,7 @@ def _user_stats_fn(key, pdf_iter, state: GroupState):
     "repair feeds) that windowed aggregation can't express.",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 1e6) AS BIGINT)) AS value_q_sum
+       CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS value_q_sum
 FROM events GROUP BY user_id
 """,
 )
@@ -183,3 +183,47 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "streaming_click_purchase_join",
+    doc="Stream-stream inner join with event-time range condition and "
+    "watermarks on BOTH sides (the state-cleanup contract of Spark "
+    "stream-stream joins): clicks in the hour before each purchase, "
+    "self-joined from the same landing stream, drained append-mode, then "
+    "batch-aggregated to per-purchase click counts. Completes the "
+    "streaming surface: windows, dedup, custom state, and joins.",
+    oracle="""
+SELECT p.event_id, p.user_id, COUNT(c.event_id) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+""",
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND c_ts > ts - INTERVAL 1 HOUR AND c_ts <= ts"
+        ),
+        "inner",
+    )
+    sink = run_to_memory(joined.select("event_id", "user_id", "c_id"), "append")
+    return sink.groupBy("event_id", "user_id").agg(F.count("c_id").alias("n_clicks"))

@@ -368,19 +368,14 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.d
 """,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band self-join goes through the skew-bounded block decomposition
+    (operators.similarity.banded_pairs_skew_bounded): identical pair set to
+    a naive self-equi-join — the oracle IS the naive join — but a hot band
+    (mass boilerplate) can never create a quadratic single-task straggler."""
+    from ..operators.similarity import banded_pairs_skew_bounded
+
     docs = table(spark, sf_dir, "documents")
-    bands = minhash_bands(docs)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return banded_pairs_skew_bounded(minhash_bands(docs))
 
 
 @register(
@@ -391,7 +386,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT md5(text)) AS n_distinct_payloads
 FROM documents GROUP BY source
 """,
@@ -739,4 +734,92 @@ def length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.withColumn("__pr", pr)
         .filter(F.col("__pr") >= 0.10)
         .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@register(
+    "token_vocabulary",
+    doc="Vocabulary construction: top-50 tokens by corpus frequency with "
+    "document frequency — the counting stage of tokenizer training / "
+    "stopword discovery. Explode -> two-phase hash aggregate (partial "
+    "map-side combine) -> TakeOrderedAndProject; ties broken by token so "
+    "the cut is deterministic.",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+  WHERE length(trim(text)) > 0
+)
+SELECT token,
+       COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM tok
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+""",
+)
+def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "boilerplate_scrub",
+    doc="Corpus-level boilerplate removal (operators.chunking."
+    "scrub_boilerplate_segments): token segments appearing in more than 5 "
+    "distinct documents are removed everywhere and documents reassembled "
+    "in order — the RefinedWeb/CCNet repeated-line dedup re-expressed over "
+    "token segments. Hot-segment set is small by construction and "
+    "broadcast into a map-side anti-join; checked per-doc via the md5 of "
+    "the reassembled text.",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+), segs AS (
+  SELECT doc_id,
+         CAST(start / 2 AS BIGINT) AS chunk_idx,
+         array_to_string(list_slice(toks, start + 1, least(start + 2, len(toks))), ' ') AS chunk_text
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 2)) AS start FROM t)
+), hot AS (
+  SELECT chunk_text FROM segs GROUP BY chunk_text HAVING COUNT(DISTINCT doc_id) > 5
+), kept AS (
+  SELECT * FROM segs WHERE chunk_text NOT IN (SELECT chunk_text FROM hot)
+), reass AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments FROM segs GROUP BY doc_id
+)
+SELECT totals.doc_id,
+       n_segments,
+       CAST(n_segments - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(clean_text, '')) AS clean_md5
+FROM totals LEFT JOIN reass USING (doc_id)
+""",
+)
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import scrub_boilerplate_segments
+
+    docs = table(spark, sf_dir, "documents")
+    out = scrub_boilerplate_segments(docs, segment_tokens=2, max_doc_freq=5)
+    return out.select(
+        "doc_id",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
     )

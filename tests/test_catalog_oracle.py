@@ -39,3 +39,40 @@ def test_catalog_query_matches_oracle(name, spark, sf_dir, oracle_con):
         # rows-only contract: executed successfully; result shape is covered
         # by the op's dedicated pytest (e.g. image_decode_features golden test)
         assert n_rows >= 0
+
+
+def test_gate_catches_uncast_sum_oracle(spark, sf_dir, oracle_con):
+    """Round-5 blind-spot regression: an oracle whose top-level SUM is uncast
+    yields DuckDB HUGEINT -> pandas float64, which the driver hashes
+    differently from Spark's int64. The local gate previously fetched via
+    fetchall() (HUGEINT -> Python int) and could not see this; it must fail
+    such an oracle now (VERDICT r5 item 2)."""
+    from fund_data_pipeline_spark.queries.registry import QuerySpec
+
+    def spark_side(sp, sf):
+        from pyspark.sql import functions as F
+
+        from fund_data_pipeline_spark.queries.registry import table
+
+        return table(sp, sf, "documents").agg(
+            F.sum(F.length("text")).alias("total_len")
+        )
+
+    bad = QuerySpec(
+        name="_uncast_sum_probe",
+        spark=spark_side,
+        # uncast SUM over BIGINT -> HUGEINT -> float64 through pandas
+        oracle="SELECT SUM(length(text)) AS total_len FROM documents",
+    )
+    problems, _ = compare_query(spark, oracle_con, bad, sf_dir)
+    assert problems, "local gate failed to flag an uncast SUM oracle"
+    joined = " ".join(problems)
+    assert "dtype coercion" in joined or "values differ" in joined
+
+    good = QuerySpec(
+        name="_cast_sum_probe",
+        spark=spark_side,
+        oracle="SELECT CAST(SUM(length(text)) AS BIGINT) AS total_len FROM documents",
+    )
+    problems, _ = compare_query(spark, oracle_con, good, sf_dir)
+    assert not problems, problems

@@ -229,6 +229,54 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert out == {"AAA": None, "BBB": "tech"}
 
 
+def test_partitioned_merge_schema_evolution_survives_mixed_footers(spark, tmp_path):
+    """allow_new_columns + partition_col rewrites ONLY the touched partition,
+    so on-disk files legitimately differ in schema width. read_table (and the
+    next pruned merge) must see the evolved column deterministically — NULL in
+    untouched partitions, values in the touched one — regardless of which file
+    a one-footer schema sample would have picked (ADVICE r5)."""
+    path = tmp_path / "evolve_part"
+    base = _snapshot(
+        spark,
+        [("AAA", "2024-01-01", 10.0), ("BBB", "2024-01-02", 11.0)],
+    )
+    merge_upsert(spark, str(path), base, keys=["ticker", "dt"], partition_col="dt")
+
+    untouched_before = {
+        k: v for k, v in _file_state(path).items() if k.startswith("dt=2024-01-01")
+    }
+    batch = _snapshot(spark, [("BBB", "2024-01-02", 12.0)]).withColumn(
+        "sector", F.lit("tech")
+    )
+    merge_upsert(
+        spark,
+        str(path),
+        batch,
+        keys=["ticker", "dt"],
+        partition_col="dt",
+        allow_new_columns=True,
+    )
+    # untouched partition is byte-identical (still the narrow schema on disk)
+    untouched_after = {
+        k: v for k, v in _file_state(path).items() if k.startswith("dt=2024-01-01")
+    }
+    assert untouched_after == untouched_before
+
+    out = read_table(spark, str(path))
+    assert "sector" in out.columns
+    got = {r["ticker"]: r["sector"] for r in out.collect()}
+    assert got == {"AAA": None, "BBB": "tech"}
+
+    # a further pruned merge against the mixed-schema table must also see the
+    # evolved column (its target read footer-merges), and keep its value
+    batch2 = _snapshot(spark, [("AAA", "2024-01-01", 10.5)])
+    merge_upsert(
+        spark, str(path), batch2, keys=["ticker", "dt"], partition_col="dt"
+    )
+    out2 = {r["ticker"]: (r["value"], r["sector"]) for r in read_table(spark, str(path)).collect()}
+    assert out2 == {"AAA": (10.5, None), "BBB": (12.0, "tech")}
+
+
 def test_merge_reserved_column_names_raise(spark, tmp_path):
     df = _hashed(spark, [("AAA", 1.0, "d0")]).withColumn("__t_present", F.lit(True))
     path = tmp_path / "rsv"

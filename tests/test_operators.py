@@ -496,3 +496,61 @@ def test_leakage_safe_split_colocates_exact_duplicates(spark, sf_dir):
     dup_splits = {rows[i] for i in range(50)}
     assert len(dup_splits) == 1  # every identical doc in the same split
     assert set(rows.values()) <= {"train", "val", "test"}
+
+
+def test_banded_pairs_skew_bounded_identical_pairs_and_bounded_buckets(spark):
+    """Hot-band skew guard (VERDICT r5 item 6): the grid decomposition must
+    emit EXACTLY the naive self-join's pair set (recall unchanged) while no
+    join-key group on either replicated side exceeds block_size rows."""
+    from fund_data_pipeline_spark.operators.similarity import (
+        _blocked_sides,
+        banded_pairs_skew_bounded,
+    )
+
+    rows = (
+        # one pathological hot bucket: 50 members in band 0
+        [(i, 0, "HOT") for i in range(50)]
+        # a bucket exactly at the block bound
+        + [(100 + i, 1, "EDGE") for i in range(8)]
+        # small buckets and a singleton
+        + [(200, 0, "S1"), (201, 0, "S1"), (202, 1, "S2"), (203, 1, "S2"), (204, 1, "S2"), (300, 2, "LONER")]
+    )
+    bands = spark.createDataFrame(rows, "doc_id long, band int, band_key string")
+
+    naive = {
+        (r.doc_a, r.doc_b)
+        for r in bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .collect()
+    }
+    bounded = {
+        (r.doc_a, r.doc_b)
+        for r in banded_pairs_skew_bounded(bands, block_size=8).collect()
+    }
+    assert bounded == naive
+    assert len(bounded) == 50 * 49 // 2 + 8 * 7 // 2 + 1 + 3
+
+    left, right = _blocked_sides(bands, ["band", "band_key"], "doc_id", 8)
+    max_left = (
+        left.groupBy("band", "band_key", "__blk", "__pj")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    max_right = (
+        right.groupBy("band", "band_key", "__pi", "__blk")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_left <= 8 and max_right <= 8
+
+    # buckets at/below block_size replicate nothing: one cell per row
+    edge_left = left.filter(F.col("band_key") == "EDGE")
+    assert edge_left.count() == 8
