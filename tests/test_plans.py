@@ -180,3 +180,36 @@ def test_event_ts_predicates_push_to_scan(spark, sf_dir):
         ev.filter(F.col("ts") >= "2024-01-02").explain("formatted")
     plan = buf.getvalue()
     assert "GreaterThanOrEqual(ts" in plan, plan
+
+
+def test_boilerplate_scrub_broadcasts_hot_set(spark, sf_dir):
+    """The hot-segment set is small by construction (doc-freq > K bounds it
+    at corpus/K); the anti-join against it must be a broadcast, never a
+    shuffled join of the full segment relation against itself."""
+    plan = plan_of(spark, sf_dir, "boilerplate_scrub")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_token_vocabulary_partial_agg_and_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "token_vocabulary")
+    # map-side combine before the shuffle, top-k without a global sort
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_deterministic_shuffle_has_no_global_sort(spark, sf_dir):
+    """The seeded shuffle must be shard-parallel: one hash Exchange for the
+    per-shard window, and NO range partitioning (a global ORDER BY would be
+    a single-pass total sort — the exact thing the sharded design avoids)."""
+    plan = plan_of(spark, sf_dir, "deterministic_shuffle_order")
+    assert "rangepartitioning" not in plan.lower()
+    # exactly one exchange node (formatted mode prints each node twice:
+    # once in the tree, once as a detail section)
+    assert plan.count("+- Exchange") == 1, plan
+    assert "hashpartitioning" in plan
+    # scan pruned to the single key column
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema and "doc_id" in read_schema
