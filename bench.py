@@ -128,14 +128,24 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
 
-    # signature write operator, tracked separately: headline_total stays the
-    # read-query sum so it is comparable round-over-round
+    # signature write operator + LLM-dedup path, tracked separately:
+    # headline_total stays the read-query sum so it is comparable
+    # round-over-round
     aux: dict[str, float] = {}
     try:
         aux["merge_partition_pruned"] = _merge_bench(spark, sf_dir)
     except Exception as e:
         print(f"bench: merge_partition_pruned failed: {e}", file=sys.stderr)
         aux["merge_partition_pruned"] = -1.0
+    try:
+        # fuzzy-dedup candidate generation through the skew-bounded band
+        # join (shingle explode -> minhash signatures -> grid self-join)
+        t0 = time.perf_counter()
+        Q.QUERIES["minhash_lsh_candidates"].spark(spark, sf_dir).collect()
+        aux["minhash_lsh_candidates"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        print(f"bench: minhash_lsh_candidates failed: {e}", file=sys.stderr)
+        aux["minhash_lsh_candidates"] = -1.0
 
     # A failed query must not make the benchmark look faster: with any -1.0
     # sentinel present the headline total is reported as null (and the

@@ -16,6 +16,8 @@ are per-row (map-only), so they scale linearly.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,3 +76,96 @@ def stamp_first_last_seen(df: DataFrame, as_of: Column | None = None) -> DataFra
     the merge preserves target.first_seen on matched rows."""
     as_of = F.current_date() if as_of is None else as_of
     return df.withColumn("first_seen", as_of.cast("date")).withColumn("last_seen", as_of.cast("date"))
+
+
+def scd2_apply(
+    history: DataFrame | None,
+    snapshot: DataFrame,
+    keys: list[str],
+    tracked_cols: list[str],
+    as_of,
+    close_missing: bool = False,
+) -> DataFrame:
+    """SCD Type-2 history maintenance — the full-history extension of the
+    reference's SCD1 lifecycle (first/last_seen + status overwrite keeps only
+    the latest attribute values; Type 2 keeps every version with a validity
+    range, the standard shape for auditable dimensions).
+
+    ``history`` columns: ``keys + tracked_cols + (valid_from, valid_to,
+    is_current)``; ``valid_to`` NULL and ``is_current`` True on the open
+    version. ``snapshot`` is the entity state observed at date ``as_of``
+    (one row per key — enforce upstream with dedup_keyed).
+
+    Transition rules, all decided row-wise from ONE full-outer join of the
+    current slice against the snapshot (closed history rides through
+    untouched — at scale, partition the table on is_current or store the
+    current slice separately so this join never scans closed versions):
+
+    - key in both, tracked attrs equal     -> keep the open version as-is
+    - key in both, tracked attrs differ    -> close it (valid_to = as_of)
+      and open a new version (valid_from = as_of)
+    - key only in snapshot (new entity)    -> open first version
+    - key only in history (disappeared)    -> keep open, or close when
+      ``close_missing=True`` (hard-delete semantics)
+
+    Re-applying the same snapshot at the same date is a no-op (idempotent),
+    because unchanged attrs take the keep branch and a re-observed change on
+    the same day closes with valid_from == valid_to == as_of only once.
+    """
+    as_of = as_of if isinstance(as_of, Column) else F.lit(as_of)
+    as_of = as_of.cast("date")
+    cols = keys + tracked_cols
+    snap = snapshot.select(*cols)
+
+    if history is None:
+        return snap.select(
+            *cols,
+            as_of.alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    closed = history.filter(~F.col("is_current"))
+    current = history.filter(F.col("is_current"))
+
+    t = current.alias("t")
+    s = snap.withColumn("__s_present", F.lit(True)).alias("s")
+    joined = t.join(s, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], "full_outer")
+    t_present = F.col("t.is_current").isNotNull()
+    s_present = F.col("s.__s_present").isNotNull()
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}")) for c in tracked_cols],
+    )
+
+    def pick(c):
+        return F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")) if c in keys else F.col(f"s.{c}")
+
+    # surviving open versions: unchanged matches, plus disappeared keys
+    # (kept open unless close_missing)
+    keep_open = joined.filter(
+        (t_present & s_present & ~changed) | (t_present & ~s_present & F.lit(not close_missing))
+    ).select(
+        *[F.col(f"t.{c}").alias(c) for c in cols],
+        F.col("t.valid_from").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    # versions closed today: changed matches, plus disappeared keys under
+    # close_missing
+    close_now = joined.filter(
+        (t_present & s_present & changed) | (t_present & ~s_present & F.lit(close_missing))
+    ).select(
+        *[F.col(f"t.{c}").alias(c) for c in cols],
+        F.col("t.valid_from").alias("valid_from"),
+        as_of.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    # versions opened today: changed matches and brand-new keys
+    open_now = joined.filter(s_present & (~t_present | changed)).select(
+        *[pick(c).alias(c) for c in cols],
+        as_of.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(keep_open).unionByName(close_now).unionByName(open_now)

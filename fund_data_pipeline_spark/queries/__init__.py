@@ -161,6 +161,9 @@ _OUT_OF_WINDOW_WHY = {
     "boilerplate_scrub": "new r6 operator (corpus boilerplate segment removal); chunk/anti-join/reassemble machinery shares chunk_by_tokens with in-window doc_chunking",
     "deterministic_shuffle_order": "new r6 operator (seeded sharded corpus shuffle); md5-bucket family in-window via stratified_hash_sample + leakage_safe_split",
     "streaming_click_purchase_join": "new r6 operator (stream-stream watermarked join); streaming family in-window via streaming_session_counts + streaming_stateful_user_stats, batch range-join semantics driver-green via clicks_before_purchase_range_join r1-r5",
+    "embedding_centroid_stats": "new r6 operator (per-label exact centroid accumulators); explode/agg family in-window via embedding_ivf_topk + token_count_regex",
+    "characteristic_terms": "new r6 operator (exact-arithmetic TF-IDF keyword extraction); tf/df join + ranking-window families in-window via token_count_regex + ntile_quartiles",
+    "scd2_priority_history": "new r6 operator (SCD Type-2 versioned history over lifecycle.scd2_apply); SCD1 lifecycle family in-window via lifecycle_status_transitions, full-outer merge family via hash_guarded_merge",
 }
 
 

@@ -624,3 +624,74 @@ def retention_cutoff_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dt")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "scd2_priority_history",
+    doc="SCD Type-2 dimension history (lifecycle.scd2_apply — the "
+    "full-history extension of the reference's SCD1 lifecycle): snapshot 1 "
+    "is each customer's latest order priority before 1995-01-01, snapshot 2 "
+    "their latest overall; applying snapshot 2 at the later date closes "
+    "changed versions, opens new ones, keeps unchanged ones, and inserts "
+    "first versions for customers whose first order is post-cutoff. The "
+    "oracle replays the same transition rules in SQL over a full-outer "
+    "join of the two snapshots.",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY
+           CASE WHEN o_orderdate < DATE '1995-01-01' THEN 0 ELSE 1 END,
+           o_orderdate DESC, o_orderkey DESC) AS rn_pre
+  FROM orders
+), s2 AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority FROM ranked WHERE rn = 1
+), s1 AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority
+  FROM ranked WHERE rn_pre = 1 AND o_orderdate < DATE '1995-01-01'
+), j AS (
+  SELECT COALESCE(s1.custkey, s2.custkey) AS custkey,
+         s1.priority AS p1, s2.priority AS p2,
+         s1.custkey IS NOT NULL AS in1, s2.custkey IS NOT NULL AS in2
+  FROM s1 FULL OUTER JOIN s2 ON s1.custkey = s2.custkey
+)
+SELECT custkey, p1 AS priority, DATE '1995-01-01' AS valid_from,
+       DATE '1998-08-02' AS valid_to, FALSE AS is_current
+FROM j WHERE in1 AND in2 AND p1 <> p2
+UNION ALL
+SELECT custkey, p2, DATE '1998-08-02', NULL, TRUE
+FROM j WHERE in1 AND in2 AND p1 <> p2
+UNION ALL
+SELECT custkey, p1, DATE '1995-01-01', NULL, TRUE
+FROM j WHERE in1 AND in2 AND p1 = p2
+UNION ALL
+SELECT custkey, p2, DATE '1998-08-02', NULL, TRUE
+FROM j WHERE NOT in1 AND in2
+""",
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..lifecycle import scd2_apply
+
+    orders = table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest_all = (
+        orders.withColumn("__rn", F.row_number().over(w_all))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderpriority").alias("priority"))
+    )
+    pre = orders.filter(F.col("o_orderdate") < "1995-01-01")
+    w_pre = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest_pre = (
+        pre.withColumn("__rn", F.row_number().over(w_pre))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderpriority").alias("priority"))
+    )
+    h1 = scd2_apply(None, latest_pre, ["custkey"], ["priority"], "1995-01-01")
+    h2 = scd2_apply(h1, latest_all, ["custkey"], ["priority"], "1998-08-02")
+    return h2

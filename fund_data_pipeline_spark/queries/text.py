@@ -823,3 +823,55 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").cast("long").alias("n_removed"),
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+@register(
+    "characteristic_terms",
+    doc="TF-IDF-style keyword extraction with exact arithmetic: per document, "
+    "the top-3 tokens ranked by (term frequency DESC, corpus document "
+    "frequency ASC, token) — high-tf/low-df terms are the characteristic "
+    "ones, and the integer ordering avoids float log() whose last-bit "
+    "behavior differs across engines. The doc-frequency relation is "
+    "vocabulary-sized, so it broadcasts into the per-doc join.",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+  WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+), ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                 ORDER BY tf.tf DESC, df.df ASC, tf.token) AS BIGINT) AS rank
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, rank, token, tf, df
+FROM ranked
+WHERE rank <= 3
+""",
+)
+def characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    ranked = tf.join(F.broadcast(df_rel), "token").withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("tf").desc(), F.col("df").asc(), F.col("token")
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= 3).select("doc_id", "rank", "token", "tf", "df")

@@ -536,3 +536,36 @@ def train_ivf_codebook(
         (cid, [int(round(float(v))) for v in center])
         for cid, center in enumerate(model.clusterCenters())
     ]
+
+
+@register(
+    "embedding_centroid_stats",
+    doc="Per-label centroid accumulators over the embedding corpus: exact "
+    "quantized per-dimension sums + counts — the monitoring query of "
+    "embedding drift / class balance, and the aggregation core of a "
+    "distributed KMeans step (train_ivf_codebook runs this shape "
+    "iteratively). posexplode -> one hash aggregate on (label, dim); "
+    "map-side combine makes it a single shuffle of labels x dims rows.",
+    oracle=f"""
+WITH e AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         unnest({_Q}) AS qv
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(qv) AS BIGINT) AS sum_q
+FROM e
+GROUP BY label, dim
+""",
+)
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(_quant("embedding")).alias("dim", "qv")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("qv").alias("sum_q"),
+    )

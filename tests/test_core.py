@@ -127,3 +127,52 @@ def test_validation_split_all_reasons(spark):
     assert valid.count() == 1
     bad = invalid.first()
     assert bad.validation_issues == "Missing Ticker; Invalid Asset Type; Invalid Status"
+
+
+def test_scd2_apply_versioned_history(spark):
+    """SCD Type-2 multi-day simulation: change closes + reopens, unchanged is
+    untouched, new keys open, disappeared keys close only under
+    close_missing, and re-applying the same snapshot is a no-op."""
+    from datetime import date
+
+    from fund_data_pipeline_spark.lifecycle import scd2_apply
+
+    def snap(rows):
+        return spark.createDataFrame(rows, "ticker string, sector string")
+
+    d1, d2, d3 = date(2024, 1, 1), date(2024, 1, 8), date(2024, 1, 15)
+    keys, tracked = ["ticker"], ["sector"]
+
+    h1 = scd2_apply(None, snap([("AAA", "tech"), ("BBB", "fin")]), keys, tracked, d1)
+    rows1 = {(r.ticker, r.sector, r.valid_from, r.valid_to, r.is_current) for r in h1.collect()}
+    assert rows1 == {
+        ("AAA", "tech", d1, None, True),
+        ("BBB", "fin", d1, None, True),
+    }
+
+    # day 2: AAA changes sector, BBB unchanged, CCC appears
+    h2 = scd2_apply(h1, snap([("AAA", "health"), ("BBB", "fin"), ("CCC", "energy")]), keys, tracked, d2)
+    rows2 = {(r.ticker, r.sector, r.valid_from, r.valid_to, r.is_current) for r in h2.collect()}
+    assert rows2 == {
+        ("AAA", "tech", d1, d2, False),
+        ("AAA", "health", d2, None, True),
+        ("BBB", "fin", d1, None, True),
+        ("CCC", "energy", d2, None, True),
+    }
+
+    # idempotence: same snapshot, same date -> byte-identical history
+    h2b = scd2_apply(h2, snap([("AAA", "health"), ("BBB", "fin"), ("CCC", "energy")]), keys, tracked, d2)
+    assert {tuple(r) for r in h2b.collect()} == {tuple(r) for r in h2.collect()}
+
+    # day 3: BBB disappears — kept open by default...
+    h3 = scd2_apply(h2, snap([("AAA", "health"), ("CCC", "energy")]), keys, tracked, d3)
+    bbb = [(r.valid_to, r.is_current) for r in h3.collect() if r.ticker == "BBB"]
+    assert bbb == [(None, True)]
+    # ...closed under close_missing=True
+    h3c = scd2_apply(h2, snap([("AAA", "health"), ("CCC", "energy")]), keys, tracked, d3, close_missing=True)
+    bbb_c = [(r.valid_to, r.is_current) for r in h3c.collect() if r.ticker == "BBB"]
+    assert bbb_c == [(d3, False)]
+    # exactly one current version per live key, closed history intact
+    cur = [r.ticker for r in h3c.collect() if r.is_current]
+    assert sorted(cur) == ["AAA", "CCC"]
+    assert len([r for r in h3c.collect() if not r.is_current]) == 2
