@@ -159,3 +159,40 @@ def vacuum_snapshots(table_path: str) -> list[str]:
                 continue
             removed.append(snap.name)
     return removed
+
+
+def write_range_clustered(
+    df,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    target_rows_per_file: int = 5_000_000,
+) -> None:
+    """Write a table range-clustered on ``cluster_cols``: rows are
+    range-partitioned across files and sorted within each file, so every
+    parquet file (and row group) covers a narrow, non-overlapping slice of
+    the cluster key's value space.
+
+    This is the storage-layout half of predicate pushdown: a filter on the
+    cluster column then skips whole files/row groups from the parquet
+    min/max statistics instead of scanning and discarding. At 100 TB,
+    clustering the big fact tables on their dominant filter column (ship
+    date, event time) turns most time-range queries into reads of a few
+    percent of the files. The reference's per-day CSV directories are the
+    folk version of this; range clustering gives the same pruning inside
+    one table without a partition-per-day directory explosion.
+
+    ``n_files`` defaults to rows/target_rows_per_file (one extra count job
+    when not supplied — pass it from table stats in production).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local, matches module style)
+
+    if n_files is None:
+        n_files = max(1, int(df.count() / target_rows_per_file) + 1)
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -164,6 +164,8 @@ _OUT_OF_WINDOW_WHY = {
     "embedding_centroid_stats": "new r6 operator (per-label exact centroid accumulators); explode/agg family in-window via embedding_ivf_topk + token_count_regex",
     "characteristic_terms": "new r6 operator (exact-arithmetic TF-IDF keyword extraction); tf/df join + ranking-window families in-window via token_count_regex + ntile_quartiles",
     "scd2_priority_history": "new r6 operator (SCD Type-2 versioned history over lifecycle.scd2_apply); SCD1 lifecycle family in-window via lifecycle_status_transitions, full-outer merge family via hash_guarded_merge",
+    "streaming_enriched_purchases": "new r6 operator (stream-static broadcast enrichment join); streaming family in-window via streaming_session_counts + streaming_stateful_user_stats, equivalent batch join driver-green via regional_supplier_volume family",
+    "key_skew_profile": "new r6 operator (heavy-hitter pre-join diagnosis); agg/top-k family in-window via group_count_breakdown + top_unshipped_orders",
 }
 
 

@@ -710,3 +710,37 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@register(
+    "key_skew_profile",
+    doc="Heavy-hitter diagnosis before a big join/agg: the top-10 join-key "
+    "values by row count with their share of the table — the operational "
+    "check that decides between a plain join, salting, and AQE skew "
+    "handling. One hash aggregate + a 1-row broadcast of the total + "
+    "TakeOrderedAndProject; at 100 TB this costs one scan.",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders
+)
+SELECT key, n, CAST(n AS DOUBLE) / total AS share
+FROM c, t
+ORDER BY n DESC, key
+LIMIT 10
+""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("key", "n", (F.col("n").cast("double") / F.col("total")).alias("share"))
+        .orderBy(F.col("n").desc(), "key")
+        .limit(10)
+    )

@@ -227,3 +227,33 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sink = run_to_memory(joined.select("event_id", "user_id", "c_id"), "append")
     return sink.groupBy("event_id", "user_id").agg(F.count("c_id").alias("n_clicks"))
+
+
+@register(
+    "streaming_enriched_purchases",
+    doc="Stream-static join: the purchase stream enriched against the "
+    "static customer dimension (broadcast per micro-batch — the standard "
+    "streaming-enrichment shape; no state, no watermark needed on the "
+    "static side), drained append-mode, then aggregated to exact per-"
+    "segment totals. With stream-stream (streaming_click_purchase_join) "
+    "this completes the streaming join surface.",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import table
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "inner")
+    sink = run_to_memory(joined.select("c_mktsegment", "value"), "append")
+    return sink.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

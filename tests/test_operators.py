@@ -554,3 +554,30 @@ def test_banded_pairs_skew_bounded_identical_pairs_and_bounded_buckets(spark):
     # buckets at/below block_size replicate nothing: one cell per row
     edge_left = left.filter(F.col("band_key") == "EDGE")
     assert edge_left.count() == 8
+
+
+def test_approx_profile_accuracy_bounds(spark, sf_dir):
+    """The sketch profile must land within its configured error bounds of
+    the exact answers: HLL++ distinct within ~3*rsd, GK percentiles within
+    the rank-error guarantee."""
+    from fund_data_pipeline_spark.operators.profiling import approx_profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = approx_profile(orders, ["o_custkey", "o_totalprice"], rsd=0.02).first()
+
+    exact_distinct = orders.select("o_custkey").distinct().count()
+    est = row["o_custkey__approx_distinct"]
+    assert abs(est - exact_distinct) <= max(3, 3 * 0.02 * exact_distinct)
+
+    n = orders.count()
+    assert row["o_custkey__n_nonnull"] == n
+    # GK guarantee: estimated p50 has true rank within n/accuracy of n/2
+    p50 = row["o_totalprice__percentiles"][0]
+    rank = orders.filter(F.col("o_totalprice") <= p50).count()
+    assert abs(rank - n / 2) <= n / 10_000 + 1
+    # min/max are exact
+    exact_min, exact_max = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    assert row["o_totalprice__min"] == exact_min
+    assert row["o_totalprice__max"] == exact_max
