@@ -55,3 +55,101 @@ def test_merge_matches_dict_model(_spark, target, source):
         # else: hash equal -> target row kept untouched
 
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# banded_pairs_skew_bounded: grid decomposition == naive self-join, always
+# ---------------------------------------------------------------------------
+
+_BUCKET_KEYS = st.sampled_from(["A", "B", "C"])
+_band_row = st.tuples(st.integers(min_value=0, max_value=40), _BUCKET_KEYS)
+
+
+@given(
+    rows=st.lists(_band_row, max_size=40).map(lambda rs: list({(i, k) for i, k in rs})),
+    block_size=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_banded_pairs_equal_naive_for_any_block_size(_spark, rows, block_size):
+    """The grid decomposition must emit exactly the naive self-join's pair
+    set for EVERY block size (1 = fully blocked, larger than any bucket =
+    no replication) and any bucket shape hypothesis can produce."""
+    from pyspark.sql import functions as F
+
+    from fund_data_pipeline_spark.operators.similarity import banded_pairs_skew_bounded
+
+    spark = _spark
+    if not rows:
+        return
+    bands = spark.createDataFrame(
+        [(i, 0, k) for i, k in rows], "doc_id long, band int, band_key string"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in banded_pairs_skew_bounded(bands, block_size=block_size).collect()
+    }
+    by_bucket = {}
+    for i, k in rows:
+        by_bucket.setdefault(k, []).append(i)
+    want = {
+        (a, b)
+        for ids in by_bucket.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply invariants over random snapshot sequences
+# ---------------------------------------------------------------------------
+
+_snap = st.dictionaries(
+    st.sampled_from(["k1", "k2", "k3"]),
+    st.sampled_from(["x", "y", "z"]),
+    max_size=3,
+)
+
+
+@given(snaps=st.lists(_snap, min_size=1, max_size=4))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_scd2_invariants_over_random_snapshot_sequences(_spark, snaps):
+    """For ANY snapshot sequence: exactly one current version per key ever
+    observed, version ranges per key are chronologically stacked
+    (valid_from non-decreasing, closed rows have valid_to), and the current
+    version equals the latest snapshot's value for every key it contains."""
+    from datetime import date, timedelta
+
+    from fund_data_pipeline_spark.lifecycle import scd2_apply
+
+    spark = _spark
+    hist = None
+    d0 = date(2024, 1, 1)
+    for i, snap in enumerate(snaps):
+        df = spark.createDataFrame(
+            [(k, v) for k, v in snap.items()] or [("__none__", "x")],
+            "ticker string, sector string",
+        )
+        if not snap:
+            df = df.filter("ticker <> '__none__'")
+        hist = scd2_apply(hist, df, ["ticker"], ["sector"], d0 + timedelta(days=7 * i))
+    rows = hist.collect()
+
+    seen_keys = set().union(*[set(s) for s in snaps])
+    current = {}
+    for r in rows:
+        if r.is_current:
+            assert r.ticker not in current, "two current versions for one key"
+            assert r.valid_to is None
+            current[r.ticker] = r.sector
+        else:
+            assert r.valid_to is not None and r.valid_to >= r.valid_from
+    assert set(current) <= seen_keys
+    # current slice reflects the latest observed value per key (keys absent
+    # from later snapshots keep their last value: close_missing=False)
+    last_value = {}
+    for s in snaps:
+        last_value.update(s)
+    for k, v in last_value.items():
+        assert current.get(k) == v, (k, v, current)
