@@ -166,6 +166,7 @@ _OUT_OF_WINDOW_WHY = {
     "scd2_priority_history": "new r6 operator (SCD Type-2 versioned history over lifecycle.scd2_apply); SCD1 lifecycle family in-window via lifecycle_status_transitions, full-outer merge family via hash_guarded_merge",
     "streaming_enriched_purchases": "new r6 operator (stream-static broadcast enrichment join); streaming family in-window via streaming_session_counts + streaming_stateful_user_stats, equivalent batch join driver-green via regional_supplier_volume family",
     "key_skew_profile": "new r6 operator (heavy-hitter pre-join diagnosis); agg/top-k family in-window via group_count_breakdown + top_unshipped_orders",
+    "incremental_near_dup": "new r6 operator (batch-vs-index broadcast LSH join, the ingest-time dedup shape); band-join family in-window via benchmark_contamination + embedding_lsh_buckets",
 }
 
 

@@ -875,3 +875,34 @@ def characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     return ranked.filter(F.col("rank") <= 3).select("doc_id", "rank", "token", "tf", "df")
+
+
+@register(
+    "incremental_near_dup",
+    doc="Incremental dedup at ingest: a small new batch (doc_id % 7 == 0 "
+    "here; the day's landing in production) is LSH-banded and joined "
+    "against the banded index of the existing corpus — the batch side is "
+    "broadcast, so checking N new docs against a 100 TB index costs one "
+    "scan of the index bands and no self-join at all. Candidates = "
+    "(new doc, existing doc) sharing any band.",
+    oracle=f"""
+WITH {minhash_bands_sql()}
+SELECT DISTINCT b.doc_id AS new_doc_id, a.doc_id AS index_doc_id
+FROM bands a
+JOIN (SELECT * FROM bands WHERE doc_id % 7 = 0) b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+""",
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bands = minhash_bands(docs)
+    batch = bands.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "band_key"
+    )
+    index = bands.select(F.col("doc_id").alias("index_doc_id"), "band", "band_key")
+    return (
+        index.join(F.broadcast(batch), ["band", "band_key"])
+        .filter(F.col("index_doc_id") != F.col("new_doc_id"))
+        .select("new_doc_id", "index_doc_id")
+        .distinct()
+    )

@@ -213,3 +213,24 @@ def test_deterministic_shuffle_has_no_global_sort(spark, sf_dir):
     # scan pruned to the single key column
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "text" not in read_schema and "doc_id" in read_schema
+
+
+def test_characteristic_terms_broadcasts_df_relation(spark, sf_dir):
+    """The doc-frequency relation is vocabulary-sized — it must broadcast
+    into the per-doc join rather than shuffling the tf relation."""
+    plan = plan_of(spark, sf_dir, "characteristic_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_near_dup_broadcasts_batch_side(spark, sf_dir):
+    """Batch-vs-index dedup: the new-batch bands broadcast; the corpus
+    index is scanned once, never self-joined."""
+    plan = plan_of(spark, sf_dir, "incremental_near_dup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_history_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scd2_priority_history")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
