@@ -167,6 +167,9 @@ _OUT_OF_WINDOW_WHY = {
     "streaming_enriched_purchases": "new r6 operator (stream-static broadcast enrichment join); streaming family in-window via streaming_session_counts + streaming_stateful_user_stats, equivalent batch join driver-green via regional_supplier_volume family",
     "key_skew_profile": "new r6 operator (heavy-hitter pre-join diagnosis); agg/top-k family in-window via group_count_breakdown + top_unshipped_orders",
     "incremental_near_dup": "new r6 operator (batch-vs-index broadcast LSH join, the ingest-time dedup shape); band-join family in-window via benchmark_contamination + embedding_lsh_buckets",
+    "audio_quality_gate": "new r6 operator (audio mapInPandas decode + rms/clip gating, stub-equivalent oracle); multimodal family in-window via image_decode_features + multimodal_binary_meta",
+    "video_frame_sample_stats": "new r6 operator (1-row-to-N-frames mapInPandas demux, octet-arithmetic oracle); multimodal family in-window via image_decode_features + multimodal_binary_meta",
+    "price_histogram": "new r6 operator (fixed-width exact-binned histogram); agg family in-window via group_count_breakdown + order_price_percentiles family",
 }
 
 

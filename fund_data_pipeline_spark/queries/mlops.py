@@ -345,3 +345,85 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.coalesce(F.col("text"), F.lit(""))), (0.8, 0.1, 0.1), ("train", "val", "test")
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+@register(
+    "audio_quality_gate",
+    doc="Audio decode + quality gating (operators.multimodal."
+    "extract_audio_features, Arrow-batched mapInPandas): per-source counts "
+    "of clips passing the silence (rms) and clipping gates plus exact "
+    "duration totals. The stub decoder is a pure function of md5(payload) "
+    "(operators/multimodal.py:_decode_audio_stub), so the whole UDF stage "
+    "is SQL-recomputable from md5 byte-slices — a hard hash-checked row "
+    "for the audio path, like image_decode_features for images.",
+    oracle="""
+WITH feats AS (
+  SELECT source,
+         CASE CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 4
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+         200 + CAST(concat('0x', substr(md5(text), 3, 4)) AS INT) % 60000 AS duration_ms,
+         CAST(concat('0x', substr(md5(text), 7, 2)) AS INT) / 255.0 AS rms,
+         (CAST(concat('0x', substr(md5(text), 9, 2)) AS INT) % 32) / 255.0 AS clip_frac
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(CASE WHEN rms >= 0.05 AND clip_frac <= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(COUNT(DISTINCT sample_rate) AS BIGINT) AS n_rates
+FROM feats
+GROUP BY source
+""",
+)
+def audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        "source",
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = multimodal.extract_audio_features(media.select("media_id", "payload"))
+    joined = feats.join(media.select("media_id", "source"), "media_id")
+    passes = F.when((F.col("rms") >= 0.05) & (F.col("clip_frac") <= 0.1), 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(passes).cast("long").alias("n_pass"),
+        F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+        F.countDistinct("sample_rate").alias("n_rates"),
+    )
+
+
+@register(
+    "video_frame_sample_stats",
+    doc="Video frame-sampling plumbing (operators.multimodal.sample_frames, "
+    "1 row in -> N frame rows out through mapInPandas): per-document frame "
+    "count and exact total frame bytes. The stub demuxer slices the payload "
+    "deterministically, so frame counts/sizes are pure octet-length "
+    "arithmetic the oracle recomputes.",
+    oracle="""
+SELECT doc_id,
+       CAST(least(8, greatest(1, octet_length(encode(text)) // 30)) AS BIGINT) AS n_frames,
+       CAST(least(octet_length(encode(text)),
+                  least(8, greatest(1, octet_length(encode(text)) // 30))
+                  * (octet_length(encode(text)) // least(8, greatest(1, octet_length(encode(text)) // 30))))
+            AS BIGINT) AS frame_bytes
+FROM documents
+""",
+)
+def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    frames = multimodal.sample_frames(media, every_nth=30, max_frames=8)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.octet_length("frame_payload")).cast("long").alias("frame_bytes"),
+        )
+        .select(
+            F.col("media_id").cast("long").alias("doc_id"), "n_frames", "frame_bytes"
+        )
+    )

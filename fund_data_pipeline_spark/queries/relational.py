@@ -744,3 +744,41 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(10)
     )
+
+
+@register(
+    "price_histogram",
+    doc="Fixed-width histogram of order totals (width 25000, literal "
+    "bounds): floor-bucket on an exact DECIMAL cast so both engines bin "
+    "identically, one hash aggregate with map-side combine — the "
+    "distribution-profile op behind data-drift dashboards.",
+    oracle="""
+SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 25000) AS BIGINT) AS bucket,
+       CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 25000) AS BIGINT) * 25000 AS bucket_lo,
+       COUNT(*) AS n_orders,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY 1
+""",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    bucket = F.floor(dec / 25000).cast("long")
+    return (
+        orders.select(dec.alias("p"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("p").cast("double").alias("min_price"),
+            F.max("p").cast("double").alias("max_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000).alias("bucket_lo"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+    )
