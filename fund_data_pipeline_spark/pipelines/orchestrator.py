@@ -126,34 +126,69 @@ def _record(result: StageResult, value: object) -> None:
         result.side_counts["returned"] = 1
 
 
-def run_all(stages: Sequence[Stage], fail_stop: bool = True) -> RunReport:
-    """Execute ``stages`` in order with fail-stop semantics (O1).
+def _run_one(name: str, thunk: Callable[[], object]) -> StageResult:
+    result = StageResult(name=name, status="ok")
+    t0 = time.perf_counter()
+    try:
+        _record(result, thunk())
+    except Exception as e:  # noqa: BLE001 — a stage is a fault boundary
+        result.status = "failed"
+        result.error = "".join(traceback.format_exception_only(type(e), e)).strip()
+    result.duration_sec = time.perf_counter() - t0
+    return result
+
+
+def run_all(
+    stages: Sequence[Stage | list[Stage]],
+    fail_stop: bool = True,
+    max_workers: int = 4,
+) -> RunReport:
+    """Execute ``stages`` in order with fail-stop semantics (O1) and
+    parallel task groups (O2).
+
+    An entry that is a ``list`` of stages is a *concurrent group*: its
+    stages run simultaneously on worker threads against the shared
+    SparkSession (Spark schedules jobs submitted from separate threads
+    concurrently — the in-process form of the reference's independent
+    sync modules, which each own disjoint tables). Results are reported in
+    declared order regardless of completion order, so the summary is
+    deterministic.
 
     On a stage exception the stage is recorded failed (with the traceback's
     final line as the error) and, under ``fail_stop`` (default, the
-    reference's behavior), every remaining stage is recorded skipped. With
-    ``fail_stop=False`` later stages still run — useful when flows are
-    independent (the reference's modules each own disjoint tables).
+    reference's behavior), every LATER entry is recorded skipped. A failure
+    inside a group does not cancel its siblings — concurrent stages run to
+    completion (they are already in flight), exactly like a process group —
+    but it does abort everything after the group. With ``fail_stop=False``
+    later stages still run.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     report = RunReport()
     aborted_by: str | None = None
-    for name, thunk in stages:
-        result = StageResult(name=name, status="ok")
+    for entry in stages:
+        group: list[Stage] = entry if isinstance(entry, list) else [entry]
         if aborted_by is not None:
-            result.status = "skipped"
-            result.error = f"fail-stop: {aborted_by} failed"
-            report.stages.append(result)
+            for name, _ in group:
+                report.stages.append(
+                    StageResult(
+                        name=name,
+                        status="skipped",
+                        error=f"fail-stop: {aborted_by} failed",
+                    )
+                )
             continue
-        t0 = time.perf_counter()
-        try:
-            _record(result, thunk())
-        except Exception as e:  # noqa: BLE001 — a stage is a fault boundary
-            result.status = "failed"
-            result.error = "".join(traceback.format_exception_only(type(e), e)).strip()
-            if fail_stop:
-                aborted_by = name
-        result.duration_sec = time.perf_counter() - t0
-        report.stages.append(result)
+        if len(group) == 1:
+            results = [_run_one(*group[0])]
+        else:
+            with ThreadPoolExecutor(max_workers=min(max_workers, len(group))) as ex:
+                futures = [ex.submit(_run_one, n, t) for n, t in group]
+                results = [f.result() for f in futures]
+        report.stages.extend(results)
+        if fail_stop:
+            failed = next((r.name for r in results if r.status == "failed"), None)
+            if failed is not None:
+                aborted_by = failed
     return report
 
 
@@ -235,12 +270,13 @@ def default_stages(
                     alloc[kind_dir.name] = read_landing_csvs(spark, [str(kind_dir)])
         return holdings.run(spark, hraw, alloc, warehouse)
 
-    stages: list[Stage] = [
+    # static_details and holdings own disjoint tables and only depend on the
+    # upstream master/NAV state — they run as a concurrent group (O2)
+    stages: list[Stage | list[Stage]] = [
         ("master_sync", _master),
         ("daily_nav", _nav),
         ("nav_repair", _nav_repair),
-        ("static_details", _details),
-        ("holdings", _holdings),
+        [("static_details", _details), ("holdings", _holdings)],
     ]
     return stages
 

@@ -119,3 +119,38 @@ def test_missing_feeds_do_not_fail_the_run(spark, tmp_path):
     report = run_pipeline(spark, str(tmp_path / "landing"), str(tmp_path / "wh"))
     assert report.ok
     assert all(s.status == "ok" and not s.tables for s in report.stages)
+
+
+def test_parallel_group_runs_concurrently_and_fail_stops_after():
+    """O2: stages inside a list entry must actually run concurrently (a
+    2-party barrier with a timeout can only be satisfied if both stages are
+    in flight at once), siblings of a failed group member still complete,
+    and entries after the group are skipped under fail-stop."""
+    import threading
+
+    from fund_data_pipeline_spark.pipelines.orchestrator import run_all
+
+    barrier = threading.Barrier(2, timeout=30)
+
+    def meet():
+        barrier.wait()  # deadlocks (then breaks) if run sequentially
+        return None
+
+    def boom():
+        barrier.wait()
+        raise RuntimeError("kaput")
+
+    report = run_all(
+        [
+            ("first", lambda: None),
+            [("meet", meet), ("boom", boom)],
+            ("after", lambda: None),
+        ]
+    )
+    by_name = {s.name: s for s in report.stages}
+    assert [s.name for s in report.stages] == ["first", "meet", "boom", "after"]
+    assert by_name["first"].status == "ok"
+    assert by_name["meet"].status == "ok"  # sibling completed despite failure
+    assert by_name["boom"].status == "failed" and "kaput" in by_name["boom"].error
+    assert by_name["after"].status == "skipped"
+    assert "boom failed" in by_name["after"].error
