@@ -343,3 +343,44 @@ def clicks_before_purchase_range_join(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("event_id", "user_id", "ts")
         .agg(F.count("c_id").alias("n_clicks"))
     )
+
+
+@register(
+    "rolling_30d_revenue",
+    doc="Value-range window frame (RANGE BETWEEN 30 PRECEDING on epoch "
+    "days): each order's trailing-30-day revenue for its customer — the "
+    "interval-based rolling aggregate ROWS frames can't express (RANGE "
+    "includes every order in the window regardless of how many, and "
+    "same-day peers are summed symmetrically, so ties need no ordering "
+    "tiebreak). Exact DECIMAL accumulation inside the frame, one window "
+    "shuffle on the customer key.",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       date_diff('day', DATE '1970-01-01', o_orderdate) AS epoch_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              PARTITION BY o_custkey
+              ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS revenue_30d
+FROM orders
+""",
+)
+def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        epoch_day.alias("epoch_day"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_30d"),
+    )
