@@ -234,3 +234,33 @@ def test_incremental_near_dup_broadcasts_batch_side(spark, sf_dir):
 def test_scd2_history_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "scd2_priority_history")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+#: queries whose plan legitimately contains BroadcastNestedLoopJoin: each
+#: crossJoins a literally-1-row broadcast relation (scalar total / probe
+#: vector), which executes as O(n) — not a pair blowup. Anything NEW that
+#: shows up here must be justified or fixed.
+_ONE_ROW_BNLJ_OK = {"conversion_funnel", "embedding_topk_cosine", "key_skew_profile"}
+
+
+def test_whole_catalog_plan_hygiene(spark, sf_dir):
+    """Catalog-wide scale audit: no batch query's physical plan may contain
+    a cartesian product, an unexpected nested-loop join, a single-partition
+    exchange outside top-k, a global range sort, or a row-at-a-time Python
+    UDF. This is the frozen form of the per-round .explain sweep."""
+    problems = []
+    for name, spec in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue  # drains at build; the returned sink df's plan is trivial
+        plan = plan_of(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _ONE_ROW_BNLJ_OK:
+            problems.append(f"{name}: BroadcastNestedLoopJoin")
+        if "Exchange SinglePartition" in plan and "TakeOrderedAndProject" not in plan:
+            problems.append(f"{name}: single-partition exchange")
+        if "rangepartitioning" in plan.lower():
+            problems.append(f"{name}: global range sort")
+        if "BatchEvalPython" in plan:
+            problems.append(f"{name}: row-at-a-time Python UDF")
+    assert not problems, "; ".join(problems)
