@@ -133,9 +133,15 @@ def scd2_apply(
     joined = t.join(s, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys], "full_outer")
     t_present = F.col("t.is_current").isNotNull()
     s_present = F.col("s.__s_present").isNotNull()
-    changed = reduce(
-        lambda a, b: a | b,
-        [~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}")) for c in tracked_cols],
+    # empty tracked_cols = presence-only SCD2 (track key existence): a
+    # re-observed key is never "changed", only appearance/disappearance moves
+    changed = (
+        reduce(
+            lambda a, b: a | b,
+            [~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}")) for c in tracked_cols],
+        )
+        if tracked_cols
+        else F.lit(False)
     )
 
     def pick(c):

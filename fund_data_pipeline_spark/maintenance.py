@@ -188,7 +188,7 @@ def write_range_clustered(
     from pyspark.sql import functions as F  # noqa: F811 (local, matches module style)
 
     if n_files is None:
-        n_files = max(1, int(df.count() / target_rows_per_file) + 1)
+        n_files = max(1, -(-df.count() // target_rows_per_file))  # ceil
     cols = [F.col(c) for c in cluster_cols]
     (
         df.repartitionByRange(n_files, *cols)

@@ -100,9 +100,12 @@ def scrub_boilerplate_segments(
     groupBy itself.
     """
     ids = list(id_cols)
+    # materialize the segment relation once: it feeds three subtrees (hot-set
+    # aggregate, anti-join probe, per-doc totals) that would otherwise each
+    # re-run the corpus scan + explode — two redundant full passes at scale
     segs = chunk_by_tokens(
         df, text_col, ids, chunk_size=segment_tokens, stride=segment_tokens
-    )
+    ).localCheckpoint(eager=True)
     hot = (
         segs.groupBy("chunk_text")
         .agg(F.countDistinct(*ids).alias("__df"))

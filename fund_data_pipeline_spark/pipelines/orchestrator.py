@@ -168,6 +168,8 @@ def run_all(
     aborted_by: str | None = None
     for entry in stages:
         group: list[Stage] = entry if isinstance(entry, list) else [entry]
+        if not group:  # a group emptied by feed filtering is a no-op
+            continue
         if aborted_by is not None:
             for name, _ in group:
                 report.stages.append(

@@ -217,10 +217,10 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH feats AS (
   SELECT doc_id,
-         octet_length(encode(text)) AS n_bytes,
-         64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) * 4 AS width,
-         64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) * 4 AS height,
-         substr(md5(text), 1, 16) AS phash
+         octet_length(encode(coalesce(text, ''))) AS n_bytes,
+         64 + CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 2)) AS INT) * 4 AS width,
+         64 + CAST(concat('0x', substr(md5(coalesce(text, '')), 3, 2)) AS INT) * 4 AS height,
+         substr(md5(coalesce(text, '')), 1, 16) AS phash
   FROM documents
   ORDER BY doc_id
   LIMIT 200
@@ -359,11 +359,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH feats AS (
   SELECT source,
-         CASE CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 4
+         CASE CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 2)) AS INT) % 4
               WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
-         200 + CAST(concat('0x', substr(md5(text), 3, 4)) AS INT) % 60000 AS duration_ms,
-         CAST(concat('0x', substr(md5(text), 7, 2)) AS INT) / 255.0 AS rms,
-         (CAST(concat('0x', substr(md5(text), 9, 2)) AS INT) % 32) / 255.0 AS clip_frac
+         200 + CAST(concat('0x', substr(md5(coalesce(text, '')), 3, 4)) AS INT) % 60000 AS duration_ms,
+         CAST(concat('0x', substr(md5(coalesce(text, '')), 7, 2)) AS INT) / 255.0 AS rms,
+         (CAST(concat('0x', substr(md5(coalesce(text, '')), 9, 2)) AS INT) % 32) / 255.0 AS clip_frac
   FROM documents
 )
 SELECT source,
@@ -402,10 +402,10 @@ def audio_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic the oracle recomputes.",
     oracle="""
 SELECT doc_id,
-       CAST(least(8, greatest(1, octet_length(encode(text)) // 30)) AS BIGINT) AS n_frames,
-       CAST(least(octet_length(encode(text)),
-                  least(8, greatest(1, octet_length(encode(text)) // 30))
-                  * (octet_length(encode(text)) // least(8, greatest(1, octet_length(encode(text)) // 30))))
+       CAST(least(8, greatest(1, octet_length(encode(coalesce(text, ''))) // 30)) AS BIGINT) AS n_frames,
+       CAST(least(octet_length(encode(coalesce(text, ''))),
+                  least(8, greatest(1, octet_length(encode(coalesce(text, ''))) // 30))
+                  * (octet_length(encode(coalesce(text, ''))) // least(8, greatest(1, octet_length(encode(coalesce(text, ''))) // 30))))
             AS BIGINT) AS frame_bytes
 FROM documents
 """,

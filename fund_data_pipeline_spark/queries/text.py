@@ -761,8 +761,11 @@ LIMIT 50
 )
 def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # trim + \s+ split, matching the oracle's string_split_regex exactly —
+    # the plain single-space _tokens() would admit empty-string tokens on
+    # irregular whitespace and diverge
     tok = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
-        "doc_id", F.explode(_tokens()).alias("token")
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     )
     return (
         tok.groupBy("token")
@@ -859,8 +862,9 @@ def characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
+    # trim + \s+ split to match the oracle (see token_vocabulary)
     tok = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
-        "doc_id", F.explode(_tokens()).alias("token")
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_rel = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))

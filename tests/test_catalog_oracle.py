@@ -76,3 +76,52 @@ def test_gate_catches_uncast_sum_oracle(spark, sf_dir, oracle_con):
     )
     problems, _ = compare_query(spark, oracle_con, good, sf_dir)
     assert not problems, problems
+
+
+def test_null_text_and_irregular_whitespace_parity(spark, sf_dir, tmp_path):
+    """Code-review r6 regression: the fixtures contain no NULL-text or
+    irregular-whitespace documents, so divergences on those rows pass the
+    standard gate silently (exactly how the r5 leakage_safe_split NULL bug
+    shipped). This fixture forces both classes through every query that
+    derives values from raw text bytes or whitespace tokenization."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fund_data_pipeline_spark.oracle import TABLES
+
+    custom = tmp_path / "sfx"
+    custom.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", custom / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array([None, "a  b\tc ", "plain text here now", ""]),
+                "lang": pa.array(["en", "en", "xx", "en"]),
+                "source": pa.array(["s0", "s0", "s1", "s1"]),
+                "n_chars": pa.array([0, 8, 19, 0], pa.int64()),
+            }
+        ),
+        custom / "documents.parquet",
+    )
+    con = duckdb_connect(str(custom))
+    try:
+        for name in (
+            "image_decode_features",
+            "audio_quality_gate",
+            "video_frame_sample_stats",
+            "token_vocabulary",
+            "characteristic_terms",
+            "leakage_safe_split",
+            "boilerplate_scrub",
+            "doc_chunking",
+            "multimodal_binary_meta",
+        ):
+            problems, _ = compare_query(spark, con, Q.QUERIES[name], str(custom))
+            assert not problems, f"{name}: " + "; ".join(problems)
+    finally:
+        con.close()
