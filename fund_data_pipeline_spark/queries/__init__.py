@@ -171,6 +171,7 @@ _OUT_OF_WINDOW_WHY = {
     "video_frame_sample_stats": "new r6 operator (1-row-to-N-frames mapInPandas demux, octet-arithmetic oracle); multimodal family in-window via image_decode_features + multimodal_binary_meta",
     "price_histogram": "new r6 operator (fixed-width exact-binned histogram); agg family in-window via group_count_breakdown + order_price_percentiles family",
     "rolling_30d_revenue": "new r6 operator (interval RANGE window frame); window-frame family in-window via running_revenue_by_supplier + ntile_quartiles",
+    "semantic_dedup_cells": "new r6 operator (SemDeDup: IVF-cell-bucketed embedding near-dup drop list); cell-assignment family in-window via embedding_ivf_topk, bucketed cosine family via embedding_topk_pandas + multimodal_binary_meta window slots",
 }
 
 

@@ -408,6 +408,27 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir)
 
 
+def _cell_dist_arr(cents):
+    """``array<struct<dist,cid>>`` of exact integer distances to each centroid
+    literal — ``array_min(...)['cid']`` is the map-side cell assignment shared
+    by :func:`ivf_topk` and :func:`semantic_dedup`. The row's own qe·qe term
+    is constant across cells and dropped (argmin unchanged)."""
+
+    def dist_to(c):
+        # Literals must be BIGINT: quantized components fit int32, but their
+        # products don't, and F.lit of a small int is IntegerType.
+        ce = F.array(*[F.lit(int(v)) for v in c["qe"]]).cast("array<bigint>")
+        ce_sq = sum(int(v) * int(v) for v in c["qe"])
+        return F.lit(ce_sq).cast("long") - 2 * _dot(F.col("qe"), ce)
+
+    return F.array(
+        *[
+            F.struct(dist_to(c).alias("dist"), F.lit(int(c["cid"])).cast("long").alias("cid"))
+            for c in cents
+        ]
+    )
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -448,23 +469,7 @@ def ivf_topk(
             .collect()
         )
 
-    def dist_to(c):
-        # argmin over cells: the row's own qe.qe term is constant across
-        # cells, so it is dropped (ordering unchanged); the centroid's ce.ce
-        # is a Python-computed literal. Per row this leaves exactly one
-        # 64-element dot product per cell. Literals must be BIGINT:
-        # quantized components fit int32, but their products don't, and
-        # F.lit of a small int is IntegerType.
-        ce = F.array(*[F.lit(int(v)) for v in c["qe"]]).cast("array<bigint>")
-        ce_sq = sum(int(v) * int(v) for v in c["qe"])
-        return F.lit(ce_sq).cast("long") - 2 * _dot(F.col("qe"), ce)
-
-    dist_arr = F.array(
-        *[
-            F.struct(dist_to(c).alias("dist"), F.lit(int(c["cid"])).cast("long").alias("cid"))
-            for c in cents
-        ]
-    )
+    dist_arr = _cell_dist_arr(cents)
     with_cell = emb.withColumn("cell", F.array_min(dist_arr)["cid"])
 
     qrow = (
@@ -568,4 +573,123 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("qv").alias("sum_q"),
+    )
+
+
+#: semantic-dedup threshold for the registered query (oracle generated at it)
+SEMDEDUP_TAU = 0.35
+
+# shared DuckDB CTE: IVF cell assignment over first-N centroids — identical
+# (dist, cid) argmin as embedding_ivf_topk's oracle, kept textually in one
+# place so both oracles stay in lockstep
+_CELLS_CTE = f"""
+WITH e AS (
+  SELECT vec_id, {_Q} AS qe FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id < {N_IVF_CELLS}
+), d AS (
+  SELECT e.vec_id, e.qe, c.cid,
+         list_sum(list_transform(e.qe, x -> x * x))
+           - 2 * list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> e.qe[i] * c.ce[i]))
+           + list_sum(list_transform(c.ce, x -> x * x)) AS dist
+  FROM e CROSS JOIN c
+), a AS (
+  SELECT vec_id, qe, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+), cells AS (
+  SELECT vec_id, qe, cid AS cell FROM a WHERE rn = 1
+)"""
+
+
+@register(
+    "semantic_dedup_cells",
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540): "
+    f"coarse-quantize every embedding to its nearest of {N_IVF_CELLS} "
+    "centroid cells (map-side argmin against literals — the IVF assignment, "
+    "zero shuffles), then mark a vector a duplicate iff some LOWER-vec_id "
+    f"vector in the SAME cell has cosine >= {SEMDEDUP_TAU}. The pair join is "
+    "a per-cell equi-join, never corpus-wide all-pairs; at 100 TB the cell "
+    "is the storage partition key (cells from train_ivf_codebook, count "
+    "sized so a cell fits one partition) and each cell self-joins locally. "
+    "The greedy lower-id keep rule is deterministic and needs no iteration "
+    "— unlike connected components — at the cost of over-dropping chains, "
+    "the standard SemDeDup trade.",
+    oracle=f"""{_CELLS_CTE}, pairs AS (
+  SELECT hi.vec_id AS vec_id, hi.cell AS cell, lo.vec_id AS lo_id,
+         CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> hi.qe[i] * lo.qe[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(hi.qe, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(lo.qe, x -> x * x)) AS DOUBLE))) AS cosine
+  FROM cells hi JOIN cells lo ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+)
+SELECT vec_id, cell,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MAX(cosine) AS best_cosine,
+       MIN(lo_id) AS witness_id
+FROM pairs
+WHERE cosine >= {SEMDEDUP_TAU}
+GROUP BY vec_id, cell
+""",
+)
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(spark, sf_dir)
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_cells: int = N_IVF_CELLS,
+    threshold: float = SEMDEDUP_TAU,
+    centroids: Sequence[tuple[int, Sequence[int]]] | None = None,
+) -> DataFrame:
+    """Cell-bucketed semantic dedup drop list.
+
+    Returns the DROPPED vectors — one row per vector that has a
+    lower-vec_id near-duplicate (quantized cosine >= ``threshold``) in its
+    cell — with its cell, lower-id dup count, best cosine, and the smallest
+    witnessing vec_id. The keep set is the anti-join of the corpus against
+    this result. Centroids default to the deterministic first-``n_cells``
+    codebook (matching the registered oracle); pass
+    ``train_ivf_codebook(...)`` output for a corpus-shaped codebook — the
+    plan is identical, only the literals change.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quant("embedding").alias("qe"))
+    if centroids is not None:
+        cents = [{"cid": int(cid), "qe": list(qe)} for cid, qe in centroids]
+    else:
+        cents = (
+            emb.filter(F.col("vec_id") < n_cells)
+            .select(F.col("vec_id").alias("cid"), "qe")
+            .collect()
+        )
+    cells = emb.withColumn("cell", F.array_min(_cell_dist_arr(cents))["cid"])
+    hi, lo = cells.alias("hi"), cells.alias("lo")
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("hnorm").cast("double")) * F.sqrt(F.col("lnorm").cast("double"))
+    )
+    pairs = (
+        hi.join(
+            lo,
+            (F.col("hi.cell") == F.col("lo.cell"))
+            & (F.col("lo.vec_id") < F.col("hi.vec_id")),
+        )
+        .select(
+            F.col("hi.vec_id").alias("vec_id"),
+            F.col("hi.cell").alias("cell"),
+            F.col("lo.vec_id").alias("lo_id"),
+            _dot(F.col("hi.qe"), F.col("lo.qe")).alias("dot"),
+            _dot(F.col("hi.qe"), F.col("hi.qe")).alias("hnorm"),
+            _dot(F.col("lo.qe"), F.col("lo.qe")).alias("lnorm"),
+        )
+        .select("vec_id", "cell", "lo_id", cosine.alias("cosine"))
+    )
+    return (
+        pairs.filter(F.col("cosine") >= threshold)
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("cosine").alias("best_cosine"),
+            F.min("lo_id").alias("witness_id"),
+        )
     )

@@ -581,3 +581,41 @@ def test_approx_profile_accuracy_bounds(spark, sf_dir):
     ).first()
     assert row["o_totalprice__min"] == exact_min
     assert row["o_totalprice__max"] == exact_max
+
+
+def test_semantic_dedup_drop_rule_and_trained_codebook(spark, sf_dir):
+    """SemDeDup drop-list invariants, checked independently of the oracle:
+    every dropped vector cites a strictly-lower witness in its own cell with
+    cosine >= tau, and the keep set is exactly the complement — no kept
+    vector has a lower-id cell-mate at/above the threshold (the greedy rule
+    has no other degrees of freedom). Also exercises the trained-codebook
+    branch: a k-means cell layout must preserve the invariants even though
+    the cell boundaries (and hence the drop list) differ."""
+    from fund_data_pipeline_spark.queries.vectors import (
+        SEMDEDUP_TAU,
+        semantic_dedup,
+        train_ivf_codebook,
+    )
+
+    dropped = semantic_dedup(spark, sf_dir).collect()
+    assert dropped, "fixture corpus should contain semantic near-dups at tau"
+    for r in dropped:
+        assert r["witness_id"] < r["vec_id"]
+        assert r["n_dups"] >= 1
+        assert r["best_cosine"] >= SEMDEDUP_TAU
+
+    # independent recomputation of the pair relation: threshold=-1 keeps
+    # every within-cell pair, so the drop set must be exactly the vectors
+    # with some lower cell-mate at/above tau
+    all_pairs = semantic_dedup(spark, sf_dir, threshold=-1.0)
+    expect = {
+        r["vec_id"]
+        for r in all_pairs.filter(F.col("best_cosine") >= SEMDEDUP_TAU).collect()
+    }
+    assert {r["vec_id"] for r in dropped} == expect
+
+    codebook = train_ivf_codebook(spark, sf_dir, seed=7)
+    trained = semantic_dedup(spark, sf_dir, centroids=codebook).collect()
+    for r in trained:
+        assert r["witness_id"] < r["vec_id"]
+        assert r["best_cosine"] >= SEMDEDUP_TAU
