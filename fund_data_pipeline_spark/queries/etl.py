@@ -695,3 +695,50 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1 = scd2_apply(None, latest_pre, ["custkey"], ["priority"], "1995-01-01")
     h2 = scd2_apply(h1, latest_all, ["custkey"], ["priority"], "1998-08-02")
     return h2
+
+
+@register(
+    "incremental_rollup_revenue",
+    doc="Hypertable-style continuous aggregate (rollup.py): the monthly "
+    "revenue rollup after a late batch lands, maintained INCREMENTALLY — "
+    "untouched months' aggregate rows pass through from the pre-batch "
+    "rollup (left-anti join against the batch's month set), only the "
+    "batch's months are recomputed (left-semi pruned base scan). The "
+    "oracle is the full recompute over the final base, so the value hash "
+    "proves the incremental path converges to it. On disk the same "
+    "identity runs via rollup.refresh_rollup with a partition-directory "
+    "swap: per-day cost is one pruned scan of the touched partitions, "
+    "independent of history length (tests/test_rollup.py).",
+    oracle="""
+SELECT strftime(l_shipdate, '%Y-%m') AS dt, l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY strftime(l_shipdate, '%Y-%m'), l_returnflag
+""",
+)
+def incremental_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..rollup import rollup_frame
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "dt", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    measures = {
+        "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+        "revenue": F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+        ).cast("double"),
+        "n_rows": F.count(F.lit(1)),
+    }
+    # initial load = history before the cutoff; the late batch lands after
+    base0 = li.filter(F.col("dt") < "1998-06")
+    batch = li.filter(F.col("dt") >= "1998-06")
+    batch_months = batch.select("dt").distinct()
+    r_old = rollup_frame(base0, "dt", ["l_returnflag"], measures)
+    untouched = r_old.join(batch_months, "dt", "left_anti")
+    recomputed = rollup_frame(
+        li.join(batch_months, "dt", "left_semi"), "dt", ["l_returnflag"], measures
+    )
+    return untouched.unionByName(recomputed)

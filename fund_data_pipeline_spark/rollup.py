@@ -1,0 +1,114 @@
+"""Incremental materialized rollup: a partition-aligned aggregate table
+refreshed only for the partitions a batch touched.
+
+The reference recomputes its summary views from scratch each run (pandas
+group-bys over the full table). At 100 TB that full recompute is the
+dominant cost, so this module maintains the rollup the way a hypertable
+continuous aggregate does: the rollup table is hive-partitioned by the SAME
+partition column as the base table, and a refresh recomputes ONLY the
+touched partitions' aggregate rows from a partition-pruned base scan, then
+swaps exactly those partition directories into the rollup (reusing the
+merge engine's :func:`~fund_data_pipeline_spark.merge._partition_swap_write`
+— untouched rollup partitions stay byte-identical on disk).
+
+Correctness requires nothing from the aggregate beyond per-partition
+recomputability: any Spark aggregate expression works (including
+non-decomposable ones like exact COUNT DISTINCT) because a refresh always
+recomputes a touched partition from the base rows, never merges partial
+states. A partition whose base rows all disappeared is dropped from the
+rollup (its directory is removed), which plain keyed upsert cannot express.
+
+Daily flow: ``merge_upsert(base, batch, partition_col=dt)`` returns/knows
+the touched partition values; pass the same values to
+:func:`refresh_rollup`. Cost per day = one pruned scan of the touched base
+partitions, independent of table history length.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Mapping, Sequence
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import _partition_swap_write
+
+
+def rollup_frame(
+    base: DataFrame,
+    partition_col: str,
+    group_cols: Sequence[str],
+    measures: Mapping[str, Column],
+) -> DataFrame:
+    """The rollup's defining aggregation: GROUP BY (partition_col, *group_cols)
+    with the given named aggregate expressions. Shared by full build and
+    incremental refresh so the two paths cannot drift."""
+    return base.groupBy(partition_col, *group_cols).agg(
+        *[expr.alias(name) for name, expr in measures.items()]
+    )
+
+
+def build_rollup(
+    base: DataFrame,
+    rollup_path: str,
+    *,
+    partition_col: str,
+    group_cols: Sequence[str],
+    measures: Mapping[str, Column],
+) -> None:
+    """Full build: aggregate the whole base table and write the rollup as a
+    hive-partitioned parquet table (one-time; afterwards use
+    :func:`refresh_rollup` per batch)."""
+    out = rollup_frame(base, partition_col, group_cols, measures)
+    path = Path(rollup_path)
+    if path.exists():
+        shutil.rmtree(path)
+    # one task per partition: rollup partitions are aggregate-sized (small),
+    # so fan-out to tasks x partitions files would be pure scan overhead
+    out.repartition(F.col(partition_col)).write.partitionBy(partition_col).parquet(
+        str(path)
+    )
+
+
+def refresh_rollup(
+    base: DataFrame,
+    rollup_path: str,
+    *,
+    partition_col: str,
+    group_cols: Sequence[str],
+    measures: Mapping[str, Column],
+    touched: Sequence,
+) -> None:
+    """Recompute the ``touched`` partitions of the rollup from the base table
+    and swap them in; every other rollup partition is left byte-untouched.
+
+    ``base`` should be the partitioned base table read (``spark.read.parquet``
+    over a ``partition_col=`` layout): the ``isin(touched)`` filter then
+    prunes the scan to the touched partitions at the source. ``touched`` is
+    the batch's partition values — bounded (a daily batch touches a handful
+    of partitions), so passing it as literals keeps planning cheap.
+    """
+    touched = list(touched)
+    if not touched:
+        return
+    pruned = base.filter(F.col(partition_col).isin(touched))
+    out = rollup_frame(pruned, partition_col, group_cols, measures)
+    path = Path(rollup_path)
+    _partition_swap_write(out, path, partition_col)
+    # a touched partition with zero surviving base rows produces no rows in
+    # `out`, so the swap never visits it — drop its stale directory here.
+    # len(touched)-bounded collect: partition values, not data.
+    present = {r[0] for r in out.select(partition_col).distinct().collect()}
+    for value in touched:
+        if value not in present:
+            stale = path / f"{partition_col}={value}"
+            if stale.exists():
+                shutil.rmtree(stale)
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Read the rollup table (hive-partitioned parquet; the partition column
+    comes back from directory names)."""
+    return spark.read.parquet(rollup_path)

@@ -1,0 +1,158 @@
+"""Incremental materialized rollup (rollup.py): refresh touches only the
+batch's partitions, converges to the full recompute, and handles the case
+keyed upsert cannot — a partition whose base rows all disappeared."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from fund_data_pipeline_spark.merge import merge_upsert
+from fund_data_pipeline_spark.rollup import (
+    build_rollup,
+    read_rollup,
+    refresh_rollup,
+    rollup_frame,
+)
+
+def _measures():
+    return {
+        "total": F.sum("value"),
+        "n": F.count(F.lit(1)),
+        "mx": F.max("value"),
+        # non-decomposable on purpose: recompute-from-base makes it exact
+        "n_tickers": F.countDistinct("ticker"),
+    }
+
+
+def _base_rows(spark):
+    rows = []
+    for m, month in enumerate(["2024-01", "2024-02", "2024-03"]):
+        for t in range(4):
+            for i in range(5):
+                rows.append((f"T{t}", month, (m + 1) * 100 + t * 10 + i))
+    return spark.createDataFrame(rows, "ticker string, dt string, value long")
+
+
+def _file_state(root: Path) -> dict[str, tuple[int, float]]:
+    return {
+        str(p.relative_to(root)): (p.stat().st_size, p.stat().st_mtime)
+        for p in root.rglob("*.parquet")
+        if p.is_file()
+    }
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_refresh_converges_and_leaves_untouched_partitions_alone(spark, tmp_path):
+    base_path = tmp_path / "base"
+    rollup_path = tmp_path / "rollup"
+    base = _base_rows(spark).withColumn(
+        "row_hash", F.md5(F.concat_ws("|", "ticker", "dt", F.col("value").cast("string")))
+    )
+    merge_upsert(
+        spark, str(base_path), base, keys=["ticker", "dt", "value"], partition_col="dt"
+    )
+
+    base_df = spark.read.parquet(str(base_path))
+    build_rollup(
+        base_df,
+        str(rollup_path),
+        partition_col="dt",
+        group_cols=["ticker"],
+        measures=_measures(),
+    )
+    before = _file_state(rollup_path)
+    assert any("dt=2024-01" in k for k in before)
+
+    # late batch: modifies 2024-02 (new rows + a new ticker), nothing else
+    batch = spark.createDataFrame(
+        [("T0", "2024-02", 999), ("NEW", "2024-02", 1)],
+        "ticker string, dt string, value long",
+    ).withColumn(
+        "row_hash", F.md5(F.concat_ws("|", "ticker", "dt", F.col("value").cast("string")))
+    )
+    merge_upsert(
+        spark, str(base_path), batch, keys=["ticker", "dt", "value"], partition_col="dt"
+    )
+
+    base_df = spark.read.parquet(str(base_path))
+    refresh_rollup(
+        base_df,
+        str(rollup_path),
+        partition_col="dt",
+        group_cols=["ticker"],
+        measures=_measures(),
+        touched=["2024-02"],
+    )
+
+    # converges to the full recompute (countDistinct included)
+    expect = rollup_frame(base_df, "dt", ["ticker"], _measures())
+    got = read_rollup(spark, str(rollup_path)).select(*[c for c in expect.columns])
+    assert _sorted(got) == _sorted(expect)
+
+    # untouched partitions byte-identical: same files, sizes, mtimes
+    after = _file_state(rollup_path)
+    for k, v in before.items():
+        if "dt=2024-02" not in k:
+            assert after[k] == v, f"untouched rollup file rewritten: {k}"
+
+
+def test_refresh_drops_partition_with_no_surviving_base_rows(spark, tmp_path):
+    base_path = tmp_path / "base"
+    rollup_path = tmp_path / "rollup"
+    _base_rows(spark).write.partitionBy("dt").parquet(str(base_path))
+    base_df = spark.read.parquet(str(base_path))
+    build_rollup(
+        base_df,
+        str(rollup_path),
+        partition_col="dt",
+        group_cols=["ticker"],
+        measures=_measures(),
+    )
+    assert (rollup_path / "dt=2024-03").exists()
+
+    # retention purge removes the whole 2024-03 partition from the base
+    shutil.rmtree(base_path / "dt=2024-03")
+    base_df = spark.read.parquet(str(base_path))
+    refresh_rollup(
+        base_df,
+        str(rollup_path),
+        partition_col="dt",
+        group_cols=["ticker"],
+        measures=_measures(),
+        touched=["2024-03"],
+    )
+    assert not (rollup_path / "dt=2024-03").exists()
+    got = read_rollup(spark, str(rollup_path))
+    assert got.filter(F.col("dt") == "2024-03").count() == 0
+    expect = rollup_frame(base_df, "dt", ["ticker"], _measures())
+    assert _sorted(got.select(*expect.columns)) == _sorted(expect)
+
+
+def test_refresh_empty_touched_is_noop(spark, tmp_path):
+    base_path = tmp_path / "base"
+    rollup_path = tmp_path / "rollup"
+    _base_rows(spark).write.partitionBy("dt").parquet(str(base_path))
+    base_df = spark.read.parquet(str(base_path))
+    build_rollup(
+        base_df,
+        str(rollup_path),
+        partition_col="dt",
+        group_cols=["ticker"],
+        measures=_measures(),
+    )
+    before = _file_state(rollup_path)
+    refresh_rollup(
+        base_df,
+        str(rollup_path),
+        partition_col="dt",
+        group_cols=["ticker"],
+        measures=_measures(),
+        touched=[],
+    )
+    assert _file_state(rollup_path) == before
