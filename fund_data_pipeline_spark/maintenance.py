@@ -196,3 +196,65 @@ def write_range_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def delete_keys(
+    spark,
+    table_path: str,
+    keys_df,
+    key_cols: list[str],
+    *,
+    partition_col: str | None = None,
+) -> int:
+    """Keyed hard delete (GDPR erasure / blocklist purge): remove every row
+    whose ``key_cols`` tuple appears in ``keys_df``; returns the number of
+    rows removed.
+
+    Copy-on-write with partition pruning — the same strategy Delta/Iceberg
+    use for COW deletes: one column-pruned scan (key + partition columns
+    only) finds which partitions contain victims, then ONLY those
+    partitions are rewritten via anti-join and swapped in
+    (:func:`~fund_data_pipeline_spark.merge._partition_swap_write`); every
+    other partition's files stay byte-identical. A partition left empty is
+    dropped entirely. At 100 TB an erasure request touches the handful of
+    partitions the subject's rows live in, not the table.
+
+    ``keys_df`` is broadcast (erasure batches are small — thousands of
+    subjects, not billions); for a huge key set drop the hint and let AQE
+    pick the join side.
+    """
+    from pyspark.sql import functions as F
+
+    from .merge import _atomic_write, _partition_swap_write
+
+    path = Path(table_path)
+    keys_df = keys_df.select(*key_cols).dropDuplicates(key_cols)
+    df = spark.read.parquet(table_path)
+    n_deleted = df.join(F.broadcast(keys_df), key_cols, "left_semi").count()
+    if n_deleted == 0:
+        return 0
+    if partition_col is None:
+        _atomic_write(df.join(F.broadcast(keys_df), key_cols, "left_anti"), path)
+        return n_deleted
+
+    # column-pruned discovery scan: which partitions hold victim rows
+    touched = [
+        r[0]
+        for r in df.join(F.broadcast(keys_df), key_cols, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    pruned = df.filter(F.col(partition_col).isin(touched))
+    survivors = pruned.join(F.broadcast(keys_df), key_cols, "left_anti")
+    # which touched partitions still have rows — resolved BEFORE the swap
+    # (survivors lazily scans the pre-swap files; evaluating it after the
+    # swap would dereference replaced paths)
+    present = {r[0] for r in survivors.select(partition_col).distinct().collect()}
+    _partition_swap_write(survivors, path, partition_col)
+    for value in touched:
+        if value not in present:
+            stale = path / f"{partition_col}={value}"
+            if stale.exists():
+                shutil.rmtree(stale)
+    return n_deleted

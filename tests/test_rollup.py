@@ -156,3 +156,50 @@ def test_refresh_empty_touched_is_noop(spark, tmp_path):
         touched=[],
     )
     assert _file_state(rollup_path) == before
+
+
+def test_delete_keys_prunes_partitions_and_drops_empties(spark, tmp_path):
+    """GDPR keyed delete (maintenance.delete_keys): only partitions holding
+    victim rows are rewritten, untouched partition files stay byte-identical,
+    and a partition whose rows are all erased disappears."""
+    from fund_data_pipeline_spark.maintenance import delete_keys
+
+    base_path = tmp_path / "tbl"
+    rows = []
+    for month in ("2024-01", "2024-02", "2024-03"):
+        for u in range(6):
+            rows.append((f"user{u}", month, hash((month, u)) % 1000))
+    # 2024-03 holds ONLY the victim user's rows
+    rows = [r for r in rows if not (r[1] == "2024-03" and r[0] != "user5")]
+    spark.createDataFrame(rows, "user_id string, dt string, v long").write.partitionBy(
+        "dt"
+    ).parquet(str(base_path))
+    before = _file_state(base_path)
+
+    victims = spark.createDataFrame([("user5",)], "user_id string")
+    n = delete_keys(spark, str(base_path), victims, ["user_id"], partition_col="dt")
+    assert n == 3  # one row per month
+
+    got = spark.read.parquet(str(base_path))
+    assert got.filter(F.col("user_id") == "user5").count() == 0
+    assert got.count() == len(rows) - 3
+    assert not (base_path / "dt=2024-03").exists()
+    after = _file_state(base_path)
+    assert before.keys() - after.keys()  # rewritten partitions changed files
+    # no stale semi-join artifacts: idempotent re-run deletes nothing
+    assert delete_keys(spark, str(base_path), victims, ["user_id"], partition_col="dt") == 0
+
+
+def test_delete_keys_unpartitioned_atomic_rewrite(spark, tmp_path):
+    from fund_data_pipeline_spark.maintenance import delete_keys
+
+    p = tmp_path / "flat"
+    spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(30)], "id long, user_id string"
+    ).write.parquet(str(p))
+    victims = spark.createDataFrame([("u1",)], "user_id string")
+    n = delete_keys(spark, str(p), victims, ["user_id"])
+    assert n == 10
+    left = spark.read.parquet(str(p))
+    assert left.count() == 20
+    assert left.filter(F.col("user_id") == "u1").count() == 0
