@@ -139,7 +139,11 @@ def main() -> None:
         aux["merge_partition_pruned"] = -1.0
     try:
         # fuzzy-dedup candidate generation through the skew-bounded band
-        # join (shingle explode -> minhash signatures -> grid self-join)
+        # join (shingle explode -> minhash signatures -> grid self-join).
+        # Same methodology as the headline set: one untimed warmup run so
+        # the number is steady-state execution, not one-time codegen cost
+        # (measured: 12-21s cold vs ~5s warm for this query's plan size).
+        Q.QUERIES["minhash_lsh_candidates"].spark(spark, sf_dir).collect()
         t0 = time.perf_counter()
         Q.QUERIES["minhash_lsh_candidates"].spark(spark, sf_dir).collect()
         aux["minhash_lsh_candidates"] = round(time.perf_counter() - t0, 3)

@@ -111,7 +111,7 @@ def keep_only_latest(root: str) -> list[str]:
     return dropped
 
 
-def vacuum_snapshots(table_path: str) -> list[str]:
+def vacuum_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
     """GC orphan snapshot directories of a manifest-layout merge table.
 
     ``merge.merge_upsert(layout="manifest")`` prunes the superseded snapshot
@@ -120,6 +120,12 @@ def vacuum_snapshots(table_path: str) -> list[str]:
     directory the pointer never referenced. This removes snapshots with a
     version STRICTLY BELOW the live pointer's and returns the deleted
     names.
+
+    ``keep_last``: how many trailing versions (live included) to leave on
+    disk — match the ``history`` the table's merges run with, so a janitor
+    pass never collects the time-travel window
+    (``merge.read_table(version=...)`` / ``merge.table_changes``). The
+    default 1 keeps only the live snapshot (original behavior).
 
     The below-live rule is what makes the janitor safe against a CONCURRENT
     writer: a writer only ever creates versions above the current pointer,
@@ -147,7 +153,7 @@ def vacuum_snapshots(table_path: str) -> list[str]:
             version = int(snap.name.rsplit("_", 1)[-1])
         except ValueError:
             continue
-        if snap.is_dir() and version < live_version:
+        if snap.is_dir() and version <= live_version - max(1, keep_last):
             # A concurrent writer prunes the snapshot it just superseded
             # (_manifest_write); if both it and this janitor reach the same
             # directory, one rmtree loses the race mid-walk. Either way the

@@ -89,6 +89,7 @@ def merge_upsert(
     partition_col: str | None = None,
     layout: str = "rename",
     allow_new_columns: bool = False,
+    history: int = 1,
 ) -> MergeStats:
     """Upsert ``source`` into the Parquet table at ``target_path``.
 
@@ -115,6 +116,10 @@ def merge_upsert(
       rows with no source match get NULL. Default False keeps the
       conform-to-target contract: the reference conforms every feed to the
       master schema before loading, so an unexpected column is dropped.
+    - ``history``: manifest layout only — snapshots retained including the
+      new live one (default 1 = prune superseded immediately). N>1 enables
+      time travel (``read_table(version=...)``) and CDC
+      (:func:`table_changes`) over the last N merges.
     """
     keys = list(keys)
     if layout not in ("rename", "manifest"):
@@ -135,7 +140,7 @@ def merge_upsert(
     exists = _table_exists(path, layout)
     if not exists:
         stats = MergeStats(inserted=source.count() if collect_stats else -1, updated=0, unchanged=0)
-        _write_table(source, path, layout, partition_col)
+        _write_table(source, path, layout, partition_col, history)
         return stats
 
     if partition_col is not None:
@@ -254,7 +259,7 @@ def merge_upsert(
             unchanged=counts.get("unchanged", 0) + counts.get("keep", 0),
         )
 
-    _write_table(result.drop("__action"), path, layout, partition_col)
+    _write_table(result.drop("__action"), path, layout, partition_col, history)
     return stats
 
 
@@ -273,10 +278,20 @@ def _live_snapshot(path: Path) -> Path | None:
     return None
 
 
-def read_table(spark: SparkSession, path: str, merge_schema: bool | None = None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    path: str,
+    merge_schema: bool | None = None,
+    version: int | None = None,
+) -> DataFrame:
     """Read a merge-managed table regardless of layout: resolves the
     ``_MANIFEST`` pointer when present, else reads the directory directly
     (plain and hive-partitioned layouts).
+
+    ``version``: time travel — read a specific retained snapshot of a
+    manifest table (merges run with ``history>1`` retain the last N;
+    :func:`list_versions` enumerates what is readable). Raises if the
+    snapshot was never written or already pruned.
 
     ``merge_schema=None`` (default) auto-enables parquet ``mergeSchema`` for
     hive-partitioned tables: a partition-pruned ``allow_new_columns`` merge
@@ -288,6 +303,18 @@ def read_table(spark: SparkSession, path: str, merge_schema: bool | None = None)
     the cheap single-footer path, or ``True`` to force merging."""
     p = Path(path)
     live = _live_snapshot(p)
+    if version is not None:
+        if live is None:
+            raise ValueError(f"{path} is not a manifest table; version= needs one")
+        snap = p / f"_v_{version:05d}"
+        if not snap.is_dir():
+            raise FileNotFoundError(
+                f"snapshot version {version} of {path} was never written or has "
+                f"been pruned (on disk: {list_versions(path)}; raise history= on "
+                f"the merge / keep_last= on vacuum_snapshots to retain more)"
+            )
+        # snapshot dirs are uniform flat parquet — no footer merge needed
+        return spark.read.parquet(str(snap))
     base = live if live is not None else p
     if merge_schema is None:
         merge_schema = (
@@ -307,9 +334,11 @@ def _table_exists(path: Path, layout: str) -> bool:
     return path.exists()
 
 
-def _write_table(df: DataFrame, path: Path, layout: str, partition_col: str | None) -> None:
+def _write_table(
+    df: DataFrame, path: Path, layout: str, partition_col: str | None, history: int = 1
+) -> None:
     if layout == "manifest":
-        _manifest_write(df, path)
+        _manifest_write(df, path, history=history)
     elif partition_col is not None:
         _partition_swap_write(df, path, partition_col)
     else:
@@ -338,13 +367,18 @@ def _atomic_write(df: DataFrame, path: Path) -> None:
         shutil.rmtree(backup)
 
 
-def _manifest_write(df: DataFrame, path: Path) -> None:
+def _manifest_write(df: DataFrame, path: Path, history: int = 1) -> None:
     """Object-store-safe swap: write a NEW immutable snapshot directory, then
     atomically repoint the one-line manifest. The only non-idempotent step is
     a single small-file replace — atomic on POSIX (os.replace) and on object
-    stores (single-object PUT). Superseded snapshots are pruned immediately
-    here; an object-store deployment would GC them after a read-grace period
-    instead (in-flight readers may still hold the old pointer)."""
+    stores (single-object PUT).
+
+    ``history`` is the number of snapshots retained INCLUDING the new live
+    one: 1 (default) prunes the superseded snapshot immediately (original
+    behavior); N>1 keeps the last N versions readable for time travel
+    (:func:`read_table` ``version=``) and CDC diffs (:func:`table_changes`).
+    An object-store deployment would additionally GC after a read-grace
+    period (in-flight readers may still hold the old pointer)."""
     path.mkdir(parents=True, exist_ok=True)
     current = _live_snapshot(path)
     version = int(current.name.rsplit("_", 1)[-1]) + 1 if current is not None else 1
@@ -355,10 +389,82 @@ def _manifest_write(df: DataFrame, path: Path) -> None:
     tmp = path / (MANIFEST_NAME + ".__tmp__")
     tmp.write_text(snap.name)
     os.replace(tmp, path / MANIFEST_NAME)
-    if current is not None and current.exists():
-        # a concurrent vacuum_snapshots janitor may prune the superseded
-        # snapshot first; losing that race is fine — the directory is gone
-        shutil.rmtree(current, ignore_errors=True)
+    cutoff = version - max(1, history)
+    for old in sorted(path.glob("_v_*")):
+        try:
+            old_version = int(old.name.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if old.is_dir() and old_version <= cutoff:
+            # a concurrent vacuum_snapshots janitor may prune the superseded
+            # snapshot first; losing that race is fine — the directory is gone
+            shutil.rmtree(old, ignore_errors=True)
+
+
+def list_versions(table_path: str) -> list[int]:
+    """Version numbers of the snapshots currently on disk (ascending); the
+    live version is the last entry. Empty for non-manifest tables."""
+    path = Path(table_path)
+    if not (path / MANIFEST_NAME).exists():
+        return []
+    out = []
+    for snap in sorted(path.glob("_v_*")):
+        try:
+            out.append(int(snap.name.rsplit("_", 1)[-1]))
+        except ValueError:
+            continue
+    return out
+
+
+def table_changes(
+    spark: SparkSession,
+    table_path: str,
+    v_from: int,
+    v_to: int,
+    keys: Sequence[str],
+    hash_col: str = "row_hash",
+) -> DataFrame:
+    """CDC between two retained snapshots of a manifest table: one row per
+    key whose state changed, with ``_change_type`` in
+    ``insert`` / ``update`` / ``delete`` (unchanged rows are omitted).
+    Inserts and updates carry the ``v_to`` row; deletes carry the ``v_from``
+    row. Change detection is the merge engine's own null-safe ``hash_col``
+    comparison, so "update" means exactly what the hash-guarded merge means
+    by it.
+
+    This is diff-based CDC (a keyed full-outer join of the two snapshots) —
+    the price of having no transaction log. Cost is bounded by the two
+    snapshot scans plus one shuffle on the key; at 100 TB, prefer diffing
+    adjacent versions (daily snapshots) over distant ones, and feed the
+    result incrementally downstream rather than re-diffing history.
+    """
+    keys = list(keys)
+    old = read_table(spark, table_path, version=v_from).alias("o")
+    new = read_table(spark, table_path, version=v_to).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    o = old.withColumn("__o_present", F.lit(True)).alias("o")
+    n = new.withColumn("__n_present", F.lit(True)).alias("n")
+    joined = o.join(n, cond, "full_outer")
+    o_present = F.col("o.__o_present").isNotNull()
+    n_present = F.col("n.__n_present").isNotNull()
+    changed = _null_safe_ne(F.col(f"o.{hash_col}"), F.col(f"n.{hash_col}"))
+    change_type = (
+        F.when(~o_present, F.lit("insert"))
+        .when(~n_present, F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit(None))
+    )
+    cols = [
+        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+        if c in old.columns
+        else F.col(f"n.{c}").alias(c)
+        for c in new.columns
+        if c != "__n_present"
+    ]
+    return (
+        joined.select(*cols, change_type.alias("_change_type"))
+        .filter(F.col("_change_type").isNotNull())
+    )
 
 
 def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> None:

@@ -5,6 +5,7 @@ the pointer file only, and crashed swaps must self-heal on retry."""
 from __future__ import annotations
 
 import pytest
+from pathlib import Path
 from pyspark.sql import functions as F
 
 from fund_data_pipeline_spark import maintenance
@@ -323,3 +324,80 @@ def test_backfill_prune_switches_to_semi_join(spark, tmp_path, monkeypatch):
     assert out[("AAA", "2024-01-01")] == 0.0
     assert out[("ZZZ", "2024-01-03")] == 7.0
     assert all(out[("AAA", d)] == 100.0 + i for i, d in enumerate(days[1:]))
+
+
+def test_manifest_history_time_travel_and_cdc(spark, tmp_path):
+    """history=N retains the last N snapshots: older versions stay readable
+    (time travel), table_changes classifies insert/update/delete between any
+    two retained versions, and snapshots beyond the window are pruned."""
+    from fund_data_pipeline_spark.merge import (
+        _manifest_write,
+        list_versions,
+        merge_upsert,
+        read_table,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = _snapshot(spark, [("A", "d1", 1.0), ("B", "d1", 2.0), ("C", "d1", 3.0)])
+    merge_upsert(spark, path, v1, keys=["ticker"], layout="manifest", history=3)
+    v2 = _snapshot(spark, [("B", "d1", 5.0), ("D", "d1", 4.0)])
+    merge_upsert(spark, path, v2, keys=["ticker"], layout="manifest", history=3)
+    assert list_versions(path) == [1, 2]
+
+    # time travel: v1 is still the pre-merge state
+    old = {r.ticker: r.value for r in read_table(spark, path, version=1).collect()}
+    assert old == {"A": 1.0, "B": 2.0, "C": 3.0}
+    live = {r.ticker: r.value for r in read_table(spark, path).collect()}
+    assert live == {"A": 1.0, "B": 5.0, "C": 3.0, "D": 4.0}
+
+    changes = {
+        r.ticker: r._change_type
+        for r in table_changes(spark, path, 1, 2, keys=["ticker"]).collect()
+    }
+    assert changes == {"B": "update", "D": "insert"}  # A/C unchanged -> omitted
+
+    # a snapshot written without C: CDC must classify the disappearance
+    v3 = _snapshot(spark, [("A", "d1", 1.0), ("B", "d1", 5.0), ("D", "d1", 4.0)])
+    _manifest_write(v3, Path(path), history=3)
+    ch = table_changes(spark, path, 2, 3, keys=["ticker"])
+    rows = {r.ticker: (r._change_type, r.value) for r in ch.collect()}
+    assert rows == {"C": ("delete", 3.0)}  # delete carries the v_from row
+
+    # window rolls: the 4th merge prunes v1
+    merge_upsert(
+        spark,
+        path,
+        _snapshot(spark, [("E", "d1", 9.0)]),
+        keys=["ticker"],
+        layout="manifest",
+        history=3,
+    )
+    assert list_versions(path) == [2, 3, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)
+
+
+def test_vacuum_keep_last_preserves_time_travel_window(spark, tmp_path):
+    from fund_data_pipeline_spark import maintenance
+    from fund_data_pipeline_spark.merge import list_versions, merge_upsert
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        merge_upsert(
+            spark,
+            path,
+            _snapshot(spark, [("A", "d1", float(i))]),
+            keys=["ticker"],
+            layout="manifest",
+            history=4,
+        )
+    assert list_versions(path) == [1, 2, 3, 4]
+    removed = maintenance.vacuum_snapshots(path, keep_last=3)
+    assert removed == ["_v_00001"]
+    assert list_versions(path) == [2, 3, 4]
+    # default janitor still collapses to live-only
+    assert maintenance.vacuum_snapshots(path) == ["_v_00002", "_v_00003"]
+    assert list_versions(path) == [4]
