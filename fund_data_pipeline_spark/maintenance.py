@@ -264,3 +264,77 @@ def delete_keys(
             if stale.exists():
                 shutil.rmtree(stale)
     return n_deleted
+
+
+def write_zorder_clustered(
+    df,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int,
+    bits_per_col: int = 16,
+) -> None:
+    """Write a table clustered on a Z-order (Morton) curve over
+    ``cluster_cols``: each row's cluster columns are bucketed to
+    ``bits_per_col``-bit integers, the bits are interleaved into one
+    Z-value, and rows are range-partitioned + sorted by it.
+
+    :func:`write_range_clustered` gives perfect file skipping on ONE
+    column (lexicographic sort gives later columns no pruning power);
+    Z-ordering trades a little per-column precision for locality in EVERY
+    cluster dimension — a filter on any single one of the cluster columns
+    skips most files from footer min/max stats. This is the same layout
+    Delta's OPTIMIZE ZORDER BY uses, built from plain expressions: bucket
+    via ``width_bucket`` against global min/max (one cheap agg job), then
+    interleave bits with shift/AND arithmetic — all JVM-side, no UDF.
+
+    Uniform-width bucketing keeps the Z-value a pure per-row expression;
+    heavily skewed columns would prefer rank-based bucketing (quantile
+    boundaries from ``approxQuantile`` swapped into the same expression).
+    At 100 TB: one stats pass + one range shuffle, identical cost shape to
+    the single-column clustered write.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local, matches module style)
+
+    if not 1 <= bits_per_col * len(cluster_cols) <= 63:
+        raise ValueError("bits_per_col * len(cluster_cols) must fit a signed long")
+    stats = df.agg(
+        *[F.min(c).alias(f"__min_{c}") for c in cluster_cols],
+        *[F.max(c).alias(f"__max_{c}") for c in cluster_cols],
+    ).first()
+    n_buckets = 1 << bits_per_col
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cluster_cols):
+        lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+        if lo is None or hi == lo:
+            bucket = F.lit(0).cast("long")  # constant/empty column: no bits
+        else:
+            # width_bucket returns 1..n+1; clamp into 0..n_buckets-1
+            bucket = (
+                F.least(
+                    F.greatest(
+                        F.width_bucket(
+                            F.col(c).cast("double"),
+                            F.lit(float(lo)),
+                            F.lit(float(hi)),
+                            F.lit(n_buckets),
+                        ),
+                        F.lit(1),
+                    ),
+                    F.lit(n_buckets),
+                )
+                - 1
+            ).cast("long")
+        # interleave: bit j of this column lands at position j*n_cols + ci
+        for j in range(bits_per_col):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, j).bitwiseAND(F.lit(1)),
+                j * len(cluster_cols) + ci,
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

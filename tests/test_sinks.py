@@ -123,3 +123,59 @@ def test_write_range_clustered_files_do_not_overlap(spark, tmp_path):
         assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
     # and the data survives intact
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_write_zorder_clustered_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order clustering must give file-skipping power on BOTH cluster
+    columns: for a narrow filter on either column, most files' footer
+    min/max ranges must exclude the filter value — unlike lexicographic
+    range clustering, which gives the second column nothing."""
+    import pyarrow.parquet as pq
+
+    from fund_data_pipeline_spark.maintenance import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    n = 20_000
+    # two independent uniform columns (x, y): worst case for lexicographic
+    df = (
+        spark.range(0, n)
+        .withColumn("x", (F.col("id") * 7919) % 1000)
+        .withColumn("y", (F.col("id") * 104729) % 1000)
+        .drop("id")
+    )
+
+    def overlap_fraction(root, col_name, value):
+        files = sorted(root.glob("*.parquet"))
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(str(f)).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for c in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(c)
+                    if col.path_in_schema == col_name:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None and lo <= value <= hi:
+                hit += 1
+        return hit / len(files), len(files)
+
+    zpath = tmp_path / "z"
+    write_zorder_clustered(df, str(zpath), ["x", "y"], n_files=16)
+    rpath = tmp_path / "r"
+    write_range_clustered(df, str(rpath), ["x", "y"], n_files=16)
+
+    zx, n_zfiles = overlap_fraction(zpath, "x", 500)
+    zy, _ = overlap_fraction(zpath, "y", 500)
+    ry, _ = overlap_fraction(rpath, "y", 500)
+    assert n_zfiles >= 8
+    # z-order: a point filter on either dimension touches a minority of files
+    assert zx <= 0.5, f"x-pruning too weak: {zx}"
+    assert zy <= 0.5, f"y-pruning too weak: {zy}"
+    # lexicographic gives the trailing column ~no pruning (sanity contrast)
+    assert ry > zy
+    # data intact
+    assert spark.read.parquet(str(zpath)).count() == n
