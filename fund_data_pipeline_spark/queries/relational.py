@@ -782,3 +782,74 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price",
         )
     )
+
+
+@register(
+    "price_quantity_stats",
+    doc="Statistical aggregate surface: per-flag mean/stddev/correlation "
+    "over lineitem, computed from exact DECIMAL power sums (Sx, Sxx, Sxy) "
+    "converted to DOUBLE before the closed-form moment formulas — the "
+    "float arithmetic then starts from bit-identical inputs on both "
+    "engines, so stddev/corr are deterministic where the engines' native "
+    "summation-order-dependent STDDEV/CORR aggregates are not. The "
+    "conversion is floor-split (integer part and fraction cast "
+    "separately, one IEEE add): a direct DECIMAL(p,s>0)->DOUBLE cast of a "
+    ">2^53 sum is NOT correctly rounded in DuckDB (int128->double then "
+    "*10^-s: two roundings, measured 1 ULP off Spark on Sxx), while "
+    "scale-0 and sub-1 conversions are correctly rounded in both. One "
+    "hash aggregate, map-side partials; formula cost is per-group.",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxx,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dsy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS dsyy,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS dsxy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, n,
+         CAST(FLOOR(dsx) AS DOUBLE) + CAST(dsx - FLOOR(dsx) AS DOUBLE) AS sx,
+         CAST(FLOOR(dsxx) AS DOUBLE) + CAST(dsxx - FLOOR(dsxx) AS DOUBLE) AS sxx,
+         CAST(FLOOR(dsy) AS DOUBLE) + CAST(dsy - FLOOR(dsy) AS DOUBLE) AS sy,
+         CAST(FLOOR(dsyy) AS DOUBLE) + CAST(dsyy - FLOOR(dsyy) AS DOUBLE) AS syy,
+         CAST(FLOOR(dsxy) AS DOUBLE) + CAST(dsxy - FLOOR(dsxy) AS DOUBLE) AS sxy
+  FROM s
+)
+SELECT l_returnflag, n,
+       sx / n AS mean_price,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_price,
+       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_qty
+FROM d
+""",
+)
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    price, qty = _dec("l_extendedprice"), _dec("l_quantity")
+
+    def to_double(c):
+        # floor-split decimal->double (see doc): both halves convert
+        # correctly-rounded on both engines; the recombining add is one
+        # IEEE op neither engine contracts (no FMA across operators)
+        return F.floor(c).cast("double") + (c - F.floor(c)).cast("double")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        to_double(F.sum(price)).alias("sx"),
+        to_double(F.sum(price * price)).alias("sxx"),
+        to_double(F.sum(qty)).alias("sy"),
+        to_double(F.sum(qty * qty)).alias("syy"),
+        to_double(F.sum(price * qty)).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_price"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_price"),
+        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_price_qty"
+        ),
+    )
