@@ -93,6 +93,14 @@ def refresh_rollup(
     touched = list(touched)
     if not touched:
         return
+    # hive layouts read the partition column back as STRING (this engine
+    # pins partitionColumnTypeInference off), while callers often hold the
+    # source-side values (e.g. DATEs). Coerce the literals to the column's
+    # dtype — literal-side coercion keeps the filter a plain isin on the
+    # bare column, so partition pruning stays eligible (a cast on the
+    # column side would not).
+    if dict(base.dtypes)[partition_col] == "string":
+        touched = [v if isinstance(v, str) else str(v) for v in touched]
     pruned = base.filter(F.col(partition_col).isin(touched))
     out = rollup_frame(pruned, partition_col, group_cols, measures)
     path = Path(rollup_path)

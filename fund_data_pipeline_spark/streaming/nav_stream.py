@@ -37,11 +37,24 @@ def start_nav_stream(
     schema: str = "ticker string, asset_type string, source string, nav_price string, "
     "currency string, as_of_date string, scrape_date string",
     max_files_per_trigger: int = 16,
+    rollup_path: str | None = None,
+    rollup_group_cols: tuple[str, ...] = ("source",),
+    rollup_measures=None,
 ):
     """Drain new landing CSVs into the NAV table; returns the StreamingQuery.
 
     Call ``.awaitTermination()`` on the result for a one-shot availableNow
     drain (the daily-batch analog).
+
+    ``rollup_path`` (+ ``rollup_group_cols`` / ``rollup_measures``, see
+    :mod:`..rollup`) switches the merge to the ``as_of_date``-partitioned
+    layout and, after each micro-batch lands, refreshes the continuous
+    aggregate for exactly the dates that batch touched — the full
+    incremental pipeline: new files -> keyed merge of the touched
+    partitions -> rollup refresh of the same partitions. Per-batch cost
+    stays proportional to the batch's dates, independent of history
+    length; a batch replay re-merges idempotently and re-derives the same
+    rollup rows, so exactly-once *effect* is preserved end to end.
     """
     raw = (
         spark.readStream.schema(schema)
@@ -58,7 +71,28 @@ def start_nav_stream(
         batch = daily_nav.prepare_load(valid)
         if batch.isEmpty():
             return
-        merge_upsert(spark, target_path, batch, DAILY_NAV_KEY)
+        if rollup_path is None:
+            merge_upsert(spark, target_path, batch, DAILY_NAV_KEY)
+            return
+        from pyspark.sql import functions as F
+
+        from ..merge import read_table
+        from ..rollup import refresh_rollup
+
+        merge_upsert(
+            spark, target_path, batch, DAILY_NAV_KEY, partition_col="as_of_date"
+        )
+        # bounded collect: the distinct dates of one micro-batch
+        touched = [r[0] for r in batch.select("as_of_date").distinct().collect()]
+        measures = rollup_measures or {"n_quotes": F.count(F.lit(1))}
+        refresh_rollup(
+            read_table(spark, target_path),
+            rollup_path,
+            partition_col="as_of_date",
+            group_cols=list(rollup_group_cols),
+            measures=measures,
+            touched=touched,
+        )
 
     return (
         raw.writeStream.foreachBatch(load_batch)

@@ -434,3 +434,82 @@ def test_daily_nav_run_repair_fixes_bad_nav(spark, tmp_path):
     assert str(after["AAA"].nav_price) == "10.0000"  # untouched
     logged = spark.read.parquet(str(tmp_path / "log")).collect()
     assert len(logged) == 1 and logged[0].status == "Repaired"
+
+
+def test_nav_stream_with_incremental_rollup(spark, tmp_path):
+    """Streaming loader + continuous aggregate: each micro-batch merges into
+    the date-partitioned NAV table and refreshes the rollup for exactly the
+    dates it touched; the rollup always equals the full recompute, and a
+    date no batch touched keeps its rollup files byte-identical."""
+    from pyspark.sql import functions as F
+
+    from fund_data_pipeline_spark.rollup import read_rollup, rollup_frame
+    from fund_data_pipeline_spark.streaming.nav_stream import start_nav_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "stg_daily_nav")
+    rollup = tmp_path / "nav_rollup"
+    ckpt = str(tmp_path / "ckpt")
+    header = "ticker,asset_type,source,nav_price,currency,as_of_date,scrape_date\n"
+    measures = {"n_quotes": F.count(F.lit(1)), "n_tickers": F.countDistinct("ticker")}
+
+    def drain():
+        start_nav_stream(
+            spark,
+            str(landing),
+            target,
+            ckpt,
+            rollup_path=str(rollup),
+            rollup_group_cols=("source",),
+            rollup_measures=measures,
+        ).awaitTermination()
+
+    (landing / "day1.csv").write_text(
+        header
+        + "AAA,FUND,yf,10.0,USD,2024-03-01,2024-03-01\n"
+        + "BBB,ETF,yf,20.0,USD,2024-03-02,2024-03-02\n"
+    )
+    drain()
+
+    def full_recompute():
+        base = spark.read.parquet(target)
+        return sorted(
+            tuple(r)
+            for r in rollup_frame(base, "as_of_date", ["source"], measures).collect()
+        )
+
+    def rollup_rows():
+        cols = ["as_of_date", "source", "n_quotes", "n_tickers"]
+        return sorted(tuple(r) for r in read_rollup(spark, str(rollup)).select(cols).collect())
+
+    expect_cols = ["as_of_date", "source", "n_quotes", "n_tickers"]
+    base = spark.read.parquet(target)
+    expect = rollup_frame(base, "as_of_date", ["source"], measures).select(expect_cols)
+    assert rollup_rows() == sorted(tuple(r) for r in expect.collect())
+
+    d2_files = {
+        (str(p), p.stat().st_mtime_ns)
+        for p in (rollup / "as_of_date=2024-03-02").rglob("*.parquet")
+    }
+    assert d2_files
+
+    # a later batch touches only 2024-03-01: day-2's rollup files stay put
+    (landing / "day1b.csv").write_text(
+        header + "CCC,FUND,ft,30.0,USD,2024-03-01,2024-03-03\n"
+    )
+    drain()
+    base = spark.read.parquet(target)
+    expect = rollup_frame(base, "as_of_date", ["source"], measures).select(expect_cols)
+    assert rollup_rows() == sorted(tuple(r) for r in expect.collect())
+    assert {
+        (str(p), p.stat().st_mtime_ns)
+        for p in (rollup / "as_of_date=2024-03-02").rglob("*.parquet")
+    } == d2_files
+    got = {
+        (r.as_of_date, r.source): r.n_quotes
+        for r in read_rollup(spark, str(rollup)).collect()
+    }
+    # conform maps the landing synonyms ft/yf to canonical source names
+    assert got[("2024-03-01", "financial_times")] == 1
+    assert got[("2024-03-01", "yahoo_finance")] == 1
