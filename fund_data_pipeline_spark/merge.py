@@ -438,9 +438,22 @@ def table_changes(
     adjacent versions (daily snapshots) over distant ones, and feed the
     result incrementally downstream rather than re-diffing history.
     """
+    old = read_table(spark, table_path, version=v_from)
+    new = read_table(spark, table_path, version=v_to)
+    return diff_frames(old, new, keys, hash_col=hash_col)
+
+
+def diff_frames(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    hash_col: str = "row_hash",
+) -> DataFrame:
+    """Pure-DataFrame CDC kernel behind :func:`table_changes`: classify each
+    key as insert / update / delete between two relations, unchanged rows
+    omitted. Inserts/updates carry the ``new`` row, deletes the ``old`` row;
+    keys join null-safely (matching the merge's own semantics)."""
     keys = list(keys)
-    old = read_table(spark, table_path, version=v_from).alias("o")
-    new = read_table(spark, table_path, version=v_to).alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
     o = old.withColumn("__o_present", F.lit(True)).alias("o")
     n = new.withColumn("__n_present", F.lit(True)).alias("n")

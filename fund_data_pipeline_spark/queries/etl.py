@@ -742,3 +742,48 @@ def incremental_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(batch_months, "dt", "left_semi"), "dt", ["l_returnflag"], measures
     )
     return untouched.unionByName(recomputed)
+
+
+@register(
+    "snapshot_diff",
+    doc="CDC between two keyed snapshots (merge.diff_frames, the kernel "
+    "behind table_changes time-travel CDC): each key classified "
+    "insert / update / delete by the merge engine's null-safe row-hash "
+    "rule, unchanged keys omitted; inserts/updates carry the new row, "
+    "deletes the old row. One keyed full-outer join — the same single "
+    "shuffle as the merge itself.",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1995 AND EXTRACT(YEAR FROM o_orderdate) < 1999
+), old AS (
+  SELECT *, md5(COALESCE(status,'') || COALESCE(CAST(price AS VARCHAR),'')) AS row_hash FROM o
+), s AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1998 AND EXTRACT(YEAR FROM o_orderdate) < 2000
+), new AS (
+  SELECT *, md5(COALESCE(status,'') || COALESCE(CAST(price AS VARCHAR),'')) AS row_hash FROM s
+), d AS (
+  SELECT COALESCE(n.key, o.key) AS key,
+         COALESCE(n.status, o.status) AS status,
+         CAST(COALESCE(n.price, o.price) AS DOUBLE) AS price,
+         COALESCE(n.row_hash, o.row_hash) AS row_hash,
+         CASE WHEN o.key IS NULL THEN 'insert'
+              WHEN n.key IS NULL THEN 'delete'
+              WHEN o.row_hash IS DISTINCT FROM n.row_hash THEN 'update'
+              ELSE NULL END AS _change_type
+  FROM old o FULL OUTER JOIN new n ON o.key = n.key
+)
+SELECT * FROM d WHERE _change_type IS NOT NULL
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..merge import diff_frames
+
+    orders = table(spark, sf_dir, "orders")
+    old = _order_snapshot(orders, 1995, 1999, modify=False)
+    new = _order_snapshot(orders, 1998, 2000, modify=True)
+    out = diff_frames(old, new, keys=["key"], hash_col="row_hash")
+    return out.withColumn("price", F.col("price").cast("double"))
