@@ -467,8 +467,11 @@ def diff_frames(
         .when(changed, F.lit("update"))
         .otherwise(F.lit(None))
     )
+    # row-presence CASE, not per-column coalesce: an update whose NEW value
+    # is legitimately NULL must emit that NULL, not silently backfill the
+    # old value (caught by the round-trip property test)
     cols = [
-        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+        F.when(n_present, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
         if c in old.columns
         else F.col(f"n.{c}").alias(c)
         for c in new.columns

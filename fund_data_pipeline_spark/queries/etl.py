@@ -766,10 +766,13 @@ WITH o AS (
 ), new AS (
   SELECT *, md5(COALESCE(status,'') || COALESCE(CAST(price AS VARCHAR),'')) AS row_hash FROM s
 ), d AS (
+  -- row-presence CASE (n.key is a valid presence probe: orderkeys are
+  -- non-null), matching diff_frames: an update's NULL new-side value must
+  -- come through as NULL, never backfilled from the old row
   SELECT COALESCE(n.key, o.key) AS key,
-         COALESCE(n.status, o.status) AS status,
-         CAST(COALESCE(n.price, o.price) AS DOUBLE) AS price,
-         COALESCE(n.row_hash, o.row_hash) AS row_hash,
+         CASE WHEN n.key IS NOT NULL THEN n.status ELSE o.status END AS status,
+         CAST(CASE WHEN n.key IS NOT NULL THEN n.price ELSE o.price END AS DOUBLE) AS price,
+         CASE WHEN n.key IS NOT NULL THEN n.row_hash ELSE o.row_hash END AS row_hash,
          CASE WHEN o.key IS NULL THEN 'insert'
               WHEN n.key IS NULL THEN 'delete'
               WHEN o.row_hash IS DISTINCT FROM n.row_hash THEN 'update'

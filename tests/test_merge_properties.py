@@ -153,3 +153,53 @@ def test_scd2_invariants_over_random_snapshot_sequences(_spark, snaps):
         last_value.update(s)
     for k, v in last_value.items():
         assert current.get(k) == v, (k, v, current)
+
+
+def _honest_hash(rows):
+    """Rows whose hash is a function of the value — the contract every real
+    caller satisfies (row_hash = md5(values)). With a dishonest hash the
+    round-trip property cannot hold by design: equal-hash rows are declared
+    unchanged regardless of their values."""
+    return [(k, v, f"h{v}") for k, v, _ in rows]
+
+
+@given(
+    old=st.lists(row, max_size=8).map(_unique_by_key).map(_honest_hash),
+    new=st.lists(row, max_size=8).map(_unique_by_key).map(_honest_hash),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_diff_frames_round_trips(_spark, old, new):
+    """CDC round-trip invariant: applying diff_frames(old, new) to old —
+    upsert the insert/update rows, remove the delete keys — reconstructs
+    new exactly; and keys absent from the diff are exactly the unchanged
+    ones (same null-safe hash in both relations)."""
+    from fund_data_pipeline_spark.merge import diff_frames
+
+    spark = _spark
+    schema = "k int, v int, row_hash string"
+    o = spark.createDataFrame(old, schema)
+    n = spark.createDataFrame(new, schema)
+    changes = diff_frames(o, n, ["k"]).collect()
+
+    state = {k: (v, h) for k, v, h in old}
+    seen_keys = set()
+    for r in changes:
+        assert r.k not in seen_keys  # one verdict per key
+        seen_keys.add(r.k)
+        if r._change_type == "delete":
+            assert r.k in state and r.k not in {k for k, _, _ in new}
+            del state[r.k]
+        else:
+            assert r._change_type in ("insert", "update")
+            if r._change_type == "insert":
+                assert r.k not in state
+            else:
+                assert r.k in state and state[r.k][1] != r.row_hash
+            state[r.k] = (r.v, r.row_hash)
+
+    assert state == {k: (v, h) for k, v, h in new}
+    unchanged = {k for k, v, h in old} & {k for k, v, h in new} - seen_keys
+    for k in unchanged:
+        o_h = dict((kk, hh) for kk, _, hh in old)[k]
+        n_h = dict((kk, hh) for kk, _, hh in new)[k]
+        assert o_h == n_h
