@@ -11,7 +11,9 @@ declarative Spark DataFrame transforms designed for 100 TB scale:
 - ``hashing``    row-hash change-detection expressions (md5 / sha2 families)
 - ``dedup``      deterministic keyed deduplication (keep-first / keep-last)
 - ``validate``   good/bad record splitting with reason annotation
-- ``merge``      hash-guarded keyed upsert over Parquet (MERGE semantics)
+- ``merge``      hash-guarded keyed upsert over Parquet (MERGE semantics),
+                 snapshot history / time travel / CDC (``table_changes``)
+- ``rollup``     incremental materialized rollups (touched-partition refresh)
 - ``lifecycle``  SCD-style entity lifecycle (first/last_seen, status flow)
 - ``sources``    landing-zone scan helpers (multi-dir CSV, filename-derived cols)
 - ``pipelines``  end-to-end flows mirroring the reference orchestrators

@@ -384,3 +384,58 @@ def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue_30d"),
     )
+
+
+@register(
+    "hierarchy_flatten",
+    doc="Hierarchy flattening (BOM/org-chart rollup family): every customer "
+    "key in a synthetic decimal-digit forest (parent = k div 10, roots are "
+    "k < 10) resolved to its root and depth. Spark has no recursive CTE, so "
+    "the walk is a bounded pointer-chase built as a LOOP OVER THE PLAN: "
+    "each of 10 unrolled rounds advances only the not-yet-rooted pointers "
+    "(10 rounds cover any 64-bit key — depth = decimal digits). The parent "
+    "function here is closed-form (k div 10), so every round is pure "
+    "map-side arithmetic: the whole flatten is ONE scan, zero shuffles. "
+    "With a materialized edge table each round becomes an equi-join on the "
+    "pointer key instead (the arbitrary-graph machinery lives in "
+    "operators/graph.py's label propagation). The oracle is DuckDB's "
+    "native WITH RECURSIVE — bounded iteration checked against true "
+    "recursion.",
+    oracle="""
+WITH RECURSIVE walk(k, anc, depth) AS (
+  SELECT c_custkey, c_custkey // 10, 1
+  FROM customer WHERE c_custkey >= 10
+  UNION ALL
+  SELECT w.k, w.anc // 10, w.depth + 1
+  FROM walk w WHERE w.anc >= 10
+)
+SELECT k AS custkey, anc AS root, depth
+FROM walk WHERE anc < 10
+UNION ALL
+SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth
+FROM customer WHERE c_custkey < 10
+""",
+)
+def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    roots = cust.filter(F.col("custkey") < 10).select(
+        "custkey", F.col("custkey").alias("root"), F.lit(0).alias("depth")
+    )
+    walk = cust.filter(F.col("custkey") >= 10).select(
+        "custkey",
+        F.expr("custkey div 10").alias("anc"),
+        F.lit(1).alias("depth"),
+    )
+    # bounded pointer-chase: each round advances rows whose pointer is not
+    # yet a root; 10 rounds resolve any 64-bit decimal-digit chain
+    for _ in range(10):
+        done = F.col("anc") < 10
+        walk = walk.select(
+            "custkey",
+            F.when(done, F.col("anc")).otherwise(F.expr("anc div 10")).alias("anc"),
+            F.when(done, F.col("depth")).otherwise(F.col("depth") + 1).alias("depth"),
+        )
+    resolved = walk.select("custkey", F.col("anc").alias("root"), "depth")
+    return resolved.unionByName(roots).select(
+        "custkey", "root", F.col("depth").cast("int").alias("depth")
+    )

@@ -230,3 +230,38 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
     )
+
+
+@register(
+    "cohort_retention",
+    doc="Classic cohort-retention matrix over the event stream: users are "
+    "cohorted by first-seen day, activity is distinct (user, day), and "
+    "each cell counts cohort users still active at day-offset N. Two hash "
+    "aggregates plus one equi-join on user_id — the join key is the "
+    "natural shuffle key, cohort assignment broadcast-sized relative to "
+    "events at scale (one row per user).",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+)
+SELECT c.cohort_date,
+       date_diff('day', c.cohort_date, a.active_date) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY c.cohort_date, date_diff('day', c.cohort_date, a.active_date)
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_date"))
+    activity = ev.select("user_id", F.col("ts").cast("date").alias("active_date")).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("active_date", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
