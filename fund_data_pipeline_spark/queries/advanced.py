@@ -439,3 +439,63 @@ def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.unionByName(roots).select(
         "custkey", "root", F.col("depth").cast("int").alias("depth")
     )
+
+
+@register(
+    "daily_order_anomaly",
+    doc="Time-series anomaly detection: each day's order count scored "
+    "against the trailing 30 days (current day excluded) with a z-score "
+    "from exact integer window sums — count/sum/sum-of-squares over an "
+    "integer-day RANGE frame, moments in double from bit-identical "
+    "inputs. Days with |z| >= 2 and at least 20 days of history are "
+    "flagged. One pre-aggregation to day grain (tiny), one window over "
+    "it — the window input is days, not rows, so the frame cost is "
+    "independent of fact-table size.",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS dt,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+), win AS (
+  SELECT dt, n_orders,
+         COUNT(*) OVER w AS cnt,
+         CAST(SUM(n_orders) OVER w AS BIGINT) AS sx,
+         CAST(SUM(n_orders * n_orders) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (ORDER BY day_no RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT dt, n_orders, cnt,
+         (CAST(n_orders AS DOUBLE) - CAST(sx AS DOUBLE) / cnt)
+           / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / cnt) / (cnt - 1)) AS z
+  FROM win WHERE cnt >= 20
+)
+SELECT dt, n_orders, z FROM scored WHERE abs(z) >= 2
+""",
+)
+def daily_order_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("dt"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day_no"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.orderBy("day_no").rangeBetween(-30, -1)
+    win = daily.select(
+        "dt",
+        "n_orders",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum("n_orders").over(w).alias("sx"),
+        F.sum(F.col("n_orders") * F.col("n_orders")).over(w).alias("sxx"),
+    ).filter(F.col("cnt") >= 20)
+    mean = F.col("sx").cast("double") / F.col("cnt")
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    z = (F.col("n_orders").cast("double") - mean) / F.sqrt(var)
+    return (
+        win.select("dt", "n_orders", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 2)
+    )
