@@ -173,6 +173,7 @@ _OUT_OF_WINDOW_WHY = {
     "rolling_30d_revenue": "new r6 operator (interval RANGE window frame); window-frame family in-window via running_revenue_by_supplier + ntile_quartiles",
     "semantic_dedup_cells": "new r6 operator (SemDeDup: IVF-cell-bucketed embedding near-dup drop list); cell-assignment family in-window via embedding_ivf_topk, bucketed cosine family via embedding_topk_pandas + multimodal_binary_meta window slots",
     "record_linkage_fuzzy": "new r6 operator (record linkage: blocked Levenshtein best-match of a corrupted feed against the master); blocked-join family in-window via embedding_lsh_buckets + benchmark_contamination",
+    "running_distinct_users": "new r6 operator (expanding-window distinct via the first-seen trick — no per-frame distinct state); window-frame family in-window via running_revenue_by_supplier, event-agg family via conversion_funnel",
     "daily_order_anomaly": "new r6 operator (trailing-30-day z-score anomaly days from exact integer window sums); window-frame family in-window via running_revenue_by_supplier + ntile_quartiles",
     "hierarchy_flatten": "new r6 operator (recursive-CTE-equivalent bounded pointer-chase, oracle = DuckDB WITH RECURSIVE); iterative-plan family in-window via dedup_clusters (connected components)",
     "cohort_retention": "new r6 operator (first-seen cohort x day-offset retention matrix); agg+join family in-window via conversion_funnel + latest_order_per_customer",

@@ -265,3 +265,42 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "running_distinct_users",
+    doc="Expanding-window distinct count (cumulative unique buyers by "
+    "month). Neither engine supports COUNT(DISTINCT) over a window frame; "
+    "the scalable identity is the first-seen trick: mark each customer's "
+    "first order month (min per customer — one hash agg), count first "
+    "appearances per month, then a cumulative sum over the month-grain "
+    "relation. State is one row per customer for the min-agg and one per "
+    "month for the running sum — no per-frame distinct materialization at "
+    "any scale.",
+    oracle="""
+WITH first_seen AS (
+  SELECT o_custkey, MIN(strftime(o_orderdate, '%Y-%m')) AS first_month
+  FROM orders GROUP BY o_custkey
+), per_month AS (
+  SELECT first_month AS month, COUNT(*) AS new_buyers FROM first_seen GROUP BY first_month
+)
+SELECT month,
+       CAST(new_buyers AS BIGINT) AS new_buyers,
+       CAST(SUM(new_buyers) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_buyers
+FROM per_month
+""",
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    first_seen = orders.groupBy("o_custkey").agg(
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("first_month")
+    )
+    per_month = first_seen.groupBy(F.col("first_month").alias("month")).agg(
+        F.count(F.lit(1)).alias("new_buyers")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_month.select(
+        "month",
+        "new_buyers",
+        F.sum("new_buyers").over(w).alias("cumulative_buyers"),
+    )
