@@ -104,11 +104,13 @@ def refresh_rollup(
     pruned = base.filter(F.col(partition_col).isin(touched))
     out = rollup_frame(pruned, partition_col, group_cols, measures)
     path = Path(rollup_path)
-    _partition_swap_write(out, path, partition_col)
     # a touched partition with zero surviving base rows produces no rows in
-    # `out`, so the swap never visits it — drop its stale directory here.
+    # `out`, so the swap never visits it — its stale directory is dropped
+    # below. Resolved BEFORE the swap (matching maintenance.delete_keys) so
+    # nothing is ever evaluated against mid-swap table state;
     # len(touched)-bounded collect: partition values, not data.
     present = {r[0] for r in out.select(partition_col).distinct().collect()}
+    _partition_swap_write(out, path, partition_col)
     for value in touched:
         if value not in present:
             stale = path / f"{partition_col}={value}"

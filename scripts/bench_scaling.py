@@ -1,0 +1,94 @@
+"""Scaling-curve harness: the headline query set timed at every available
+scale factor, in one Spark session.
+
+The container ships sf0.001 / sf0.01 / sf0.1 — two orders of magnitude.
+`bench.py` records the single-SF headline number the driver tracks; this
+script records how that number MOVES with data size, which is the signal an
+sf1/sf100 run would give: scans dominate a well-planned query set, so
+headline totals should grow clearly sub-linearly in SF (fixed per-job
+overhead + parallel scan). A query whose time grows ~linearly-or-worse in
+SF here has a term that will dominate at 100 TB (per-row Python, driver
+collects, quadratic joins) and is a regression signal even while the
+absolute numbers stay small.
+
+Prints ONE JSON line:
+    {"metric": "headline_scaling", "sfs": [...],
+     "totals": {sf: sec}, "queries": {name: {sf: sec}},
+     "exponents": {name: p}}   # t ~ SF^p between smallest and largest SF
+
+Method matches bench.py: per-SF warmup pass, then min-of-n timed runs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from fund_data_pipeline_spark import queries as Q  # noqa: E402
+from fund_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIRS = {
+    0.001: "/root/testdata/sf0.001",
+    0.01: "/root/testdata/sf0.01",
+    0.1: "/root/testdata/sf0.1",
+}
+
+
+def main() -> None:
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    spark = get_spark("bench_scaling")
+    names = [n for n, s in Q.QUERIES.items() if s.headline]
+
+    sfs = [sf for sf, d in sorted(SF_DIRS.items()) if Path(d).exists()]
+    per_query: dict[str, dict[float, float]] = {n: {} for n in names}
+    totals: dict[float, float] = {}
+    for sf in sfs:
+        sf_dir = SF_DIRS[sf]
+        for name in names:  # warmup: steady-state, not codegen cost
+            try:
+                Q.QUERIES[name].spark(spark, sf_dir).collect()
+            except Exception as e:
+                print(f"scaling: warmup {name}@{sf} failed: {e}", file=sys.stderr)
+        total = 0.0
+        for name in names:
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                Q.QUERIES[name].spark(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            best = min(runs)
+            per_query[name][sf] = round(best, 3)
+            total += best
+        totals[sf] = round(total, 3)
+
+    # t ~ SF^p between the smallest and largest measured SF; p = 1 is
+    # linear growth, p near 0 is overhead-dominated (ideal at small SF)
+    exponents = {}
+    lo, hi = sfs[0], sfs[-1]
+    for name in names:
+        t_lo, t_hi = per_query[name][lo], per_query[name][hi]
+        if t_lo > 0 and t_hi > 0:
+            exponents[name] = round(math.log(t_hi / t_lo) / math.log(hi / lo), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_scaling",
+                "sfs": sfs,
+                "totals": {str(k): v for k, v in totals.items()},
+                "queries": {n: {str(k): v for k, v in d.items()} for n, d in per_query.items()},
+                "exponents": exponents,
+                "runs": n_runs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

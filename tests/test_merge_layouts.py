@@ -401,3 +401,40 @@ def test_vacuum_keep_last_preserves_time_travel_window(spark, tmp_path):
     # default janitor still collapses to live-only
     assert maintenance.vacuum_snapshots(path) == ["_v_00002", "_v_00003"]
     assert list_versions(path) == [4]
+
+
+def test_manifest_write_recovers_from_crashed_snapshot(spark, tmp_path):
+    """A writer that crashed AFTER writing its snapshot directory but BEFORE
+    repointing the manifest leaves an orphan at version live+1. The next
+    merge must claim that version: discard the half-written orphan, write
+    its own complete snapshot there, and repoint — readers never observe
+    the orphan because the pointer never referenced it."""
+    from fund_data_pipeline_spark.merge import list_versions, merge_upsert, read_table
+
+    path = tmp_path / "t"
+    merge_upsert(
+        spark,
+        str(path),
+        _snapshot(spark, [("A", "d1", 1.0)]),
+        keys=["ticker"],
+        layout="manifest",
+    )
+    assert list_versions(str(path)) == [1]
+
+    # simulate the crash: an incomplete _v_00002 with junk, pointer still at 1
+    orphan = path / "_v_00002"
+    orphan.mkdir()
+    (orphan / "part-junk.parquet").write_bytes(b"not parquet at all")
+    assert (path / "_MANIFEST").read_text().strip() == "_v_00001"
+
+    merge_upsert(
+        spark,
+        str(path),
+        _snapshot(spark, [("B", "d1", 2.0)]),
+        keys=["ticker"],
+        layout="manifest",
+    )
+    assert (path / "_MANIFEST").read_text().strip() == "_v_00002"
+    got = {r.ticker: r.value for r in read_table(spark, str(path)).collect()}
+    assert got == {"A": 1.0, "B": 2.0}
+    assert not (orphan / "part-junk.parquet").exists()
