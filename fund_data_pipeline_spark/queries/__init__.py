@@ -37,11 +37,14 @@ from . import mlops  # noqa: E402,F401
 #: never had a driver row (doc_chunking, sequence_packing,
 #: length_percentile_gate, leakage_safe_split, language_rebalance_mixture)
 #: enter the window; five multi-round-green representatives rotate out
-#: (citations in _OUT_OF_WINDOW_WHY). After this round all 87 catalog
-#: queries have had a driver row. Every excluded query is listed in
-#: _OUT_OF_WINDOW_WHY below with the CORRECTNESS round(s) that checked it
-#: green, still registered, and still gated by scripts/verify_local.py +
-#: tests/test_catalog_oracle.py.
+#: (citations in _OUT_OF_WINDOW_WHY). After this round all 87 queries the
+#: catalog held at rotation time have had a driver row; the 23 operators
+#: ADDED during round 6 queue behind them for the round-7 rotation (window
+#: policy: new queries wait while unpaid failures hold their slots) and
+#: carry local-gate evidence at sf0.001/0.01/0.1 meanwhile. Every excluded
+#: query is listed in _OUT_OF_WINDOW_WHY below with the CORRECTNESS
+#: round(s) that checked it green, still registered, and still gated by
+#: scripts/verify_local.py + tests/test_catalog_oracle.py.
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
     # headline queries (benched) — stay in-window every round
