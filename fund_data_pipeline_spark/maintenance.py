@@ -211,6 +211,7 @@ def delete_keys(
     key_cols: list[str],
     *,
     partition_col: str | None = None,
+    history: int = 1,
 ) -> int:
     """Keyed hard delete (GDPR erasure / blocklist purge): remove every row
     whose ``key_cols`` tuple appears in ``keys_df``; returns the number of
@@ -228,19 +229,41 @@ def delete_keys(
     ``keys_df`` is broadcast (erasure batches are small — thousands of
     subjects, not billions); for a huge key set drop the hint and let AQE
     pick the join side.
+
+    Works on every merge layout: hive-partitioned (pass ``partition_col``),
+    plain directories, and manifest tables — a manifest table's live
+    snapshot is resolved through ``merge.read_table`` (a naive
+    ``spark.read.parquet`` would list zero files: snapshot dirs are
+    underscore-prefixed) and the delete is published as a NEW snapshot
+    version, preserving the pointer-swap atomicity; pass the same
+    ``history`` the table's merges use so the delete keeps (or starts) the
+    time-travel window instead of pruning it.
     """
     from pyspark.sql import functions as F
 
-    from .merge import _atomic_write, _partition_swap_write
+    from .merge import (
+        MANIFEST_NAME,
+        _atomic_write,
+        _manifest_write,
+        _partition_swap_write,
+        read_table,
+    )
 
     path = Path(table_path)
+    is_manifest = (path / MANIFEST_NAME).exists()
+    if is_manifest and partition_col is not None:
+        raise ValueError("manifest tables are unpartitioned; drop partition_col")
     keys_df = keys_df.select(*key_cols).dropDuplicates(key_cols)
-    df = spark.read.parquet(table_path)
+    df = read_table(spark, table_path)
     n_deleted = df.join(F.broadcast(keys_df), key_cols, "left_semi").count()
     if n_deleted == 0:
         return 0
     if partition_col is None:
-        _atomic_write(df.join(F.broadcast(keys_df), key_cols, "left_anti"), path)
+        survivors = df.join(F.broadcast(keys_df), key_cols, "left_anti")
+        if is_manifest:
+            _manifest_write(survivors, path, history=history)
+        else:
+            _atomic_write(survivors, path)
         return n_deleted
 
     # column-pruned discovery scan: which partitions hold victim rows

@@ -203,3 +203,34 @@ def test_delete_keys_unpartitioned_atomic_rewrite(spark, tmp_path):
     left = spark.read.parquet(str(p))
     assert left.count() == 20
     assert left.filter(F.col("user_id") == "u1").count() == 0
+
+
+def test_delete_keys_on_manifest_table_publishes_new_version(spark, tmp_path):
+    """delete_keys must resolve a manifest table's live snapshot through the
+    pointer (a naive parquet read lists zero files — snapshot dirs are
+    underscore-prefixed) and publish the delete as a new snapshot version."""
+    from fund_data_pipeline_spark.maintenance import delete_keys
+    from fund_data_pipeline_spark.merge import list_versions, merge_upsert, read_table
+    from pyspark.sql import functions as F2
+
+    path = str(tmp_path / "m")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(30)], "id long, user_id string"
+    ).withColumn("row_hash", F.md5(F2.col("id").cast("string")))
+    merge_upsert(spark, path, df, keys=["id"], layout="manifest", history=3)
+    assert list_versions(path) == [1]
+
+    victims = spark.createDataFrame([("u1",)], "user_id string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        delete_keys(spark, path, victims, ["user_id"], partition_col="user_id")
+
+    n = delete_keys(spark, path, victims, ["user_id"], history=3)
+    assert n == 10
+    assert list_versions(path) == [1, 2]  # delete published as a new version
+    live = read_table(spark, path)
+    assert live.count() == 20
+    assert live.filter(F2.col("user_id") == "u1").count() == 0
+    # time travel still sees the pre-delete state
+    assert read_table(spark, path, version=1).count() == 30
