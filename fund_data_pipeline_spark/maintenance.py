@@ -320,9 +320,27 @@ def write_zorder_clustered(
 
     if not 1 <= bits_per_col * len(cluster_cols) <= 63:
         raise ValueError("bits_per_col * len(cluster_cols) must fit a signed long")
+
+    def numeric(c: str):
+        # temporal columns cluster on their epoch value (DATE/TIMESTAMP have
+        # no direct double cast); strings have no meaningful linear order
+        # for width_bucket — reject them rather than cluster on garbage
+        dtype = dict(df.dtypes)[c]
+        if dtype == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if dtype.startswith("timestamp"):
+            return F.unix_timestamp(F.col(c)).cast("double")
+        if dtype in ("string", "binary"):
+            raise ValueError(
+                f"z-order needs an ordered numeric/temporal column; {c!r} is "
+                f"{dtype} — cluster on a derived numeric key instead"
+            )
+        return F.col(c).cast("double")
+
+    num_cols = {c: numeric(c) for c in cluster_cols}
     stats = df.agg(
-        *[F.min(c).alias(f"__min_{c}") for c in cluster_cols],
-        *[F.max(c).alias(f"__max_{c}") for c in cluster_cols],
+        *[F.min(num_cols[c]).alias(f"__min_{c}") for c in cluster_cols],
+        *[F.max(num_cols[c]).alias(f"__max_{c}") for c in cluster_cols],
     ).first()
     n_buckets = 1 << bits_per_col
     z = F.lit(0).cast("long")
@@ -336,7 +354,7 @@ def write_zorder_clustered(
                 F.least(
                     F.greatest(
                         F.width_bucket(
-                            F.col(c).cast("double"),
+                            num_cols[c],
                             F.lit(float(lo)),
                             F.lit(float(hi)),
                             F.lit(n_buckets),

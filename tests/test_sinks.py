@@ -179,3 +179,24 @@ def test_write_zorder_clustered_prunes_on_every_dimension(spark, tmp_path):
     assert ry > zy
     # data intact
     assert spark.read.parquet(str(zpath)).count() == n
+
+
+def test_write_zorder_clustered_temporal_and_string_columns(spark, tmp_path):
+    """Date columns cluster on their epoch value (a raw double cast of DATE
+    is an analysis error); string columns are rejected with a clear error."""
+    import pytest
+
+    from fund_data_pipeline_spark.maintenance import write_zorder_clustered
+
+    df = (
+        spark.range(0, 2000)
+        .withColumn("d", F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 365).cast("int")))
+        .withColumn("v", (F.col("id") * 7919) % 1000)
+        .withColumn("s", F.col("id").cast("string"))
+    )
+    path = tmp_path / "zd"
+    write_zorder_clustered(df.select("d", "v"), str(path), ["d", "v"], n_files=4)
+    assert spark.read.parquet(str(path)).count() == 2000
+
+    with pytest.raises(ValueError, match="ordered numeric"):
+        write_zorder_clustered(df, str(tmp_path / "zs"), ["s", "v"], n_files=4)
