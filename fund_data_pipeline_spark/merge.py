@@ -566,3 +566,38 @@ def merge_as_dataframe(
             )
         cols.append(expr.alias(c))
     return joined.select(*cols)
+
+
+def apply_changes(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    hash_col: str = "row_hash",
+    layout: str = "rename",
+    history: int = 1,
+) -> None:
+    """Apply a change feed (the :func:`table_changes` / :func:`diff_frames`
+    shape: rows + ``_change_type``) to a replica table — the CDC consumer
+    side. Deletes are removed by keyed anti-join, inserts/updates are
+    upserted through the hash-guarded merge, so applying
+    ``table_changes(v1, v2)`` to a replica at v1 state yields exactly the
+    v2 state (``test_apply_changes_syncs_replica``). Idempotent: re-applying
+    the same feed is a no-op (deletes find nothing, upserts hash-match).
+
+    One pass each way: the delete is an anti-join rewrite, the upsert one
+    keyed merge — at scale, both shuffle on the key once. Feeds spanning
+    several versions must be applied in order (or pre-collapsed to
+    latest-per-key with ``dedupe_order``).
+    """
+    from .maintenance import delete_keys
+
+    keys = list(keys)
+    deletes = changes.filter(F.col("_change_type") == "delete").select(*keys)
+    upserts = changes.filter(F.col("_change_type") != "delete").drop("_change_type")
+    if not deletes.isEmpty():
+        delete_keys(spark, target_path, deletes, keys, history=history)
+    if not upserts.isEmpty():
+        merge_upsert(
+            spark, target_path, upserts, keys, hash_col=hash_col, layout=layout, history=history
+        )

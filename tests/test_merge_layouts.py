@@ -438,3 +438,39 @@ def test_manifest_write_recovers_from_crashed_snapshot(spark, tmp_path):
     got = {r.ticker: r.value for r in read_table(spark, str(path)).collect()}
     assert got == {"A": 1.0, "B": 2.0}
     assert not (orphan / "part-junk.parquet").exists()
+
+
+def test_apply_changes_syncs_replica(spark, tmp_path):
+    """CDC end-to-end: table_changes(v1, v2) from the primary, applied to a
+    replica holding the v1 state, must reproduce exactly the v2 state —
+    and re-applying the same feed is a no-op."""
+    from fund_data_pipeline_spark.merge import (
+        _manifest_write,
+        apply_changes,
+        merge_upsert,
+        read_table,
+        table_changes,
+    )
+
+    primary = str(tmp_path / "primary")
+    replica = str(tmp_path / "replica")
+    v1 = _snapshot(spark, [("A", "d1", 1.0), ("B", "d1", 2.0), ("C", "d1", 3.0)])
+    merge_upsert(spark, primary, v1, keys=["ticker"], layout="manifest", history=3)
+    # v2: B updated, D inserted, C deleted (snapshot written directly — the
+    # merge itself never deletes)
+    v2 = _snapshot(spark, [("A", "d1", 1.0), ("B", "d1", 5.0), ("D", "d1", 4.0)])
+    _manifest_write(v2, Path(primary), history=3)
+
+    merge_upsert(spark, replica, v1, keys=["ticker"])  # replica at v1
+    feed = table_changes(spark, primary, 1, 2, keys=["ticker"])
+    apply_changes(spark, replica, feed, keys=["ticker"])
+
+    def state(path):
+        return sorted(
+            (r.ticker, r.value) for r in read_table(spark, path).collect()
+        )
+
+    assert state(replica) == state(primary)
+
+    apply_changes(spark, replica, feed, keys=["ticker"])  # idempotent
+    assert state(replica) == state(primary)
