@@ -124,6 +124,14 @@ def merge_upsert(
     keys = list(keys)
     if layout not in ("rename", "manifest"):
         raise ValueError(f"unknown layout {layout!r}; use 'rename' or 'manifest'")
+    if layout == "rename" and (Path(target_path) / MANIFEST_NAME).exists():
+        # a rename-layout write over a manifest table would atomically
+        # replace the whole directory — pointer, snapshots, and history gone
+        # — and silently convert the table to a plain layout
+        raise ValueError(
+            f"{target_path} is a manifest table; pass layout='manifest' "
+            f"(a rename-layout merge would discard the pointer and history)"
+        )
     if partition_col is not None:
         if partition_col not in keys:
             raise ValueError(
@@ -593,6 +601,8 @@ def apply_changes(
     from .maintenance import delete_keys
 
     keys = list(keys)
+    if (Path(target_path) / MANIFEST_NAME).exists():
+        layout = "manifest"  # replica is a manifest table: follow its layout
     deletes = changes.filter(F.col("_change_type") == "delete").select(*keys)
     upserts = changes.filter(F.col("_change_type") != "delete").drop("_change_type")
     if not deletes.isEmpty():

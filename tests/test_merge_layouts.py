@@ -474,3 +474,27 @@ def test_apply_changes_syncs_replica(spark, tmp_path):
 
     apply_changes(spark, replica, feed, keys=["ticker"])  # idempotent
     assert state(replica) == state(primary)
+
+
+def test_rename_merge_refuses_manifest_table(spark, tmp_path):
+    """A rename-layout merge over a manifest table would atomically replace
+    the directory — pointer, snapshots, history all gone — and silently
+    convert the layout. It must refuse instead; apply_changes auto-follows
+    the replica's layout (exercised by test_apply_changes_syncs_replica on
+    a manifest primary)."""
+    from fund_data_pipeline_spark.merge import apply_changes, merge_upsert, read_table
+
+    path = str(tmp_path / "t")
+    v1 = _snapshot(spark, [("A", "d1", 1.0)])
+    merge_upsert(spark, path, v1, keys=["ticker"], layout="manifest")
+    with pytest.raises(ValueError, match="manifest table"):
+        merge_upsert(spark, path, v1, keys=["ticker"])  # default rename layout
+
+    # apply_changes on the same table auto-detects and upgrades the layout
+    feed = _snapshot(spark, [("B", "d1", 2.0)]).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    apply_changes(spark, path, feed, keys=["ticker"])
+    got = {r.ticker for r in read_table(spark, path).collect()}
+    assert got == {"A", "B"}
+    assert (tmp_path / "t" / "_MANIFEST").exists()
