@@ -242,50 +242,56 @@ def delete_keys(
     from pyspark.sql import functions as F
 
     from .merge import (
-        MANIFEST_NAME,
         _atomic_write,
+        _check_layout_compatible,
         _manifest_write,
-        _partition_swap_write,
+        detect_layout,
         read_table,
+        swap_partitions_dropping_absent,
+        touched_partition_filter,
     )
 
     path = Path(table_path)
-    is_manifest = (path / MANIFEST_NAME).exists()
-    if is_manifest and partition_col is not None:
+    layout = detect_layout(path)
+    if layout == "manifest" and partition_col is not None:
         raise ValueError("manifest tables are unpartitioned; drop partition_col")
+    # a mismatched write shape corrupts silently (flat rewrite of a hive
+    # root, partition swap into a flat root) — refuse loudly instead
+    intended = (
+        "hive"
+        if partition_col
+        else ("manifest" if layout == "manifest" else "flat")
+    )
+    _check_layout_compatible(path, intended)
     keys_df = keys_df.select(*key_cols).dropDuplicates(key_cols)
     df = read_table(spark, table_path)
-    n_deleted = df.join(F.broadcast(keys_df), key_cols, "left_semi").count()
-    if n_deleted == 0:
-        return 0
     if partition_col is None:
+        n_deleted = df.join(F.broadcast(keys_df), key_cols, "left_semi").count()
+        if n_deleted == 0:
+            return 0
         survivors = df.join(F.broadcast(keys_df), key_cols, "left_anti")
-        if is_manifest:
+        if layout == "manifest":
             _manifest_write(survivors, path, history=history)
         else:
             _atomic_write(survivors, path)
         return n_deleted
 
-    # column-pruned discovery scan: which partitions hold victim rows
-    touched = [
-        r[0]
-        for r in df.join(F.broadcast(keys_df), key_cols, "left_semi")
-        .select(partition_col)
-        .distinct()
+    # ONE column-pruned discovery scan yields both the victim count and the
+    # partitions holding victims (a NULL partition value groups under None
+    # and is rewritten like any other — plain isin would silently skip it)
+    victim_stats = (
+        df.join(F.broadcast(keys_df), key_cols, "left_semi")
+        .groupBy(partition_col)
+        .count()
         .collect()
-    ]
-    pruned = df.filter(F.col(partition_col).isin(touched))
+    )
+    n_deleted = sum(r["count"] for r in victim_stats)
+    if n_deleted == 0:
+        return 0
+    touched = [r[partition_col] for r in victim_stats]
+    pruned = df.filter(touched_partition_filter(partition_col, touched))
     survivors = pruned.join(F.broadcast(keys_df), key_cols, "left_anti")
-    # which touched partitions still have rows — resolved BEFORE the swap
-    # (survivors lazily scans the pre-swap files; evaluating it after the
-    # swap would dereference replaced paths)
-    present = {r[0] for r in survivors.select(partition_col).distinct().collect()}
-    _partition_swap_write(survivors, path, partition_col)
-    for value in touched:
-        if value not in present:
-            stale = path / f"{partition_col}={value}"
-            if stale.exists():
-                shutil.rmtree(stale)
+    swap_partitions_dropping_absent(survivors, path, partition_col, touched)
     return n_deleted
 
 

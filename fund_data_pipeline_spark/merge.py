@@ -124,14 +124,10 @@ def merge_upsert(
     keys = list(keys)
     if layout not in ("rename", "manifest"):
         raise ValueError(f"unknown layout {layout!r}; use 'rename' or 'manifest'")
-    if layout == "rename" and (Path(target_path) / MANIFEST_NAME).exists():
-        # a rename-layout write over a manifest table would atomically
-        # replace the whole directory — pointer, snapshots, and history gone
-        # — and silently convert the table to a plain layout
-        raise ValueError(
-            f"{target_path} is a manifest table; pass layout='manifest' "
-            f"(a rename-layout merge would discard the pointer and history)"
-        )
+    _check_layout_compatible(
+        Path(target_path),
+        "manifest" if layout == "manifest" else ("hive" if partition_col else "flat"),
+    )
     if partition_col is not None:
         if partition_col not in keys:
             raise ValueError(
@@ -284,6 +280,92 @@ def _live_snapshot(path: Path) -> Path | None:
     if mf.exists():
         return path / mf.read_text().strip()
     return None
+
+
+def detect_layout(path: Path | str) -> str | None:
+    """The on-disk layout of an existing table: ``"manifest"`` (pointer
+    file), ``"hive"`` (``col=value`` partition dirs), ``"flat"`` (plain
+    parquet directory), or None if nothing exists yet."""
+    path = Path(path)
+    if (path / MANIFEST_NAME).exists():
+        return "manifest"
+    if not path.exists():
+        return None
+    if any(d.is_dir() and "=" in d.name for d in path.iterdir()):
+        return "hive"
+    return "flat"
+
+
+def _check_layout_compatible(path: Path, intended: str) -> None:
+    """Refuse a write whose layout differs from the table's existing one.
+
+    Every cross-layout write corrupts silently rather than failing loudly:
+    rename-over-manifest discards the pointer/snapshots/history;
+    manifest-over-flat buries the existing rows as invisible orphan files
+    (the merge takes the table-does-not-exist branch); a partition swap
+    into a flat root leaves a mix of partition dirs and flat files whose
+    reads drop or duplicate rows; a flat atomic write over a hive root
+    destroys the partition layout. Migrate explicitly (read_table ->
+    rewrite) instead.
+    """
+    existing = detect_layout(path)
+    if existing is not None and existing != intended:
+        raise ValueError(
+            f"{path} is an existing {existing}-layout table; this write would "
+            f"{'replace' if intended != 'hive' else 'mix'} it with a {intended} "
+            f"layout and corrupt it silently. Read and rewrite the table to "
+            f"migrate layouts explicitly."
+        )
+
+
+#: Characters Spark/Hive percent-escape in partition directory names
+#: (org.apache.hadoop.hive.common.FileUtils.escapePathName's charset).
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
+
+
+def hive_partition_dir(partition_col: str, value) -> str:
+    """The directory name Spark writes for one partition value — NULL maps
+    to ``__HIVE_DEFAULT_PARTITION__`` and special characters are
+    percent-escaped, so path manipulation (stale-partition drops, swap
+    bookkeeping) agrees with what is actually on disk."""
+    if value is None:
+        return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    escaped = "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in str(value)
+    )
+    return f"{partition_col}={escaped}"
+
+
+def touched_partition_filter(partition_col: str, touched) -> Column:
+    """Null-safe membership filter over partition values: plain ``isin``
+    silently drops a NULL partition value (SQL three-valued logic), so rows
+    in ``__HIVE_DEFAULT_PARTITION__`` would be excluded from a rewrite that
+    claims to cover them."""
+    nonnull = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(nonnull) if nonnull else F.lit(False)
+    if len(nonnull) != len(list(touched)):
+        cond = cond | F.col(partition_col).isNull()
+    return cond
+
+
+def swap_partitions_dropping_absent(
+    out: DataFrame, path: Path, partition_col: str, touched
+) -> None:
+    """Swap ``out``'s partitions into the table and remove the directory of
+    every ``touched`` partition that produced no rows (a partition whose
+    content disappeared entirely — the case plain swap can't express).
+    Present-partition values are resolved BEFORE the swap so nothing is
+    evaluated against mid-swap state; stale directory names go through
+    :func:`hive_partition_dir` so NULL and escaped values are found on
+    disk. Shared by ``rollup.refresh_rollup`` and
+    ``maintenance.delete_keys``."""
+    present = {r[0] for r in out.select(partition_col).distinct().collect()}
+    _partition_swap_write(out, path, partition_col)
+    for value in touched:
+        if value not in present:
+            stale = path / hive_partition_dir(partition_col, value)
+            if stale.exists():
+                shutil.rmtree(stale)
 
 
 def read_table(
@@ -583,6 +665,7 @@ def apply_changes(
     keys: Sequence[str],
     hash_col: str = "row_hash",
     layout: str = "rename",
+    partition_col: str | None = None,
     history: int = 1,
 ) -> None:
     """Apply a change feed (the :func:`table_changes` / :func:`diff_frames`
@@ -597,17 +680,33 @@ def apply_changes(
     keyed merge — at scale, both shuffle on the key once. Feeds spanning
     several versions must be applied in order (or pre-collapsed to
     latest-per-key with ``dedupe_order``).
+
+    The write follows the replica's on-disk layout: pass ``partition_col``
+    for a hive-partitioned replica (both the delete and the upsert then
+    touch only the victim/batch partitions); manifest replicas are
+    auto-detected. A mismatched shape (e.g. no ``partition_col`` against a
+    hive replica) is refused by the layout guard rather than corrupting
+    the table.
     """
     from .maintenance import delete_keys
 
     keys = list(keys)
-    if (Path(target_path) / MANIFEST_NAME).exists():
+    if detect_layout(target_path) == "manifest":
         layout = "manifest"  # replica is a manifest table: follow its layout
     deletes = changes.filter(F.col("_change_type") == "delete").select(*keys)
     upserts = changes.filter(F.col("_change_type") != "delete").drop("_change_type")
     if not deletes.isEmpty():
-        delete_keys(spark, target_path, deletes, keys, history=history)
+        delete_keys(
+            spark, target_path, deletes, keys, partition_col=partition_col, history=history
+        )
     if not upserts.isEmpty():
         merge_upsert(
-            spark, target_path, upserts, keys, hash_col=hash_col, layout=layout, history=history
+            spark,
+            target_path,
+            upserts,
+            keys,
+            hash_col=hash_col,
+            layout=layout,
+            partition_col=partition_col,
+            history=history,
         )

@@ -392,8 +392,9 @@ def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key in a synthetic decimal-digit forest (parent = k div 10, roots are "
     "k < 10) resolved to its root and depth. Spark has no recursive CTE, so "
     "the walk is a bounded pointer-chase built as a LOOP OVER THE PLAN: "
-    "each of 10 unrolled rounds advances only the not-yet-rooted pointers "
-    "(10 rounds cover any 64-bit key — depth = decimal digits). The parent "
+    "each unrolled round advances only the not-yet-rooted pointers (the "
+    "initial step plus 18 rounds cover any unsigned 64-bit key — depth = "
+    "decimal digits minus one). The parent "
     "function here is closed-form (k div 10), so every round is pure "
     "map-side arithmetic: the whole flatten is ONE scan, zero shuffles. "
     "With a materialized edge table each round becomes an equi-join on the "
@@ -427,8 +428,10 @@ def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("depth"),
     )
     # bounded pointer-chase: each round advances rows whose pointer is not
-    # yet a root; 10 rounds resolve any 64-bit decimal-digit chain
-    for _ in range(10):
+    # yet a root. A key with d decimal digits needs d-1 divisions; the
+    # initial step supplies one, so 18 further rounds cover the 20-digit
+    # maximum of an unsigned 64-bit key (fixture keys use 5-6).
+    for _ in range(18):
         done = F.col("anc") < 10
         walk = walk.select(
             "custkey",
@@ -465,10 +468,13 @@ WITH daily AS (
   FROM daily
   WINDOW w AS (ORDER BY day_no RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)
 ), scored AS (
+  -- cnt*sxx - sx*sx > 0 is the EXACT-integer zero-variance guard: a
+  -- constant window would otherwise divide by zero (ANSI abort on Spark,
+  -- inf on DuckDB — either way divergent)
   SELECT dt, n_orders, cnt,
          (CAST(n_orders AS DOUBLE) - CAST(sx AS DOUBLE) / cnt)
            / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / cnt) / (cnt - 1)) AS z
-  FROM win WHERE cnt >= 20
+  FROM win WHERE cnt >= 20 AND cnt * sxx - sx * sx > 0
 )
 SELECT dt, n_orders, z FROM scored WHERE abs(z) >= 2
 """,
@@ -488,7 +494,12 @@ def daily_order_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cnt"),
         F.sum("n_orders").over(w).alias("sx"),
         F.sum(F.col("n_orders") * F.col("n_orders")).over(w).alias("sxx"),
-    ).filter(F.col("cnt") >= 20)
+    ).filter(
+        (F.col("cnt") >= 20)
+        # exact-integer zero-variance guard: a constant window would divide
+        # by zero (ANSI abort here, inf on DuckDB — divergent either way)
+        & (F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+    )
     mean = F.col("sx").cast("double") / F.col("cnt")
     var = (
         F.col("sxx").cast("double")

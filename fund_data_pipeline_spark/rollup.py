@@ -33,7 +33,7 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .merge import _partition_swap_write
+from .merge import swap_partitions_dropping_absent, touched_partition_filter
 
 
 def rollup_frame(
@@ -96,26 +96,17 @@ def refresh_rollup(
     # hive layouts read the partition column back as STRING (this engine
     # pins partitionColumnTypeInference off), while callers often hold the
     # source-side values (e.g. DATEs). Coerce the literals to the column's
-    # dtype — literal-side coercion keeps the filter a plain isin on the
-    # bare column, so partition pruning stays eligible (a cast on the
-    # column side would not).
+    # dtype — literal-side coercion keeps the filter sargable on the bare
+    # column, so partition pruning stays eligible (a cast on the column
+    # side would not).
     if dict(base.dtypes)[partition_col] == "string":
-        touched = [v if isinstance(v, str) else str(v) for v in touched]
-    pruned = base.filter(F.col(partition_col).isin(touched))
+        touched = [v if isinstance(v, str) or v is None else str(v) for v in touched]
+    pruned = base.filter(touched_partition_filter(partition_col, touched))
     out = rollup_frame(pruned, partition_col, group_cols, measures)
-    path = Path(rollup_path)
     # a touched partition with zero surviving base rows produces no rows in
-    # `out`, so the swap never visits it — its stale directory is dropped
-    # below. Resolved BEFORE the swap (matching maintenance.delete_keys) so
-    # nothing is ever evaluated against mid-swap table state;
-    # len(touched)-bounded collect: partition values, not data.
-    present = {r[0] for r in out.select(partition_col).distinct().collect()}
-    _partition_swap_write(out, path, partition_col)
-    for value in touched:
-        if value not in present:
-            stale = path / f"{partition_col}={value}"
-            if stale.exists():
-                shutil.rmtree(stale)
+    # `out` — the shared swap helper drops its stale directory (NULL and
+    # hive-escaped partition values handled there)
+    swap_partitions_dropping_absent(out, Path(rollup_path), partition_col, touched)
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:

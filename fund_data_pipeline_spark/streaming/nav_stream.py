@@ -55,6 +55,12 @@ def start_nav_stream(
     stays proportional to the batch's dates, independent of history
     length; a batch replay re-merges idempotently and re-derives the same
     rollup rows, so exactly-once *effect* is preserved end to end.
+
+    Enabling ``rollup_path`` on a target previously loaded WITHOUT it
+    changes the merge to the date-partitioned layout; the merge's layout
+    guard refuses that write against the existing flat table (mixed
+    layouts corrupt reads) — migrate the table once (read -> partitioned
+    rewrite) before switching modes.
     """
     raw = (
         spark.readStream.schema(schema)

@@ -68,13 +68,16 @@ def main() -> None:
         totals[sf] = round(total, 3)
 
     # t ~ SF^p between the smallest and largest measured SF; p = 1 is
-    # linear growth, p near 0 is overhead-dominated (ideal at small SF)
+    # linear growth, p near 0 is overhead-dominated (ideal at small SF).
+    # Needs two distinct SFs — with fewer, report the timings without
+    # exponents instead of dying after all the measurement work is done.
     exponents = {}
-    lo, hi = sfs[0], sfs[-1]
-    for name in names:
-        t_lo, t_hi = per_query[name][lo], per_query[name][hi]
-        if t_lo > 0 and t_hi > 0:
-            exponents[name] = round(math.log(t_hi / t_lo) / math.log(hi / lo), 3)
+    if len(sfs) >= 2:
+        lo, hi = sfs[0], sfs[-1]
+        for name in names:
+            t_lo, t_hi = per_query[name][lo], per_query[name][hi]
+            if t_lo > 0 and t_hi > 0:
+                exponents[name] = round(math.log(t_hi / t_lo) / math.log(hi / lo), 3)
     print(
         json.dumps(
             {

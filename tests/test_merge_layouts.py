@@ -487,7 +487,7 @@ def test_rename_merge_refuses_manifest_table(spark, tmp_path):
     path = str(tmp_path / "t")
     v1 = _snapshot(spark, [("A", "d1", 1.0)])
     merge_upsert(spark, path, v1, keys=["ticker"], layout="manifest")
-    with pytest.raises(ValueError, match="manifest table"):
+    with pytest.raises(ValueError, match="manifest-layout"):
         merge_upsert(spark, path, v1, keys=["ticker"])  # default rename layout
 
     # apply_changes on the same table auto-detects and upgrades the layout

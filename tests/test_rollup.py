@@ -234,3 +234,108 @@ def test_delete_keys_on_manifest_table_publishes_new_version(spark, tmp_path):
     assert live.filter(F2.col("user_id") == "u1").count() == 0
     # time travel still sees the pre-delete state
     assert read_table(spark, path, version=1).count() == 30
+
+
+def test_delete_keys_erases_null_partition_victims(spark, tmp_path):
+    """Review finding: plain isin is not null-safe, so victims living in the
+    __HIVE_DEFAULT_PARTITION__ partition were counted as deleted but never
+    erased. The null partition must be rewritten like any other."""
+    from fund_data_pipeline_spark.maintenance import delete_keys
+
+    p = tmp_path / "tbl"
+    spark.createDataFrame(
+        [("u1", "2024-01", 1), ("u1", None, 2), ("u2", None, 3), ("u2", "2024-02", 4)],
+        "user_id string, dt string, v long",
+    ).write.partitionBy("dt").parquet(str(p))
+    assert (p / "dt=__HIVE_DEFAULT_PARTITION__").exists()
+
+    victims = spark.createDataFrame([("u1",)], "user_id string")
+    n = delete_keys(spark, str(p), victims, ["user_id"], partition_col="dt")
+    assert n == 2
+    left = spark.read.parquet(str(p))
+    assert left.filter(F.col("user_id") == "u1").count() == 0
+    # u2's null-partition row survives; the null partition was rewritten,
+    # not dropped
+    assert left.filter(F.col("dt").isNull()).count() == 1
+    assert left.count() == 2
+
+
+def test_delete_keys_escaped_partition_value_dir_handling(spark, tmp_path):
+    """Partition values Spark percent-escapes (':' etc.) must still have
+    their directory found when the partition empties out."""
+    from fund_data_pipeline_spark.maintenance import delete_keys
+    from fund_data_pipeline_spark.merge import hive_partition_dir
+
+    p = tmp_path / "tbl"
+    spark.createDataFrame(
+        [("u1", "a:b", 1), ("u2", "plain", 2)],
+        "user_id string, dt string, v long",
+    ).write.partitionBy("dt").parquet(str(p))
+    escaped = hive_partition_dir("dt", "a:b")
+    assert (p / escaped).exists(), f"helper disagrees with Spark: {escaped}"
+
+    victims = spark.createDataFrame([("u1",)], "user_id string")
+    n = delete_keys(spark, str(p), victims, ["user_id"], partition_col="dt")
+    assert n == 1
+    assert not (p / escaped).exists()  # emptied partition dir dropped
+    assert spark.read.parquet(str(p)).count() == 1
+
+
+def test_layout_guards_refuse_cross_layout_writes(spark, tmp_path):
+    """Every cross-layout write corrupts silently (manifest-over-flat buries
+    rows as orphans, partition swap into a flat root mixes layouts, flat
+    rewrite of a hive root destroys partitioning) — all four directions must
+    refuse loudly."""
+    import pytest
+
+    from fund_data_pipeline_spark.maintenance import delete_keys
+    from fund_data_pipeline_spark.merge import merge_upsert
+
+    flat = str(tmp_path / "flat")
+    df = spark.createDataFrame([("A", "d1", 1)], "k string, dt string, v long").withColumn(
+        "row_hash", F.md5(F.col("v").cast("string"))
+    )
+    merge_upsert(spark, flat, df, keys=["k"])  # flat rename table
+    with pytest.raises(ValueError, match="flat-layout"):
+        merge_upsert(spark, flat, df, keys=["k"], layout="manifest")
+    with pytest.raises(ValueError, match="flat-layout"):
+        merge_upsert(spark, flat, df, keys=["k", "dt"], partition_col="dt")
+    victims = spark.createDataFrame([("A",)], "k string")
+    with pytest.raises(ValueError, match="flat-layout"):
+        delete_keys(spark, flat, victims, ["k"], partition_col="dt")
+
+    hive = str(tmp_path / "hive")
+    merge_upsert(spark, hive, df, keys=["k", "dt"], partition_col="dt")
+    with pytest.raises(ValueError, match="hive-layout"):
+        merge_upsert(spark, hive, df, keys=["k"])  # flat write over hive
+    with pytest.raises(ValueError, match="hive-layout"):
+        delete_keys(spark, hive, victims, ["k"])  # unpartitioned delete
+
+
+def test_apply_changes_on_partitioned_replica(spark, tmp_path):
+    """CDC apply against a hive-partitioned replica: deletes and upserts
+    both run partition-pruned, and the untouched partition's files stay
+    byte-identical."""
+    from fund_data_pipeline_spark.merge import apply_changes, merge_upsert
+
+    replica = tmp_path / "replica"
+    rows = [("A", "2024-01", 1.0), ("B", "2024-01", 2.0), ("C", "2024-02", 3.0)]
+    df = spark.createDataFrame(rows, "k string, dt string, v double").withColumn(
+        "row_hash", F.md5(F.concat_ws("|", "k", "dt", F.col("v").cast("string")))
+    )
+    merge_upsert(spark, str(replica), df, keys=["k", "dt"], partition_col="dt")
+    before_feb = _file_state(replica / "dt=2024-02")
+
+    feed = spark.createDataFrame(
+        [
+            ("A", "2024-01", 9.0, "update"),
+            ("B", "2024-01", 2.0, "delete"),
+            ("D", "2024-01", 4.0, "insert"),
+        ],
+        "k string, dt string, v double, _change_type string",
+    ).withColumn("row_hash", F.md5(F.concat_ws("|", "k", "dt", F.col("v").cast("string"))))
+    apply_changes(spark, str(replica), feed, keys=["k", "dt"], partition_col="dt")
+
+    got = {(r.k, r.dt): r.v for r in spark.read.parquet(str(replica)).collect()}
+    assert got == {("A", "2024-01"): 9.0, ("D", "2024-01"): 4.0, ("C", "2024-02"): 3.0}
+    assert _file_state(replica / "dt=2024-02") == before_feb
