@@ -289,7 +289,26 @@ def delete_keys(
     if n_deleted == 0:
         return 0
     touched = [r[partition_col] for r in victim_stats]
-    pruned = df.filter(touched_partition_filter(partition_col, touched))
+    from .merge import _ISIN_PRUNE_MAX
+
+    if len(touched) <= _ISIN_PRUNE_MAX:
+        pruned = df.filter(touched_partition_filter(partition_col, touched))
+    else:
+        # a subject spread over thousands of partitions would bloat the
+        # plan with a giant literal list — switch to a broadcast semi-join
+        # prune on the partition value (null-safe), mirroring the merge's
+        # backfill path. The touched list itself stays driver-side only
+        # for the stale-directory sweep (O(#touched) local fs ops).
+        probe = F.broadcast(
+            spark.createDataFrame(
+                [(v,) for v in touched], f"__touched_part {dict(df.dtypes)[partition_col]}"
+            )
+        )
+        pruned = df.join(
+            probe,
+            df[partition_col].eqNullSafe(probe["__touched_part"]),
+            "left_semi",
+        )
     survivors = pruned.join(F.broadcast(keys_df), key_cols, "left_anti")
     swap_partitions_dropping_absent(survivors, path, partition_col, touched)
     return n_deleted

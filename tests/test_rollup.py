@@ -339,3 +339,28 @@ def test_apply_changes_on_partitioned_replica(spark, tmp_path):
     got = {(r.k, r.dt): r.v for r in spark.read.parquet(str(replica)).collect()}
     assert got == {("A", "2024-01"): 9.0, ("D", "2024-01"): 4.0, ("C", "2024-02"): 3.0}
     assert _file_state(replica / "dt=2024-02") == before_feb
+
+
+def test_delete_keys_wide_erasure_switches_to_semi_join_prune(spark, tmp_path, monkeypatch):
+    """An erasure spanning more partitions than the isin cap must still
+    delete correctly through the broadcast semi-join prune path."""
+    from fund_data_pipeline_spark import maintenance
+    from fund_data_pipeline_spark import merge as merge_mod
+    from fund_data_pipeline_spark.maintenance import delete_keys
+
+    monkeypatch.setattr(merge_mod, "_ISIN_PRUNE_MAX", 3)
+
+    p = tmp_path / "tbl"
+    rows = [
+        (f"u{i % 2}", f"2024-{m:02d}", i * 10 + m) for m in range(1, 7) for i in range(4)
+    ]
+    spark.createDataFrame(rows, "user_id string, dt string, v long").write.partitionBy(
+        "dt"
+    ).parquet(str(p))
+
+    victims = spark.createDataFrame([("u1",)], "user_id string")
+    n = delete_keys(spark, str(p), victims, ["user_id"], partition_col="dt")
+    assert n == 12  # 2 rows x 6 months
+    left = spark.read.parquet(str(p))
+    assert left.filter(F.col("user_id") == "u1").count() == 0
+    assert left.count() == 12
