@@ -111,7 +111,7 @@ def keep_only_latest(root: str) -> list[str]:
     return dropped
 
 
-def vacuum_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
+def vacuum_snapshots(table_path: str, keep_last: int | None = None) -> list[str]:
     """GC orphan snapshot directories of a manifest-layout merge table.
 
     ``merge.merge_upsert(layout="manifest")`` prunes the superseded snapshot
@@ -122,10 +122,10 @@ def vacuum_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
     names.
 
     ``keep_last``: how many trailing versions (live included) to leave on
-    disk — match the ``history`` the table's merges run with, so a janitor
-    pass never collects the time-travel window
-    (``merge.read_table(version=...)`` / ``merge.table_changes``). The
-    default 1 keeps only the live snapshot (original behavior).
+    disk. The default ``None`` honors the retention the table itself
+    persists in its manifest pointer (``retention=N``; 1 when undeclared),
+    so a janitor pass never collects the time-travel window
+    (``merge.read_table(version=...)`` / ``merge.table_changes``).
 
     The below-live rule is what makes the janitor safe against a CONCURRENT
     writer: a writer only ever creates versions above the current pointer,
@@ -136,13 +136,15 @@ def vacuum_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
     read-grace period — an in-flight reader may still be scanning a
     directory the pointer abandoned moments ago.
     """
-    from .merge import MANIFEST_NAME
+    from .merge import MANIFEST_NAME, _persisted_retention
 
     path = Path(table_path)
     mf = path / MANIFEST_NAME
     if not mf.exists():
         return []
-    live = mf.read_text().strip()
+    if keep_last is None:
+        keep_last = _persisted_retention(path) or 1
+    live = mf.read_text().splitlines()[0].strip()
     try:
         live_version = int(live.rsplit("_", 1)[-1])
     except ValueError:
@@ -211,7 +213,7 @@ def delete_keys(
     key_cols: list[str],
     *,
     partition_col: str | None = None,
-    history: int = 1,
+    history: int | None = None,
 ) -> int:
     """Keyed hard delete (GDPR erasure / blocklist purge): remove every row
     whose ``key_cols`` tuple appears in ``keys_df``; returns the number of
@@ -235,9 +237,11 @@ def delete_keys(
     snapshot is resolved through ``merge.read_table`` (a naive
     ``spark.read.parquet`` would list zero files: snapshot dirs are
     underscore-prefixed) and the delete is published as a NEW snapshot
-    version, preserving the pointer-swap atomicity; pass the same
-    ``history`` the table's merges use so the delete keeps (or starts) the
-    time-travel window instead of pruning it.
+    version, preserving the pointer-swap atomicity. ``history=None``
+    (default) preserves the retention persisted in the table's manifest
+    pointer, so an erasure cannot silently prune a time-travel window
+    established by earlier merges; an explicit int sets and persists a new
+    retention.
     """
     from pyspark.sql import functions as F
 

@@ -89,7 +89,7 @@ def merge_upsert(
     partition_col: str | None = None,
     layout: str = "rename",
     allow_new_columns: bool = False,
-    history: int = 1,
+    history: int | None = None,
 ) -> MergeStats:
     """Upsert ``source`` into the Parquet table at ``target_path``.
 
@@ -117,9 +117,11 @@ def merge_upsert(
       conform-to-target contract: the reference conforms every feed to the
       master schema before loading, so an unexpected column is dropped.
     - ``history``: manifest layout only — snapshots retained including the
-      new live one (default 1 = prune superseded immediately). N>1 enables
-      time travel (``read_table(version=...)``) and CDC
-      (:func:`table_changes`) over the last N merges.
+      new live one. N>1 enables time travel (``read_table(version=...)``)
+      and CDC (:func:`table_changes`) over the last N merges, and is
+      persisted in the manifest pointer as the table's retention property.
+      Default ``None`` preserves the table's persisted retention (1 for a
+      table that never declared one); an explicit int sets and persists it.
     """
     keys = list(keys)
     if layout not in ("rename", "manifest"):
@@ -278,7 +280,24 @@ def _live_snapshot(path: Path) -> Path | None:
     """Resolve the manifest pointer, or None for plain-directory tables."""
     mf = path / MANIFEST_NAME
     if mf.exists():
-        return path / mf.read_text().strip()
+        return path / mf.read_text().splitlines()[0].strip()
+    return None
+
+
+def _persisted_retention(path: Path) -> int | None:
+    """Snapshot-retention table property persisted in the manifest pointer
+    (``retention=N`` on its second line, Delta-table-property style), or
+    None when the table has never declared one (legacy single-line
+    manifests)."""
+    mf = path / MANIFEST_NAME
+    if not mf.exists():
+        return None
+    for line in mf.read_text().splitlines()[1:]:
+        if line.startswith("retention="):
+            try:
+                return int(line.split("=", 1)[1])
+            except ValueError:
+                return None
     return None
 
 
@@ -341,9 +360,10 @@ def touched_partition_filter(partition_col: str, touched) -> Column:
     silently drops a NULL partition value (SQL three-valued logic), so rows
     in ``__HIVE_DEFAULT_PARTITION__`` would be excluded from a rewrite that
     claims to cover them."""
+    touched = list(touched)  # consumed twice below; tolerate one-shot iterators
     nonnull = [v for v in touched if v is not None]
     cond = F.col(partition_col).isin(nonnull) if nonnull else F.lit(False)
-    if len(nonnull) != len(list(touched)):
+    if len(nonnull) != len(touched):
         cond = cond | F.col(partition_col).isNull()
     return cond
 
@@ -354,16 +374,19 @@ def swap_partitions_dropping_absent(
     """Swap ``out``'s partitions into the table and remove the directory of
     every ``touched`` partition that produced no rows (a partition whose
     content disappeared entirely — the case plain swap can't express).
-    Present-partition values are resolved BEFORE the swap so nothing is
-    evaluated against mid-swap state; stale directory names go through
+    The present set is derived from the staging directories the swap
+    actually wrote — ``out`` is evaluated exactly once, so a
+    non-deterministic source cannot produce a present set that disagrees
+    with the dirs on disk (which would delete a just-written partition or
+    keep a stale one). Stale directory names go through
     :func:`hive_partition_dir` so NULL and escaped values are found on
     disk. Shared by ``rollup.refresh_rollup`` and
     ``maintenance.delete_keys``."""
-    present = {r[0] for r in out.select(partition_col).distinct().collect()}
-    _partition_swap_write(out, path, partition_col)
+    swapped = _partition_swap_write(out, path, partition_col)
     for value in touched:
-        if value not in present:
-            stale = path / hive_partition_dir(partition_col, value)
+        dirname = hive_partition_dir(partition_col, value)
+        if dirname not in swapped:
+            stale = path / dirname
             if stale.exists():
                 shutil.rmtree(stale)
 
@@ -425,7 +448,7 @@ def _table_exists(path: Path, layout: str) -> bool:
 
 
 def _write_table(
-    df: DataFrame, path: Path, layout: str, partition_col: str | None, history: int = 1
+    df: DataFrame, path: Path, layout: str, partition_col: str | None, history: int | None = None
 ) -> None:
     if layout == "manifest":
         _manifest_write(df, path, history=history)
@@ -457,19 +480,26 @@ def _atomic_write(df: DataFrame, path: Path) -> None:
         shutil.rmtree(backup)
 
 
-def _manifest_write(df: DataFrame, path: Path, history: int = 1) -> None:
+def _manifest_write(df: DataFrame, path: Path, history: int | None = None) -> None:
     """Object-store-safe swap: write a NEW immutable snapshot directory, then
-    atomically repoint the one-line manifest. The only non-idempotent step is
-    a single small-file replace — atomic on POSIX (os.replace) and on object
-    stores (single-object PUT).
+    atomically repoint the small manifest pointer. The only non-idempotent
+    step is a single small-file replace — atomic on POSIX (os.replace) and
+    on object stores (single-object PUT).
 
     ``history`` is the number of snapshots retained INCLUDING the new live
-    one: 1 (default) prunes the superseded snapshot immediately (original
-    behavior); N>1 keeps the last N versions readable for time travel
-    (:func:`read_table` ``version=``) and CDC diffs (:func:`table_changes`).
-    An object-store deployment would additionally GC after a read-grace
-    period (in-flight readers may still hold the old pointer)."""
+    one: 1 prunes the superseded snapshot immediately; N>1 keeps the last N
+    versions readable for time travel (:func:`read_table` ``version=``) and
+    CDC diffs (:func:`table_changes`). ``None`` (default) preserves the
+    retention the table itself declares — persisted in the manifest pointer
+    as a ``retention=N`` line, like a Delta table property — so a later
+    writer that doesn't pass ``history`` cannot silently prune a
+    time-travel window established by earlier merges. Passing an int sets
+    AND persists the new retention. An object-store deployment would
+    additionally GC after a read-grace period (in-flight readers may still
+    hold the old pointer)."""
     path.mkdir(parents=True, exist_ok=True)
+    if history is None:
+        history = _persisted_retention(path) or 1
     current = _live_snapshot(path)
     version = int(current.name.rsplit("_", 1)[-1]) + 1 if current is not None else 1
     snap = path / f"_v_{version:05d}"
@@ -477,7 +507,8 @@ def _manifest_write(df: DataFrame, path: Path, history: int = 1) -> None:
         shutil.rmtree(snap)  # failed previous attempt; manifest never pointed here
     df.write.mode("overwrite").parquet(str(snap))
     tmp = path / (MANIFEST_NAME + ".__tmp__")
-    tmp.write_text(snap.name)
+    pointer = snap.name if history <= 1 else f"{snap.name}\nretention={history}"
+    tmp.write_text(pointer)
     os.replace(tmp, path / MANIFEST_NAME)
     cutoff = version - max(1, history)
     for old in sorted(path.glob("_v_*")):
@@ -573,11 +604,14 @@ def diff_frames(
     )
 
 
-def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> None:
+def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> set[str]:
     """Swap ONLY the partition directories present in ``df`` into the table
     root; every other partition's files are left byte-untouched. The merge
     result contains exactly the touched partitions (pruned target subset
-    full-outer source), so staging emits exactly those ``<pcol>=`` dirs."""
+    full-outer source), so staging emits exactly those ``<pcol>=`` dirs.
+    Returns the set of swapped partition dir names (``<pcol>=<escaped>``) so
+    callers can reason about what was actually written — the staging glob is
+    the ground truth, not a second evaluation of ``df``."""
     staging = path.with_name(path.name + ".__staging__")
     if staging.exists():
         shutil.rmtree(staging)
@@ -590,6 +624,7 @@ def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> None
         partition_col
     ).parquet(str(staging))
     path.mkdir(parents=True, exist_ok=True)
+    swapped: set[str] = set()
     for part_dir in sorted(staging.glob(f"{partition_col}=*")):
         dest = path / part_dir.name
         backup = path / (part_dir.name + ".__old__")
@@ -602,7 +637,9 @@ def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> None
         part_dir.rename(dest)
         if backup.exists():
             shutil.rmtree(backup)
+        swapped.add(part_dir.name)
     shutil.rmtree(staging)
+    return swapped
 
 
 def merge_as_dataframe(
@@ -666,7 +703,7 @@ def apply_changes(
     hash_col: str = "row_hash",
     layout: str = "rename",
     partition_col: str | None = None,
-    history: int = 1,
+    history: int | None = None,
 ) -> None:
     """Apply a change feed (the :func:`table_changes` / :func:`diff_frames`
     shape: rows + ``_change_type``) to a replica table — the CDC consumer
@@ -687,6 +724,14 @@ def apply_changes(
     auto-detected. A mismatched shape (e.g. no ``partition_col`` against a
     hive replica) is refused by the layout guard rather than corrupting
     the table.
+
+    Commit granularity: an existing MANIFEST replica gets the deletes and
+    upserts folded into ONE snapshot commit — a concurrent reader (or time
+    travel/CDC) never observes an intermediate delete-only state, and the
+    replica gains exactly one version per feed applied. Rename/hive
+    replicas publish the delete and the upsert as two separate swaps; a
+    reader between them sees the delete-only state, and a crash between
+    them leaves it until the feed is re-applied (idempotent).
     """
     from .maintenance import delete_keys
 
@@ -695,6 +740,18 @@ def apply_changes(
         layout = "manifest"  # replica is a manifest table: follow its layout
     deletes = changes.filter(F.col("_change_type") == "delete").select(*keys)
     upserts = changes.filter(F.col("_change_type") != "delete").drop("_change_type")
+    if layout == "manifest" and detect_layout(target_path) == "manifest":
+        # single-commit path: one read, one anti-join, one pure-DataFrame
+        # merge, one snapshot publish — no intermediate delete-only version
+        path = Path(target_path)
+        current = read_table(spark, target_path)
+        survivors = current.join(
+            F.broadcast(deletes.dropDuplicates(keys)), keys, "left_anti"
+        )
+        batch = dedup_keyed(upserts, keys, keys, keep="last")
+        merged = merge_as_dataframe(survivors, batch, keys, hash_col=hash_col)
+        _manifest_write(merged, path, history=history)
+        return
     if not deletes.isEmpty():
         delete_keys(
             spark, target_path, deletes, keys, partition_col=partition_col, history=history

@@ -60,8 +60,17 @@ def main() -> None:
             runs = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
-                Q.QUERIES[name].spark(spark, sf_dir).collect()
+                # a query failing mid-measurement loses its own timing, not
+                # every measurement the harness already took across SFs
+                try:
+                    Q.QUERIES[name].spark(spark, sf_dir).collect()
+                except Exception as e:
+                    print(f"scaling: timed {name}@{sf} failed: {e}", file=sys.stderr)
+                    runs = []
+                    break
                 runs.append(time.perf_counter() - t0)
+            if not runs:
+                continue
             best = min(runs)
             per_query[name][sf] = round(best, 3)
             total += best
@@ -75,7 +84,8 @@ def main() -> None:
     if len(sfs) >= 2:
         lo, hi = sfs[0], sfs[-1]
         for name in names:
-            t_lo, t_hi = per_query[name][lo], per_query[name][hi]
+            t_lo = per_query[name].get(lo, 0.0)
+            t_hi = per_query[name].get(hi, 0.0)
             if t_lo > 0 and t_hi > 0:
                 exponents[name] = round(math.log(t_hi / t_lo) / math.log(hi / lo), 3)
     print(

@@ -398,8 +398,12 @@ def test_vacuum_keep_last_preserves_time_travel_window(spark, tmp_path):
     removed = maintenance.vacuum_snapshots(path, keep_last=3)
     assert removed == ["_v_00001"]
     assert list_versions(path) == [2, 3, 4]
-    # default janitor still collapses to live-only
-    assert maintenance.vacuum_snapshots(path) == ["_v_00002", "_v_00003"]
+    # default janitor honors the table's persisted retention (history=4
+    # above): a pass with no keep_last must NOT collect the window
+    assert maintenance.vacuum_snapshots(path) == []
+    assert list_versions(path) == [2, 3, 4]
+    # explicit keep_last=1 still collapses to live-only
+    assert maintenance.vacuum_snapshots(path, keep_last=1) == ["_v_00002", "_v_00003"]
     assert list_versions(path) == [4]
 
 
@@ -498,3 +502,67 @@ def test_rename_merge_refuses_manifest_table(spark, tmp_path):
     got = {r.ticker for r in read_table(spark, path).collect()}
     assert got == {"A", "B"}
     assert (tmp_path / "t" / "_MANIFEST").exists()
+
+
+def test_retention_persisted_in_manifest_pointer(spark, tmp_path):
+    """A merge with history=N persists the retention as a table property in
+    the manifest pointer; later writers using the DEFAULT history (None)
+    inherit it instead of silently pruning the time-travel window — the
+    Delta-table-property behavior."""
+    from fund_data_pipeline_spark.merge import list_versions, merge_upsert
+
+    path = str(tmp_path / "t")
+    merge_upsert(
+        spark, path, _snapshot(spark, [("A", "d1", 1.0)]),
+        keys=["ticker"], layout="manifest", history=3,
+    )
+    assert "retention=3" in (tmp_path / "t" / "_MANIFEST").read_text()
+    # two default-history writers: window must survive both
+    for i in (2, 3):
+        merge_upsert(
+            spark, path, _snapshot(spark, [("A", "d1", float(i))]),
+            keys=["ticker"], layout="manifest",
+        )
+    assert list_versions(path) == [1, 2, 3]
+    # an explicit history shrinks AND re-persists
+    merge_upsert(
+        spark, path, _snapshot(spark, [("A", "d1", 9.0)]),
+        keys=["ticker"], layout="manifest", history=1,
+    )
+    assert list_versions(path) == [4]
+    assert "retention" not in (tmp_path / "t" / "_MANIFEST").read_text()
+
+
+def test_apply_changes_manifest_is_single_commit(spark, tmp_path):
+    """Applying a feed with BOTH deletes and upserts to a manifest replica
+    must publish exactly ONE new version — no intermediate delete-only
+    snapshot a concurrent reader (or CDC consumer) could observe."""
+    from fund_data_pipeline_spark.merge import (
+        apply_changes,
+        list_versions,
+        merge_upsert,
+        read_table,
+    )
+
+    replica = str(tmp_path / "replica")
+    v1 = _snapshot(spark, [("A", "d1", 1.0), ("B", "d1", 2.0), ("C", "d1", 3.0)])
+    merge_upsert(spark, replica, v1, keys=["ticker"], layout="manifest", history=5)
+    assert list_versions(replica) == [1]
+
+    feed = (
+        _snapshot(spark, [("C", "d1", 3.0)]).withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            _snapshot(spark, [("B", "d1", 5.0)]).withColumn("_change_type", F.lit("update"))
+        )
+        .unionByName(
+            _snapshot(spark, [("D", "d1", 4.0)]).withColumn("_change_type", F.lit("insert"))
+        )
+    )
+    apply_changes(spark, replica, feed, keys=["ticker"])
+    assert list_versions(replica) == [1, 2]  # exactly one commit for the feed
+    got = sorted((r.ticker, r.value) for r in read_table(spark, replica).collect())
+    assert got == [("A", 1.0), ("B", 5.0), ("D", 4.0)]
+
+    apply_changes(spark, replica, feed, keys=["ticker"])  # idempotent content
+    got2 = sorted((r.ticker, r.value) for r in read_table(spark, replica).collect())
+    assert got2 == got
