@@ -28,81 +28,73 @@ from . import mlops  # noqa: E402,F401
 #:
 #: Window policy (round-2 VERDICT rule): any query that has EVER failed a
 #: driver check stays in the window until it has a green driver row.
-#: Round-6 rotation (per the round-5 VERDICT item 4): the four r5 reds stay
-#: in — multimodal_binary_meta / pii_scrub_stats /
-#: streaming_stateful_user_stats (uncast-SUM oracle bug, fixed this round:
-#: DuckDB SUM(BIGINT) -> HUGEINT -> float64 in the driver's pandas
-#: canonicalizer) and image_decode_features (now upgraded from oracle=None
-#: to a hard stub-equivalent oracle). The five r5-new queries that have
-#: never had a driver row (doc_chunking, sequence_packing,
-#: length_percentile_gate, leakage_safe_split, language_rebalance_mixture)
-#: enter the window; five multi-round-green representatives rotate out
-#: (citations in _OUT_OF_WINDOW_WHY). After this round all 87 queries the
-#: catalog held at rotation time have had a driver row; the 23 operators
-#: ADDED during round 6 queue behind them for the round-7 rotation (window
-#: policy: new queries wait while unpaid failures hold their slots) and
-#: carry local-gate evidence at sf0.001/0.01/0.1 meanwhile. Every excluded
-#: query is listed in _OUT_OF_WINDOW_WHY below with the CORRECTNESS
-#: round(s) that checked it green, still registered, and still gated by
-#: scripts/verify_local.py + tests/test_catalog_oracle.py.
+#: Round-7 rotation (per the round-6 VERDICT item 1): CORRECTNESS_r06 was
+#: 50/50 green, so no unpaid failure holds a slot. All 23 operators added
+#: in round 6 (never driver-checked) enter the window; the 8 headline
+#: (benched) queries stay, per standing policy; the remaining 19 slots go
+#: to the longest-unchecked representatives — every query whose latest
+#: driver row is r1 or r2, then the oldest of the r4-green group. After
+#: this round, every catalog query's most recent driver row is r4 or
+#: later. Every excluded query is listed in _OUT_OF_WINDOW_WHY below with
+#: the CORRECTNESS round(s) that checked it green, still registered, and
+#: still gated by scripts/verify_local.py + tests/test_catalog_oracle.py.
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
     # headline queries (benched) — stay in-window every round
     "pricing_summary",
     "top_unshipped_orders",
     "regional_supplier_volume",
-    # relational/agg/join representatives (driver-green r2–r4)
-    "group_count_breakdown",
-    "customers_without_orders",
-    "active_customers_semi",
     "asof_last_click_before_purchase",
-    "top_orders_per_customer",
-    "running_revenue_by_supplier",
-    "ntile_quartiles",
-    "latest_order_per_customer",
-    # reference ETL parity representatives
-    "conform_master_list",
-    "numeric_string_parsing",
-    "fee_rescale_and_repair",
-    "date_parsing_and_arithmetic",
-    "row_hash_change_detection",
-    "dedup_keep_last",
-    "nav_validation_errors",
-    "master_validation_issues",
-    "hash_guarded_merge",
-    "lifecycle_status_transitions",
-    "locf_last_valid_value",
-    "retention_cutoff_prune",
-    # touched-this-round operator families
-    "dedup_clusters",
     "embedding_topk_cosine",
-    # ---- never-driver-checked until round 5: all 20 enter the window ----
-    "repair_feed_merge",
-    "order_price_percentiles",
-    "conversion_funnel",
-    "table_profile",
-    "dedup_keep_list",
-    "repetition_filter_stats",
-    "benchmark_contamination",
-    "quality_score",
-    "token_count_regex",
-    "doc_fingerprint",
-    "multimodal_binary_meta",
-    "embedding_ivf_topk",
-    "embedding_lsh_buckets",
-    "embedding_topk_pandas",
-    "streaming_session_counts",
-    "streaming_dedup_users",
-    "streaming_stateful_user_stats",
-    "stratified_hash_sample",
-    "pii_scrub_stats",
-    "image_decode_features",  # stub-equivalent oracle added r6 (was rows-only)
-    # ---- r5-new operators, never driver-checked: all five enter in r6 ----
-    "doc_chunking",
-    "sequence_packing",
-    "length_percentile_gate",
-    "leakage_safe_split",
-    "language_rebalance_mixture",
+    "tumbling_window_stats",
+    "text_statistics",
+    "exact_dedup",
+    # ---- the 23 round-6 operators: never driver-checked, all enter ----
+    "token_vocabulary",
+    "boilerplate_scrub",
+    "deterministic_shuffle_order",
+    "streaming_click_purchase_join",
+    "embedding_centroid_stats",
+    "characteristic_terms",
+    "scd2_priority_history",
+    "streaming_enriched_purchases",
+    "key_skew_profile",
+    "incremental_near_dup",
+    "audio_quality_gate",
+    "video_frame_sample_stats",
+    "price_histogram",
+    "rolling_30d_revenue",
+    "semantic_dedup_cells",
+    "record_linkage_fuzzy",
+    "running_distinct_users",
+    "daily_order_anomaly",
+    "hierarchy_flatten",
+    "cohort_retention",
+    "snapshot_diff",
+    "price_quantity_stats",
+    "incremental_rollup_revenue",
+    # ---- longest-unchecked: latest driver row is r1 ----
+    "distinct_counts",
+    "rollup_revenue",
+    "grouping_sets_revenue",
+    "repeat_buyers_intersect",
+    "churned_buyers_except",
+    "priority_orders_exists",
+    "price_quartiles_by_segment",
+    "salted_join_revenue",
+    # ---- latest driver row is r2 ----
+    "nation_pair_revenue",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "small_quantity_revenue",
+    # ---- oldest of the r4-green group ----
+    "order_fulfillment_outer",
+    "ngram_jaccard_pairs",
+    "order_price_lead_lag",
+    "sliding_window_stats",
+    "null_sentinel_cleanup",
+    "duplicate_key_stats",
+    "sessionization",
 ]
 
 
@@ -112,77 +104,73 @@ _CHECKED_FIRST = [
 #: parked past position 50). "driver-green rN" cites the CORRECTNESS round
 #: that checked the subsuming representative.
 _OUT_OF_WINDOW_WHY = {
-    # Rotated out in round 6 to cede slots to the five never-driver-checked
-    # r5 operators (window policy: multi-round-green representatives rotate,
-    # ever-red stays until green).
-    "cube_order_stats": "driver-green r2+r3+r4+r5 (pays its r1 failure x4); CUBE/ROLLUP/GROUPING-SETS family locally gated",
+    # Rotated out in round 7 to cede slots to the 23 never-driver-checked
+    # round-6 operators + the longest-unchecked representatives (window
+    # policy: multi-round-green representatives rotate, ever-red stays until
+    # green; CORRECTNESS_r06 was 50/50 so nothing here has an unpaid
+    # failure). Every entry cites its own green driver round(s).
+    "group_count_breakdown": "driver-green r2+r3+r4+r5+r6; grouped-agg family in-window via pricing_summary + price_histogram",
+    "customers_without_orders": "driver-green r2+r3+r4+r5+r6; anti-join family in-window via churned_buyers_except + order_fulfillment_outer",
+    "active_customers_semi": "driver-green r2+r3+r4+r5+r6; semi-join family in-window via priority_orders_exists",
+    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6; per-key top-k window family in-window via order_price_lead_lag + rolling_30d_revenue",
+    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6; running-frame family in-window via sliding_window_stats + rolling_30d_revenue + running_distinct_users",
+    "ntile_quartiles": "driver-green r2+r3+r4+r5+r6; ranking-window family in-window via price_quartiles_by_segment + order_price_lead_lag",
+    "latest_order_per_customer": "driver-green r2+r3+r4+r5+r6; latest-per-key family in-window via cohort_retention + scd2_priority_history",
+    "conform_master_list": "driver-green r2+r3+r4+r5+r6; conform/synonym family in-window via null_sentinel_cleanup",
+    "numeric_string_parsing": "driver-green r2+r3+r4+r5+r6 (X4-X6 parses); parse family in-window via null_sentinel_cleanup + record_linkage_fuzzy's normalize step",
+    "fee_rescale_and_repair": "driver-green r2+r3+r4+r5+r6 (X7/X8/F9); five consecutive green rounds",
+    "date_parsing_and_arithmetic": "driver-green r2+r3+r4+r5+r6 (X10-X12); five consecutive green rounds",
+    "row_hash_change_detection": "driver-green r2+r3+r4+r5+r6 (H2); hash family in-window via snapshot_diff (hash-compare kernel) + exact_dedup",
+    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6 (D2); keyed-dedup family in-window via duplicate_key_stats + exact_dedup",
+    "nav_validation_errors": "driver-green r2+r3+r4+r5+r6 (F1-F4); five consecutive green rounds",
+    "master_validation_issues": "driver-green r2+r3+r4+r5+r6 (F5/F6); five consecutive green rounds",
+    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6 (K3/K4/H8); merge family in-window via snapshot_diff + incremental_rollup_revenue + scd2_priority_history",
+    "lifecycle_status_transitions": "driver-green r2+r3+r4+r5+r6 (L2-L5); lifecycle family in-window via scd2_priority_history (SCD2 superset)",
+    "locf_last_valid_value": "driver-green r2+r3+r4+r5+r6 (W4/W5/G3); LOCF window family in-window via order_price_lead_lag + sliding_window_stats",
+    "retention_cutoff_prune": "driver-green r2+r3+r4+r5+r6 (K8); five consecutive green rounds",
+    "dedup_clusters": "driver-green r5+r6 (with dedup_keep_list); connected-components iterative plan family in-window via hierarchy_flatten (bounded pointer-chase)",
+    "repair_feed_merge": "driver-green r5+r6 (U3/G2); merge family in-window via snapshot_diff + incremental_rollup_revenue",
+    "order_price_percentiles": "driver-green r5+r6; percentile family in-window via price_quartiles_by_segment + price_histogram",
+    "conversion_funnel": "driver-green r5+r6; event-agg family in-window via sessionization + cohort_retention + daily_order_anomaly",
+    "table_profile": "driver-green r5+r6; profiling family in-window via distinct_counts + key_skew_profile + price_quantity_stats",
+    "dedup_keep_list": "driver-green r5+r6; dedup-cluster family in-window via exact_dedup + duplicate_key_stats",
+    "repetition_filter_stats": "driver-green r5+r6; text-quality family in-window via text_statistics + token_vocabulary",
+    "benchmark_contamination": "driver-green r5+r6; shingle-join family in-window via ngram_jaccard_pairs + incremental_near_dup",
+    "quality_score": "driver-green r5+r6; text-scoring family in-window via text_statistics + characteristic_terms",
+    "token_count_regex": "driver-green r5+r6; tokenization family in-window via token_vocabulary + text_statistics",
+    "doc_fingerprint": "driver-green r5+r6; fingerprint family in-window via exact_dedup + deterministic_shuffle_order (md5-bucket kernel)",
+    "multimodal_binary_meta": "driver-green r6 (pays its r5 oracle-cast failure); multimodal family in-window via audio_quality_gate + video_frame_sample_stats",
+    "embedding_ivf_topk": "driver-green r5+r6; IVF family in-window via semantic_dedup_cells (same trained-codebook cell assignment) + embedding_centroid_stats",
+    "embedding_lsh_buckets": "driver-green r5+r6; LSH family in-window via incremental_near_dup (band-index join)",
+    "embedding_topk_pandas": "driver-green r5+r6; Arrow-batch family in-window via embedding_topk_cosine (headline) + audio_quality_gate (mapInPandas)",
+    "streaming_session_counts": "driver-green r5+r6; streaming family in-window via streaming_click_purchase_join + streaming_enriched_purchases",
+    "streaming_dedup_users": "driver-green r5+r6; streaming family in-window via streaming_click_purchase_join + streaming_enriched_purchases",
+    "streaming_stateful_user_stats": "driver-green r6 (pays its r5 oracle-cast failure); stateful-streaming family in-window via streaming_click_purchase_join",
+    "stratified_hash_sample": "driver-green r5+r6; hash-split family in-window via deterministic_shuffle_order (same md5-bucket kernel)",
+    "pii_scrub_stats": "driver-green r6 (pays its r5 oracle-cast failure); regexp-scrub family in-window via text_statistics + boilerplate_scrub",
+    "image_decode_features": "driver-green r6 (hard stub-equivalent oracle; rows-only r5); multimodal decode family in-window via audio_quality_gate + video_frame_sample_stats",
+    "doc_chunking": "driver-green r6; chunking family in-window via boilerplate_scrub (shares chunk_by_tokens)",
+    "sequence_packing": "driver-green r6; packing family in-window via boilerplate_scrub + token_vocabulary",
+    "length_percentile_gate": "driver-green r6; gate family in-window via text_statistics + price_histogram (binning kernel)",
+    "leakage_safe_split": "driver-green r6; split family in-window via deterministic_shuffle_order (same md5-bucket kernel)",
+    "language_rebalance_mixture": "driver-green r6; mixture family in-window via deterministic_shuffle_order + token_vocabulary",
+    # Rotated out in earlier rounds, still multi-round green; staying out
+    # this rotation because their family representative is in-window.
+    "cube_order_stats": "driver-green r2+r3+r4+r5 (pays its r1 failure x4); CUBE family in-window via rollup_revenue + grouping_sets_revenue",
     "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5; pivot family stable five consecutive rounds",
     "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5; unpivot/stack family stable five consecutive rounds",
-    "buyer_set_ops": "driver-green r2+r3+r4+r5; INTERSECT/EXCEPT family also covered by the locally-gated repeat_buyers_intersect/churned_buyers_except",
+    "buyer_set_ops": "driver-green r2+r3+r4+r5; INTERSECT/EXCEPT family in-window via repeat_buyers_intersect + churned_buyers_except",
     "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5 (r3 NTZ env failure paid in r4); range-join family in-window via asof_last_click_before_purchase",
-    # Rotated out in round 5 to cede slots to the 20 never-driver-checked
-    # queries. Every entry below HAS green driver row(s) — cited per query —
-    # and none has an unpaid failure (the r3 TIMESTAMP_NTZ failures
-    # event_type_summary and streaming_tumbling_counts are green in r4, so
-    # the window policy permits their rotation).
-    "nation_pair_revenue": "driver-green r2 (r1 hash mismatch fixed in r2); same op mix as in-window regional_supplier_volume",
-    "promo_revenue_share": "driver-green r1+r2; scan-filter scalar agg covered by pricing_summary",
-    "top_supplier_revenue": "driver-green r1+r2; join + having-max covered by regional_supplier_volume",
-    "small_quantity_revenue": "driver-green r1+r2; covered by pricing_summary",
-    "distinct_counts": "driver-green r1; COUNT DISTINCT also exercised by table_profile (in-window)",
-    "rollup_revenue": "driver-green r1; ROLLUP covered by cube_order_stats (CUBE superset, in-window)",
-    "grouping_sets_revenue": "driver-green r1; GROUPING SETS covered by cube_order_stats",
-    "repeat_buyers_intersect": "driver-green r1; INTERSECT covered by buyer_set_ops (in-window)",
-    "churned_buyers_except": "driver-green r1; EXCEPT covered by buyer_set_ops",
-    "priority_orders_exists": "driver-green r1; EXISTS semi-join covered by active_customers_semi (in-window)",
-    "price_quartiles_by_segment": "driver-green r1; ntile family in-window via ntile_quartiles",
-    "salted_join_revenue": "driver-green r1; plain form in-window (group_count_breakdown)",
-    "order_fulfillment_outer": "driver-green r1+r2+r3+r4; outer-join family also in-window via customers_without_orders",
-    "ngram_jaccard_pairs": "driver-green r2+r3+r4; shingle-join family in-window via benchmark_contamination",
-    "order_price_lead_lag": "driver-green r3+r4 (pays its r1 failure); window-function family in-window via running_revenue_by_supplier + ntile_quartiles",
-    "sliding_window_stats": "driver-green r3+r4 (pays its r1 failure); frame-spec family in-window via running_revenue_by_supplier",
-    "null_sentinel_cleanup": "driver-green r1+r2+r3+r4; sentinel mapping also exercised by conform_master_list (in-window)",
-    "duplicate_key_stats": "driver-green r1+r2+r3+r4; dedup-count family in-window via dedup_keep_last",
-    "tumbling_window_stats": "driver-green r2+r3+r4; event-time windowing in-window via conversion_funnel + streaming_session_counts",
-    "sessionization": "driver-green r3+r4; session semantics in-window via streaming_session_counts",
-    "event_type_summary": "driver-green r2+r4 (pays its r3 NTZ failure); grouped event aggs in-window via table_profile + conversion_funnel",
-    "json_props_extraction": "driver-green r1+r2+r3+r4; JSON path extraction stable across all four rounds",
-    "text_statistics": "driver-green r1+r2+r3+r4; per-doc text metrics in-window via quality_score + token_count_regex",
-    "language_id_heuristic": "driver-green r1+r2+r3+r4; text-scoring family in-window via quality_score",
-    "doc_quality_profile": "driver-green r2+r3+r4; covered by quality_score + repetition_filter_stats (in-window)",
-    "exact_dedup": "driver-green r2+r3+r4; exact-dup family in-window via dedup_keep_list + doc_fingerprint",
-    "minhash_lsh_candidates": "driver-green r2+r3+r4; band-join family in-window via benchmark_contamination + embedding_lsh_buckets",
-    "simhash_near_dup": "driver-green r2+r3+r4; near-dup family in-window via doc_fingerprint + dedup_keep_list",
-    "streaming_tumbling_counts": "driver-green r2+r4 (pays its r3 NTZ failure); streaming family in-window via streaming_session_counts + streaming_dedup_users + streaming_stateful_user_stats",
-    "train_val_test_split": "driver-green r2+r3+r4; hash-split family in-window via stratified_hash_sample",
-    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4; ANN family in-window via embedding_ivf_topk + embedding_lsh_buckets",
-    "embedding_cosine_near_dup": "driver-green r2+r3+r4; bucketed cosine family in-window via embedding_ivf_topk + embedding_topk_pandas",
-    # new in round 6 — the window was already committed to the four r5 reds
-    # plus the five never-checked r5 operators; these take driver slots next
-    # rotation (window policy: new queries queue behind unpaid failures)
-    "token_vocabulary": "new r6 operator (top-k vocabulary with doc frequency); explode/agg/top-k family in-window via token_count_regex + top_unshipped_orders",
-    "boilerplate_scrub": "new r6 operator (corpus boilerplate segment removal); chunk/anti-join/reassemble machinery shares chunk_by_tokens with in-window doc_chunking",
-    "deterministic_shuffle_order": "new r6 operator (seeded sharded corpus shuffle); md5-bucket family in-window via stratified_hash_sample + leakage_safe_split",
-    "streaming_click_purchase_join": "new r6 operator (stream-stream watermarked join); streaming family in-window via streaming_session_counts + streaming_stateful_user_stats, batch range-join semantics driver-green via clicks_before_purchase_range_join r1-r5",
-    "embedding_centroid_stats": "new r6 operator (per-label exact centroid accumulators); explode/agg family in-window via embedding_ivf_topk + token_count_regex",
-    "characteristic_terms": "new r6 operator (exact-arithmetic TF-IDF keyword extraction); tf/df join + ranking-window families in-window via token_count_regex + ntile_quartiles",
-    "scd2_priority_history": "new r6 operator (SCD Type-2 versioned history over lifecycle.scd2_apply); SCD1 lifecycle family in-window via lifecycle_status_transitions, full-outer merge family via hash_guarded_merge",
-    "streaming_enriched_purchases": "new r6 operator (stream-static broadcast enrichment join); streaming family in-window via streaming_session_counts + streaming_stateful_user_stats, equivalent batch join driver-green via regional_supplier_volume family",
-    "key_skew_profile": "new r6 operator (heavy-hitter pre-join diagnosis); agg/top-k family in-window via group_count_breakdown + top_unshipped_orders",
-    "incremental_near_dup": "new r6 operator (batch-vs-index broadcast LSH join, the ingest-time dedup shape); band-join family in-window via benchmark_contamination + embedding_lsh_buckets",
-    "audio_quality_gate": "new r6 operator (audio mapInPandas decode + rms/clip gating, stub-equivalent oracle); multimodal family in-window via image_decode_features + multimodal_binary_meta",
-    "video_frame_sample_stats": "new r6 operator (1-row-to-N-frames mapInPandas demux, octet-arithmetic oracle); multimodal family in-window via image_decode_features + multimodal_binary_meta",
-    "price_histogram": "new r6 operator (fixed-width exact-binned histogram); agg family in-window via group_count_breakdown + order_price_percentiles family",
-    "rolling_30d_revenue": "new r6 operator (interval RANGE window frame); window-frame family in-window via running_revenue_by_supplier + ntile_quartiles",
-    "semantic_dedup_cells": "new r6 operator (SemDeDup: IVF-cell-bucketed embedding near-dup drop list); cell-assignment family in-window via embedding_ivf_topk, bucketed cosine family via embedding_topk_pandas + multimodal_binary_meta window slots",
-    "record_linkage_fuzzy": "new r6 operator (record linkage: blocked Levenshtein best-match of a corrupted feed against the master); blocked-join family in-window via embedding_lsh_buckets + benchmark_contamination",
-    "running_distinct_users": "new r6 operator (expanding-window distinct via the first-seen trick — no per-frame distinct state); window-frame family in-window via running_revenue_by_supplier, event-agg family via conversion_funnel",
-    "daily_order_anomaly": "new r6 operator (trailing-30-day z-score anomaly days from exact integer window sums); window-frame family in-window via running_revenue_by_supplier + ntile_quartiles",
-    "hierarchy_flatten": "new r6 operator (recursive-CTE-equivalent bounded pointer-chase, oracle = DuckDB WITH RECURSIVE); iterative-plan family in-window via dedup_clusters (connected components)",
-    "cohort_retention": "new r6 operator (first-seen cohort x day-offset retention matrix); agg+join family in-window via conversion_funnel + latest_order_per_customer",
-    "snapshot_diff": "new r6 operator (CDC classification between two keyed snapshots via merge.diff_frames, the table_changes kernel); full-outer hash-compare family in-window via hash_guarded_merge",
-    "price_quantity_stats": "new r6 operator (mean/stddev/correlation from exact decimal power sums — deterministic where native STDDEV/CORR are summation-order-dependent); grouped-agg family in-window via pricing_summary",
-    "incremental_rollup_revenue": "new r6 operator (incremental materialized rollup — untouched months pass through, touched months recomputed, oracle = full recompute); grouped-agg family in-window via pricing_summary + group_count_breakdown, merge family via hash_guarded_merge",
+    "event_type_summary": "driver-green r2+r4 (pays its r3 NTZ failure); grouped event aggs in-window via tumbling_window_stats + sessionization",
+    "json_props_extraction": "driver-green r1+r2+r3+r4; JSON path extraction stable across four rounds",
+    "language_id_heuristic": "driver-green r1+r2+r3+r4; text-scoring family in-window via text_statistics",
+    "doc_quality_profile": "driver-green r2+r3+r4; covered by text_statistics + token_vocabulary (in-window)",
+    "minhash_lsh_candidates": "driver-green r2+r3+r4 (headline-bench aux every round); band-join family in-window via ngram_jaccard_pairs + incremental_near_dup",
+    "simhash_near_dup": "driver-green r2+r3+r4; near-dup family in-window via exact_dedup + incremental_near_dup",
+    "streaming_tumbling_counts": "driver-green r2+r4 (pays its r3 NTZ failure); streaming family in-window via streaming_click_purchase_join + streaming_enriched_purchases",
+    "train_val_test_split": "driver-green r2+r3+r4; hash-split family in-window via deterministic_shuffle_order",
+    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4; ANN family in-window via embedding_topk_cosine + semantic_dedup_cells",
+    "embedding_cosine_near_dup": "driver-green r2+r3+r4; bucketed cosine family in-window via semantic_dedup_cells + embedding_topk_cosine",
 }
 
 
