@@ -83,25 +83,51 @@ def banded_pairs_skew_bounded(
     banding relation is narrow (id + band key + two ints per row) and
     bounded, exactly what you would persist anyway before a candidate join.
 
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b (distinct because
+    the same pair can collide in several bands; within one key group the
+    grid emits each pair exactly once).
     """
+    joined = blocked_self_join(bands, key_cols, id_col, block_size)
+    return (
+        joined
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def blocked_self_join(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+    block_size: int = 4096,
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-bounded triangular self-join: every (i < j on ``id_col``) row
+    pair within each ``key_cols`` group, with both sides' rows available
+    under aliases ``a`` (lower id) and ``b`` (higher id). This is the grid
+    decomposition :func:`banded_pairs_skew_bounded` documents — no task
+    ever holds more than ``block_size`` rows per join-key side, so one hot
+    group degrades into many bounded tasks instead of one quadratic
+    straggler — exposed generically so any per-group pair computation
+    (SemDeDup within-cell cosine, within-block linkage scoring) inherits
+    the bound. ``payload_cols`` ride along on both sides; select them as
+    ``a.<col>`` / ``b.<col>``. Within a key group each (i, j) pair is
+    emitted exactly once (pair i<j matches only the (block_i, block_j)
+    grid cell), so no dedup pass is needed downstream."""
     keys = list(key_cols)
-    left, right = _blocked_sides(bands, keys, id_col, block_size)
+    left, right = _blocked_sides(df, keys, id_col, block_size, list(payload_cols))
     left, right = left.alias("a"), right.alias("b")
     cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys] + [
         F.col("a.__blk") == F.col("b.__pi"),
         F.col("a.__pj") == F.col("b.__blk"),
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
     ]
-    return (
-        left.join(right, cond)
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    return left.join(right, cond)
 
 
 def _blocked_sides(
-    bands: DataFrame, keys: list[str], id_col: str, block_size: int
+    bands: DataFrame, keys: list[str], id_col: str, block_size: int,
+    payload: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The two replicated relations of the grid decomposition. Left carries
     (__blk=own block, __pj=partner block >= __blk); right carries
@@ -114,7 +140,7 @@ def _blocked_sides(
     w = Window.partitionBy(*keys).orderBy(id_col)
     wb = Window.partitionBy(*keys)
     ranked = (
-        bands.select(*keys, id_col)
+        bands.select(*keys, id_col, *(payload or []))
         .withColumn("__blk", ((F.row_number().over(w) - 1) / block_size).cast("int"))
         .withColumn("__max_blk", F.max("__blk").over(wb))
         .localCheckpoint(eager=True)

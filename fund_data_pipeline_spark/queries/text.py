@@ -912,34 +912,78 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Both blocking keys are functions of the OBSERVED (possibly corrupted)
+# value — never of the clean source the corruption was derived from, which
+# would make blocking recall 100% by construction and dodge the hard part
+# of linkage. block1 = last-3 chars as observed; block2 = those same chars
+# SORTED (median-of-3 via least/greatest — identical expression in both
+# engines), a transposition-invariant redundant key. The mod-2 corruption
+# transposes the final two characters, which DAMAGES block1; the union of
+# the two blocking passes restores the candidate, the standard
+# multi-pass-blocking design (Fellegi-Sunter practice; reference semantics
+# src/utils/db_connector.py name-matching).
+_RL_DIRTY_SQL = """CASE WHEN c_custkey % 4 = 0 THEN replace(c_name, 'Customer', 'Custmer')
+              WHEN c_custkey % 4 = 1 THEN replace(c_name, '#', '-')
+              WHEN c_custkey % 4 = 2 THEN concat(substr(c_name, 1, length(c_name) - 2),
+                                                 substr(c_name, length(c_name), 1),
+                                                 substr(c_name, length(c_name) - 1, 1))
+              ELSE c_name END"""
+
+
+def _rl_block_exprs(name: str) -> tuple[str, str]:
+    """(block1, block2) SQL expressions over an observed-name expression —
+    identical text feeds both engines."""
+    last3 = f"substr({name}, length({name}) - 2, 3)"
+    c = [f"substr({last3}, {i}, 1)" for i in (1, 2, 3)]
+    mid = (
+        f"least(greatest({c[0]}, {c[1]}), greatest({c[1]}, {c[2]}), "
+        f"greatest({c[0]}, {c[2]}))"
+    )
+    block2 = (
+        f"concat(least({c[0]}, {c[1]}, {c[2]}), {mid}, "
+        f"greatest({c[0]}, {c[1]}, {c[2]}))"
+    )
+    return last3, block2
+
+
+def _rl_blocks_sql(name: str) -> str:
+    b1, b2 = _rl_block_exprs(name)
+    return f"{b1} AS block1, {b2} AS block2"
+
+
 @register(
     "record_linkage_fuzzy",
-    doc="Record linkage (blocked fuzzy best-match): a deterministically "
-    "corrupted copy of the customer feed (dropped char / symbol swap by "
-    "key mod 3) is matched back to the master by blocking on the stable "
-    "key-suffix digits, scoring within-block candidates with Levenshtein, "
-    "and keeping each dirty record's best match (ROW_NUMBER over "
+    doc="Record linkage (multi-pass blocked fuzzy best-match): a "
+    "deterministically corrupted copy of the customer feed (prefix typo / "
+    "symbol swap / suffix transposition by key mod 4) is matched back to "
+    "the master. Blocking keys are computed from the OBSERVED dirty value "
+    "— block1 = last-3 chars, block2 = the same chars sorted "
+    "(transposition-invariant) — and the mod-2 corruption damages block1, "
+    "so the union of the two blocking passes is what carries recall, not "
+    "a key the corruption can't touch. Candidates are scored with "
+    "Levenshtein; each dirty record keeps its best match (ROW_NUMBER over "
     "(dist, master key) — deterministic argmin). Blocking bounds the "
-    "candidate set (never all-pairs); both engines compute the identical "
-    "integer distance. At 100 TB the block key's selectivity bounds block "
-    "size — monitor with key_skew_profile, split hot blocks like the LSH "
-    "grid join.",
-    oracle="""
+    "candidate set (never all-pairs); at 100 TB the block keys' "
+    "selectivity bounds block size — monitor with key_skew_profile, split "
+    "hot blocks like the LSH grid join.",
+    oracle=f"""
 WITH a AS (
-  SELECT c_custkey AS master_key, c_name AS master_name, c_name[-3:] AS block
+  SELECT c_custkey AS master_key, c_name AS master_name, {_rl_blocks_sql('c_name')}
   FROM customer
 ), b AS (
-  SELECT c_custkey AS dirty_key,
-         CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, 'Customer', 'Custmer')
-              WHEN c_custkey % 3 = 1 THEN replace(c_name, '#', '-')
-              ELSE c_name END AS dirty_name,
-         c_name[-3:] AS block
-  FROM customer
+  SELECT dirty_key, dirty_name, {_rl_blocks_sql('dirty_name')}
+  FROM (SELECT c_custkey AS dirty_key, {_RL_DIRTY_SQL} AS dirty_name FROM customer)
+), cand AS (
+  SELECT b.dirty_key, b.dirty_name, a.master_key, a.master_name
+  FROM b JOIN a ON b.block1 = a.block1
+  UNION
+  SELECT b.dirty_key, b.dirty_name, a.master_key, a.master_name
+  FROM b JOIN a ON b.block2 = a.block2
 ), scored AS (
-  SELECT b.dirty_key, b.dirty_name, a.master_key,
-         levenshtein(b.dirty_name, a.master_name) AS dist,
-         ROW_NUMBER() OVER (PARTITION BY b.dirty_key ORDER BY levenshtein(b.dirty_name, a.master_name), a.master_key) AS rn
-  FROM b JOIN a ON b.block = a.block
+  SELECT dirty_key, master_key,
+         levenshtein(dirty_name, master_name) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY dirty_key ORDER BY levenshtein(dirty_name, master_name), master_key) AS rn
+  FROM cand
 )
 SELECT dirty_key, master_key, dist
 FROM scored WHERE rn = 1
@@ -947,31 +991,35 @@ FROM scored WHERE rn = 1
 )
 def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
-    a = cust.select(
-        F.col("c_custkey").alias("master_key"),
-        F.col("c_name").alias("master_name"),
-        F.substring("c_name", -3, 3).alias("block"),
+    a_b1, a_b2 = _rl_block_exprs("c_name")
+    a = cust.selectExpr(
+        "c_custkey AS master_key",
+        "c_name AS master_name",
+        f"{a_b1} AS block1",
+        f"{a_b2} AS block2",
     )
-    dirty_name = (
-        F.when(F.col("c_custkey") % 3 == 0, F.regexp_replace("c_name", "Customer", "Custmer"))
-        .when(F.col("c_custkey") % 3 == 1, F.regexp_replace("c_name", "#", "-"))
-        .otherwise(F.col("c_name"))
-    )
-    b = cust.select(
-        F.col("c_custkey").alias("dirty_key"),
-        dirty_name.alias("dirty_name"),
-        F.substring("c_name", -3, 3).alias("block"),
+    d_b1, d_b2 = _rl_block_exprs("dirty_name")
+    b = cust.selectExpr(
+        "c_custkey AS dirty_key", f"{_RL_DIRTY_SQL} AS dirty_name"
+    ).selectExpr(
+        "dirty_key", "dirty_name", f"{d_b1} AS block1", f"{d_b2} AS block2"
     )
     from pyspark.sql import Window
 
-    scored = b.join(a, "block").select(
-        "dirty_key",
-        "master_key",
-        F.levenshtein("dirty_name", "master_name").alias("dist"),
+    cols = ["dirty_key", "dirty_name", "master_key", "master_name"]
+    cand = (
+        b.join(a, "block1").select(*cols)
+        .union(b.join(a, "block2").select(*cols))
+        .distinct()
     )
     w = Window.partitionBy("dirty_key").orderBy("dist", "master_key")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        cand.select(
+            "dirty_key",
+            "master_key",
+            F.levenshtein("dirty_name", "master_name").alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("dirty_key", "master_key", "dist")
     )

@@ -635,6 +635,25 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(spark, sf_dir)
 
 
+def cells_for_corpus(n_rows: int, target_cell_rows: int = 1024) -> int:
+    """IVF cell count for a corpus: ``n_cells ~ n_rows / target_cell_rows``
+    keeps the expected cell population near ``target_cell_rows``, so the
+    within-cell work (SemDeDup's pair join, an IVF probe scan) stays
+    constant as the corpus grows — the companion of
+    :func:`lsh_bits_for_corpus` for cell-bucketed operators. Clamped to
+    [1, 4096]: centroids are collected to the driver and shipped as plan
+    literals for the map-side argmin, which is the right trade up to a few
+    thousand cells; past the clamp, switch centroid assignment to a
+    broadcast join (or an Arrow batch kernel) instead of widening the plan,
+    and lean on :func:`~..operators.similarity.blocked_self_join`'s
+    block_size to keep the bigger cells bounded."""
+    import math
+
+    if n_rows <= target_cell_rows:
+        return 1
+    return max(1, min(4096, round(n_rows / target_cell_rows)))
+
+
 def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -642,6 +661,7 @@ def semantic_dedup(
     n_cells: int = N_IVF_CELLS,
     threshold: float = SEMDEDUP_TAU,
     centroids: Sequence[tuple[int, Sequence[int]]] | None = None,
+    block_size: int = 4096,
 ) -> DataFrame:
     """Cell-bucketed semantic dedup drop list.
 
@@ -652,8 +672,18 @@ def semantic_dedup(
     this result. Centroids default to the deterministic first-``n_cells``
     codebook (matching the registered oracle); pass
     ``train_ivf_codebook(...)`` output for a corpus-shaped codebook — the
-    plan is identical, only the literals change.
-    """
+    plan is identical, only the literals change. Size ``n_cells`` with
+    :func:`cells_for_corpus` at real corpus sizes.
+
+    The within-cell pair join goes through
+    :func:`~..operators.similarity.blocked_self_join`: SemDeDup corpora are
+    exactly where cells go hot (near-duplicate mass concentrates), and a
+    hot cell under a plain self-equi-join puts m^2/2 pairs in one task. The
+    grid decomposition bounds every task at ``block_size`` rows per side
+    with a provably identical pair set, so the drop list is unchanged —
+    only the hot cell's parallelism changes."""
+    from ..operators.similarity import blocked_self_join
+
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _quant("embedding").alias("qe"))
     if centroids is not None:
         cents = [{"cid": int(cid), "qe": list(qe)} for cid, qe in centroids]
@@ -664,23 +694,19 @@ def semantic_dedup(
             .collect()
         )
     cells = emb.withColumn("cell", F.array_min(_cell_dist_arr(cents))["cid"])
-    hi, lo = cells.alias("hi"), cells.alias("lo")
     cosine = F.col("dot").cast("double") / (
         F.sqrt(F.col("hnorm").cast("double")) * F.sqrt(F.col("lnorm").cast("double"))
     )
+    # a (lower id) is the witness side, b the candidate-duplicate side
     pairs = (
-        hi.join(
-            lo,
-            (F.col("hi.cell") == F.col("lo.cell"))
-            & (F.col("lo.vec_id") < F.col("hi.vec_id")),
-        )
+        blocked_self_join(cells, ["cell"], "vec_id", block_size, payload_cols=["qe"])
         .select(
-            F.col("hi.vec_id").alias("vec_id"),
-            F.col("hi.cell").alias("cell"),
-            F.col("lo.vec_id").alias("lo_id"),
-            _dot(F.col("hi.qe"), F.col("lo.qe")).alias("dot"),
-            _dot(F.col("hi.qe"), F.col("hi.qe")).alias("hnorm"),
-            _dot(F.col("lo.qe"), F.col("lo.qe")).alias("lnorm"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.cell").alias("cell"),
+            F.col("a.vec_id").alias("lo_id"),
+            _dot(F.col("b.qe"), F.col("a.qe")).alias("dot"),
+            _dot(F.col("b.qe"), F.col("b.qe")).alias("hnorm"),
+            _dot(F.col("a.qe"), F.col("a.qe")).alias("lnorm"),
         )
         .select("vec_id", "cell", "lo_id", cosine.alias("cosine"))
     )

@@ -619,3 +619,103 @@ def test_semantic_dedup_drop_rule_and_trained_codebook(spark, sf_dir):
     for r in trained:
         assert r["witness_id"] < r["vec_id"]
         assert r["best_cosine"] >= SEMDEDUP_TAU
+
+
+def test_semantic_dedup_hot_cell_is_skew_bounded_with_identical_drops(spark, sf_dir):
+    """VERDICT r6 item 2: a hot cell (every vector forced into ONE cell via
+    a single-centroid codebook) must produce the SAME drop list whether the
+    pair join runs naive or through the grid decomposition at a tiny
+    block_size — and the blocked sides must never exceed block_size rows
+    per join-key group (the quadratic-straggler bound)."""
+    from fund_data_pipeline_spark.operators.similarity import _blocked_sides
+    from fund_data_pipeline_spark.queries.vectors import (
+        EMB_DIM,
+        _quant,
+        cells_for_corpus,
+        semantic_dedup,
+    )
+    from fund_data_pipeline_spark.queries.registry import table
+
+    one_cell = [(0, [0] * EMB_DIM)]  # every vector maps to cell 0
+
+    def drops(block_size):
+        return {
+            (r.vec_id, r.n_dups, round(r.best_cosine, 12), r.witness_id)
+            for r in semantic_dedup(
+                spark, sf_dir, centroids=one_cell, threshold=0.3,
+                block_size=block_size,
+            ).collect()
+        }
+
+    bounded = drops(block_size=7)
+    naive = drops(block_size=1_000_000)  # one block == the plain self-join
+    assert bounded == naive and bounded, "hot-cell drop list must be identical"
+
+    # the bound itself: no grid side holds more than block_size rows
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant("embedding").alias("qe"), F.lit(0).alias("cell")
+    )
+    left, right = _blocked_sides(emb, ["cell"], "vec_id", 7, ["qe"])
+    max_left = left.groupBy("cell", "__blk", "__pj").count().agg(F.max("count")).first()[0]
+    max_right = right.groupBy("cell", "__pi", "__blk").count().agg(F.max("count")).first()[0]
+    assert max_left <= 7 and max_right <= 7
+
+    # the sizing helper mirrors lsh_bits_for_corpus: constant expected cell
+    # population, clamped to the plan-literal budget
+    assert cells_for_corpus(500) == 1
+    assert cells_for_corpus(1024 * 100) == 100
+    assert cells_for_corpus(10**12) == 4096
+
+
+def test_record_linkage_blocks_on_observed_value_and_recovers(spark, sf_dir):
+    """VERDICT r6 item 3: blocking keys must be computed from the OBSERVED
+    dirty value, the mod-2 suffix transposition must genuinely damage the
+    primary block key for some records, and the multi-pass blocking union
+    must still link every such record to its true master."""
+    from fund_data_pipeline_spark.queries.registry import table
+    from fund_data_pipeline_spark.queries.text import (
+        _RL_DIRTY_SQL,
+        _rl_block_exprs,
+        record_linkage_fuzzy,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    b1, _ = _rl_block_exprs("dirty_name")
+    m1, _ = _rl_block_exprs("c_name")
+    damaged = (
+        cust.selectExpr("c_custkey", "c_name", f"{_RL_DIRTY_SQL} AS dirty_name")
+        .selectExpr("c_custkey", f"{b1} AS dirty_block1", f"{m1} AS master_block1")
+        .filter("dirty_block1 <> master_block1")
+    )
+    n_damaged = damaged.count()
+    assert n_damaged > 0, "fixture must contain records whose block1 is corrupted"
+    # only the mod-2 transposition can touch the suffix
+    assert damaged.filter("c_custkey % 4 <> 2").count() == 0
+
+    linked = record_linkage_fuzzy(spark, sf_dir)
+    total = cust.count()
+    assert linked.count() == total, "every dirty record must receive a match"
+    # a transposed suffix can land ON (dist 0) or AS CLOSE TO (tied dist)
+    # another master's name — "...002" -> "...020" is customer 20 exactly —
+    # and no linkage can resolve those. The invariant an argmin must keep:
+    # a wrong match is never FARTHER from the observed value than the true
+    # master is (dist <= true_dist), i.e. mismatches are ambiguity, never a
+    # missed candidate.
+    true_dist = (
+        cust.selectExpr("c_custkey AS dirty_key", f"{_RL_DIRTY_SQL} AS dirty_name")
+        .join(cust.selectExpr("c_custkey AS dirty_key", "c_name AS true_name"), "dirty_key")
+        .select("dirty_key", F.levenshtein("dirty_name", "true_name").alias("true_dist"))
+    )
+    wrong = linked.filter("dirty_key <> master_key").join(true_dist, "dirty_key")
+    assert wrong.filter("dist > true_dist").count() == 0, (
+        "a record linked to a master farther than its true master — blocking "
+        "missed the true candidate"
+    )
+    # every damaged-block record still received a dist<=2 match via the
+    # redundant sorted-suffix pass — the recall multi-pass blocking exists
+    # to provide (its OWN master unless an exact collision outranked it)
+    recovered = linked.join(
+        damaged.select(F.col("c_custkey").alias("dirty_key")), "dirty_key"
+    )
+    assert recovered.count() == n_damaged
+    assert recovered.filter("dist > 2").count() == 0
