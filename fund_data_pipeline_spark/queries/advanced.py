@@ -388,20 +388,18 @@ def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hierarchy_flatten",
-    doc="Hierarchy flattening (BOM/org-chart rollup family): every customer "
-    "key in a synthetic decimal-digit forest (parent = k div 10, roots are "
-    "k < 10) resolved to its root and depth. Spark has no recursive CTE, so "
-    "the walk is a bounded pointer-chase built as a LOOP OVER THE PLAN: "
-    "each unrolled round advances only the not-yet-rooted pointers (the "
-    "initial step plus 18 rounds cover any unsigned 64-bit key — depth = "
-    "decimal digits minus one). The parent "
-    "function here is closed-form (k div 10), so every round is pure "
-    "map-side arithmetic: the whole flatten is ONE scan, zero shuffles. "
-    "With a materialized edge table each round becomes an equi-join on the "
-    "pointer key instead (the arbitrary-graph machinery lives in "
-    "operators/graph.py's label propagation). The oracle is DuckDB's "
-    "native WITH RECURSIVE — bounded iteration checked against true "
-    "recursion.",
+    doc="Hierarchy flattening (BOM/org-chart rollup family; reference "
+    "ancestry shape holdings->fund->master): a REAL (child, parent) edge "
+    "table — every customer >= 10 points at customer k div 10, roots are "
+    "k < 10 with no edge row — resolved to (node, root, depth) through "
+    "operators/graph.flatten_hierarchy. Spark has no recursive CTE, so the "
+    "operator POINTER-DOUBLES: each round self-joins the pointer relation "
+    "on the current ancestor, composing 2^k-step pointers, so "
+    "ceil(log2(depth)) keyed shuffles resolve any depth (a million-level "
+    "chain costs 20 rounds, not a million joins), with exact depth "
+    "accumulation, localCheckpoint-bounded lineage, and a strict "
+    "cycle/overflow guard. The oracle is DuckDB's native WITH RECURSIVE — "
+    "log-round doubling checked against true recursion.",
     oracle="""
 WITH RECURSIVE walk(k, anc, depth) AS (
   SELECT c_custkey, c_custkey // 10, 1
@@ -410,38 +408,21 @@ WITH RECURSIVE walk(k, anc, depth) AS (
   SELECT w.k, w.anc // 10, w.depth + 1
   FROM walk w WHERE w.anc >= 10
 )
-SELECT k AS custkey, anc AS root, depth
+SELECT k AS node, anc AS root, depth
 FROM walk WHERE anc < 10
 UNION ALL
-SELECT c_custkey AS custkey, c_custkey AS root, 0 AS depth
+SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
 FROM customer WHERE c_custkey < 10
 """,
 )
 def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    roots = cust.filter(F.col("custkey") < 10).select(
-        "custkey", F.col("custkey").alias("root"), F.lit(0).alias("depth")
+    from ..operators.graph import flatten_hierarchy
+
+    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
+    edges = cust.filter(F.col("node") >= 10).select(
+        F.col("node").alias("child"), F.expr("node div 10").alias("parent")
     )
-    walk = cust.filter(F.col("custkey") >= 10).select(
-        "custkey",
-        F.expr("custkey div 10").alias("anc"),
-        F.lit(1).alias("depth"),
-    )
-    # bounded pointer-chase: each round advances rows whose pointer is not
-    # yet a root. A key with d decimal digits needs d-1 divisions; the
-    # initial step supplies one, so 18 further rounds cover the 20-digit
-    # maximum of an unsigned 64-bit key (fixture keys use 5-6).
-    for _ in range(18):
-        done = F.col("anc") < 10
-        walk = walk.select(
-            "custkey",
-            F.when(done, F.col("anc")).otherwise(F.expr("anc div 10")).alias("anc"),
-            F.when(done, F.col("depth")).otherwise(F.col("depth") + 1).alias("depth"),
-        )
-    resolved = walk.select("custkey", F.col("anc").alias("root"), "depth")
-    return resolved.unionByName(roots).select(
-        "custkey", "root", F.col("depth").cast("int").alias("depth")
-    )
+    return flatten_hierarchy(edges, nodes=cust, validate=False)
 
 
 @register(
