@@ -36,6 +36,24 @@ from pyspark.sql import DataFrame
 #: columns the reference never updates on conflict (db_connector.py:402)
 DEFAULT_SKIP_UPDATE = ("id", "updated_at")
 
+#: The reference's staging-table -> unique-constraint map
+#: (db_connector.py:384-394): its upsert targets the NAMED constraint
+#: (``ON CONFLICT ON CONSTRAINT uq_...``), not a column list. Pass
+#: ``constraint=REFERENCE_CONSTRAINTS[table]`` to emit the byte-identical
+#: conflict target a reference deployment's schema expects.
+REFERENCE_CONSTRAINTS = {
+    "stg_security_master": "uq_stg_master_key",
+    "stg_price_history": "uq_stg_price_key",
+    "stg_daily_nav": "uq_stg_daily_nav_key",
+    "stg_dividend_history": "uq_stg_dividend_key",
+    "stg_allocations": "uq_stg_allocations_key",
+    "stg_fund_info": "uq_stg_fund_info_key",
+    "stg_fund_fees": "uq_stg_fund_fees_key",
+    "stg_fund_risk": "uq_stg_fund_risk_key",
+    "stg_fund_policy": "uq_stg_fund_policy_key",
+    "stg_fund_holdings": "uq_stg_holdings_key",
+}
+
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
@@ -61,6 +79,7 @@ def upsert_sql(
     hash_col: str | None = "row_hash",
     skip_update: Sequence[str] = DEFAULT_SKIP_UPDATE,
     dialect: str = "postgresql",
+    constraint: str | None = None,
 ) -> str:
     """The reference's ON CONFLICT statement for ``dialect``, parameterized
     in the dialect's native DBAPI paramstyle: ``%s`` (format) for
@@ -70,13 +89,23 @@ def upsert_sql(
     ``hash_col=None`` drops the guard (the reference's stg_daily_nav path,
     which has no row_hash — SURVEY §1.4); otherwise the UPDATE fires only
     when the stored hash differs (null-safe inequality per dialect).
+
+    ``constraint``: emit the reference's exact conflict target — ``ON
+    CONFLICT ON CONSTRAINT <name>`` (db_connector.py:405, via the
+    :data:`REFERENCE_CONSTRAINTS` map) — instead of the column-list form.
+    Postgres only; sqlite has no named-constraint conflict target.
     """
     cols = list(columns)
     keys = list(keys)
-    _check_identifiers(table, cols + keys + ([hash_col] if hash_col else []))
+    _check_identifiers(
+        table,
+        cols + keys + ([hash_col] if hash_col else []) + ([constraint] if constraint else []),
+    )
     missing = [k for k in keys if k not in cols]
     if missing:
         raise ValueError(f"keys {missing} not in columns {cols}")
+    if constraint is not None and dialect != "postgresql":
+        raise ValueError("ON CONFLICT ON CONSTRAINT is postgres-only; use keys for sqlite")
     set_cols = [c for c in cols if c not in keys and c not in set(skip_update)]
     if not set_cols:
         raise ValueError("no updatable columns: everything is a key or skipped")
@@ -88,10 +117,13 @@ def upsert_sql(
         placeholder = "?"
     else:
         raise ValueError(f"unknown dialect {dialect!r}; use 'postgresql' or 'sqlite'")
+    target = (
+        f"ON CONSTRAINT {constraint}" if constraint is not None else f"({', '.join(keys)})"
+    )
     sql = (
         f"INSERT INTO {table} ({', '.join(cols)}) "
         f"VALUES ({', '.join(placeholder for _ in cols)}) "
-        f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET "
+        f"ON CONFLICT {target} DO UPDATE SET "
         + ", ".join(f"{c} = excluded.{c}" for c in set_cols)
     )
     if hash_col is not None:

@@ -200,3 +200,34 @@ def test_write_zorder_clustered_temporal_and_string_columns(spark, tmp_path):
 
     with pytest.raises(ValueError, match="ordered numeric"):
         write_zorder_clustered(df, str(tmp_path / "zs"), ["s", "v"], n_files=4)
+
+
+def test_upsert_sql_named_constraint_golden_pin():
+    """VERDICT r6 item 7: the reference upserts through the NAMED unique
+    constraint (db_connector.py:384-405, pg_insert ... on_conflict_do_update
+    (constraint=uq_..., set_=all-but-id/updated_at, where=row_hash IS
+    DISTINCT FROM excluded.row_hash)). Pin the generated statement text
+    byte-for-byte for a reference staging table."""
+    from fund_data_pipeline_spark.sinks.jdbc_upsert import REFERENCE_CONSTRAINTS
+
+    sql = upsert_sql(
+        "stg_price_history",
+        ["ticker", "price_date", "close_price", "id", "updated_at", "row_hash"],
+        keys=["ticker", "price_date"],
+        constraint=REFERENCE_CONSTRAINTS["stg_price_history"],
+    )
+    assert sql == (
+        "INSERT INTO stg_price_history "
+        "(ticker, price_date, close_price, id, updated_at, row_hash) "
+        "VALUES (%s, %s, %s, %s, %s, %s) "
+        "ON CONFLICT ON CONSTRAINT uq_stg_price_key DO UPDATE SET "
+        "close_price = excluded.close_price, row_hash = excluded.row_hash "
+        "WHERE stg_price_history.row_hash IS DISTINCT FROM excluded.row_hash"
+    )
+    # sqlite has no named-constraint conflict target
+    with pytest.raises(ValueError, match="postgres-only"):
+        upsert_sql(
+            "t", ["k", "v"], keys=["k"], dialect="sqlite", constraint="uq_t"
+        )
+    # every reference staging table has a mapped constraint
+    assert len(REFERENCE_CONSTRAINTS) == 10
