@@ -171,6 +171,13 @@ _OUT_OF_WINDOW_WHY = {
     "train_val_test_split": "driver-green r2+r3+r4; hash-split family in-window via deterministic_shuffle_order",
     "embedding_ann_bucketed_topk": "driver-green r2+r3+r4; ANN family in-window via embedding_topk_cosine + semantic_dedup_cells",
     "embedding_cosine_near_dup": "driver-green r2+r3+r4; bucketed cosine family in-window via semantic_dedup_cells + embedding_topk_cosine",
+    # new in round 7 — queue for the round-8 rotation behind any r7
+    # failures (window policy); local-gate evidence at sf0.001/0.01/0.1
+    "winsorized_price_stats": "new r7 operator (rank-selected p01/p99 winsorization + exact decimal aggregation); rank-selection family in-window via price_quartiles_by_segment, grouped-agg family via price_quantity_stats",
+    "fk_integrity_audit": "new r7 operator (six-relationship referential-integrity report); anti/outer-join counting family in-window via order_fulfillment_outer + customers_without_orders",
+    "changelog_compact": "new r7 operator (log-compaction: latest-epoch-per-key with delete tombstones); latest-per-key window family in-window via dedup_keep_last slot history + snapshot_diff (CDC classification kernel)",
+    "calendar_gap_fill": "new r7 operator (date-spine densification + LOCF carry re-aggregated to gap stats); LOCF family in-window via sliding_window_stats + rolling_30d_revenue, spine explode is map-side",
+    "dedup_keep_best_quality": "new r7 operator (fingerprint-cluster dedup keeping the argmax-quality copy, the production keep rule); dedup family in-window via exact_dedup + duplicate_key_stats, quality expression via text_statistics",
 }
 
 

@@ -491,3 +491,76 @@ def daily_order_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.select("dt", "n_orders", z.alias("z"))
         .filter(F.abs(F.col("z")) >= 2)
     )
+
+
+@register(
+    "calendar_gap_fill",
+    doc="Calendar densification + LOCF carry (time-series gap fill): each "
+    "customer's order history is expanded onto a complete daily date spine "
+    "(sequence/explode from first to last order date — DuckDB "
+    "generate_series), daily revenue is filled forward (last non-null over "
+    "the spine), and the densified series is re-aggregated to per-customer "
+    "gap statistics and the carried-revenue integral. The position-carry / "
+    "bar-filling shape every market-data pipeline needs; at 100 TB the "
+    "spine explode is map-side (rows x avg-span), the only shuffle is the "
+    "daily pre-aggregation plus one keyed window.",
+    oracle="""
+WITH daily AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS dt,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_revenue
+  FROM orders GROUP BY 1, 2
+), spans AS (
+  SELECT custkey, MIN(dt) AS d0, MAX(dt) AS d1 FROM daily GROUP BY custkey
+), spine AS (
+  SELECT s.custkey, CAST(u.d AS DATE) AS dt
+  FROM spans s, UNNEST(generate_series(CAST(s.d0 AS TIMESTAMP), CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)
+), filled AS (
+  SELECT sp.custkey, sp.dt, d.day_revenue,
+         last_value(d.day_revenue IGNORE NULLS) OVER (
+           PARTITION BY sp.custkey ORDER BY sp.dt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS carried
+  FROM spine sp LEFT JOIN daily d ON sp.custkey = d.custkey AND sp.dt = d.dt
+)
+SELECT custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN day_revenue IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_days,
+       CAST(SUM(carried) AS DOUBLE) AS carried_revenue
+FROM filled
+GROUP BY custkey
+""",
+)
+def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("dt"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("custkey", "dt")
+        .agg(F.sum("price").alias("day_revenue"))
+    )
+    spans = daily.groupBy("custkey").agg(F.min("dt").alias("d0"), F.max("dt").alias("d1"))
+    spine = spans.select(
+        "custkey",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("dt"),
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(daily, ["custkey", "dt"], "left").select(
+        "custkey",
+        "dt",
+        "day_revenue",
+        F.last("day_revenue", ignorenulls=True).over(w).alias("carried"),
+    )
+    return filled.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("day_revenue").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gap_days"),
+        F.sum("carried").cast("double").alias("carried_revenue"),
+    )

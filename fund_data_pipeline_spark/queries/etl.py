@@ -790,3 +790,57 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = _order_snapshot(orders, 1998, 2000, modify=True)
     out = diff_frames(old, new, keys=["key"], hash_col="row_hash")
     return out.withColumn("price", F.col("price").cast("double"))
+
+
+@register(
+    "changelog_compact",
+    doc="Changelog compaction (Kafka-compaction / CDC-consumer kernel): a "
+    "three-epoch synthetic change feed over orders (epoch 1 = full load, "
+    "epoch 2 = re-priced updates for key%3=0, epoch 3 = delete tombstones "
+    "for key%10=0) collapses to final state — latest epoch per key wins, "
+    "a winning tombstone erases the key. One window over the feed keyed on "
+    "the primary key; at 100 TB the feed shuffles once on the key, exactly "
+    "the log-compaction access pattern.",
+    oracle="""
+WITH feed AS (
+  SELECT o_orderkey AS key, 1 AS epoch, 'U' AS op, o_totalprice AS price FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', o_totalprice * 1.1 FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 10 = 0
+), latest AS (
+  SELECT key, epoch, op, price,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY epoch DESC) AS rn
+  FROM feed
+)
+SELECT key, epoch AS last_epoch, price AS final_price
+FROM latest WHERE rn = 1 AND op <> 'D'
+""",
+)
+def changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    e1 = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("epoch"),
+        F.lit("U").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    e2 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("epoch"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") * 1.1).alias("price"),
+    )
+    e3 = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(3).alias("epoch"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    feed = e1.unionByName(e2).unionByName(e3)
+    w = Window.partitionBy("key").orderBy(F.col("epoch").desc())
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", F.col("epoch").alias("last_epoch"), F.col("price").alias("final_price"))
+    )

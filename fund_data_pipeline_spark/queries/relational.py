@@ -853,3 +853,158 @@ def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_price_qty"
         ),
     )
+
+
+@register(
+    "winsorized_price_stats",
+    doc="Robust statistics via rank-based winsorization: per order "
+    "priority, order prices are clipped at the group's p01/p99 values "
+    "selected by RANK (value at row ceil(q*n) of the (price, key)-sorted "
+    "group — pure integer rank selection, NO interpolated quantile "
+    "arithmetic, so both engines pick the identical threshold row), then "
+    "aggregated with exact DECIMAL sums. The ML-feature-prep outlier-clip "
+    "shape: two window passes over one shuffle on the group key, "
+    "thresholds join back broadcast (one row per group).",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS r,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), thresholds AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN r = GREATEST(CAST(1 AS BIGINT), CAST(CEIL(n * 0.01) AS BIGINT)) THEN o_totalprice END) AS lo,
+         MAX(CASE WHEN r = CAST(CEIL(n * 0.99) AS BIGINT) THEN o_totalprice END) AS hi
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT r.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN r.o_totalprice < t.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(CASE WHEN r.o_totalprice > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       t.lo AS p01, t.hi AS p99,
+       CAST(SUM(CAST(LEAST(GREATEST(r.o_totalprice, t.lo), t.hi) AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum
+FROM ranked r JOIN thresholds t USING (o_orderpriority)
+GROUP BY r.o_orderpriority, t.lo, t.hi
+""",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_r = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("n") * 0.01).cast("bigint"))
+    hi_r = F.ceil(F.col("n") * 0.99).cast("bigint")
+    thresholds = ranked.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("r") == lo_r, F.col("o_totalprice"))).alias("lo"),
+        F.max(F.when(F.col("r") == hi_r, F.col("o_totalprice"))).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        ranked.join(F.broadcast(thresholds), "o_orderpriority")
+        .groupBy("o_orderpriority", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.sum(clipped.cast("decimal(18,2)")).cast("double").alias("winsorized_sum"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            F.col("lo").alias("p01"),
+            F.col("hi").alias("p99"),
+            "winsorized_sum",
+        )
+    )
+
+
+@register(
+    "fk_integrity_audit",
+    doc="Referential-integrity audit across the star schema in one result: "
+    "per FK relationship, the child row count, NULL-key count, and orphan "
+    "count (left-anti join against the parent). The standing data-quality "
+    "gate a warehouse runs after every load; each relationship is one "
+    "broadcast-or-shuffle anti-join, unioned into a six-row report.",
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+       CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN l_suppkey IS NOT NULL AND s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN c_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN s_nationkey IS NOT NULL AND n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+""",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(rel: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        joined = child.select(F.col(ckey)).join(
+            parent.select(F.col(pkey)), F.col(ckey) == F.col(pkey), "left"
+        )
+        return joined.agg(
+            F.lit(rel).alias("relationship"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(ckey).isNull(), 1).otherwise(0)).cast("bigint").alias("n_null_keys"),
+            F.sum(
+                F.when(F.col(ckey).isNotNull() & F.col(pkey).isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_orphans"),
+        ).select("relationship", "n_rows", "n_null_keys", "n_orphans")
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    reports = [
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        audit("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        audit("lineitem.l_suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+        audit("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        audit("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+        audit("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

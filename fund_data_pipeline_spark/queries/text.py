@@ -1023,3 +1023,73 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("dirty_key", "master_key", "dist")
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    doc="First-pass dedup with a QUALITY-ranked keep rule: cluster "
+    "documents on a cheap md5 prefix fingerprint (lang | 32-char prefix "
+    "— the shared-boilerplate-head key), then keep the highest-quality "
+    "copy per cluster "
+    "(composite quality score, doc_id tiebreak) instead of the lowest id — "
+    "the production near-dup rule (keep the best-rendered copy of a page, "
+    "not the first-crawled one). Emits the DROP list: every losing copy "
+    "with its cluster's kept doc and both quality scores. One shuffle on "
+    "the fingerprint; quality is a map-side expression.",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         md5(COALESCE(lang,'') || '|' || substr(text, 1, 32)) AS fingerprint,
+         0.5 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 400 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * least(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+                     / len(string_split(text, ' ')) * 10.0, 1.0)
+       + 0.2 * (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))
+                      BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) AS quality
+  FROM documents
+), ranked AS (
+  SELECT doc_id, fingerprint, quality,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY quality DESC, doc_id) AS rn,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY fingerprint ORDER BY quality DESC, doc_id) AS kept_id,
+         FIRST_VALUE(quality) OVER (PARTITION BY fingerprint ORDER BY quality DESC, doc_id) AS kept_quality
+  FROM scored
+)
+SELECT doc_id, fingerprint, kept_id, quality, kept_quality
+FROM ranked WHERE rn > 1
+""",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
+    avg_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    quality = (
+        F.lit(0.5) * F.when((n_tokens >= 30) & (n_tokens <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * F.least(stop_ratio * 10.0, F.lit(1.0))
+        + F.lit(0.2) * F.when((avg_len >= 3.0) & (avg_len <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    fingerprint = F.md5(
+        F.concat(
+            F.coalesce(F.col("lang"), F.lit("")),
+            F.lit("|"),
+            F.substring("text", 1, 32),
+        )
+    )
+    scored = docs.select(
+        "doc_id", fingerprint.alias("fingerprint"), quality.alias("quality")
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        scored.select(
+            "doc_id",
+            "fingerprint",
+            "quality",
+            F.row_number().over(w).alias("rn"),
+            F.first("doc_id").over(w).alias("kept_id"),
+            F.first("quality").over(w).alias("kept_quality"),
+        )
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "fingerprint", "kept_id", "quality", "kept_quality")
+    )
