@@ -203,3 +203,51 @@ def test_diff_frames_round_trips(_spark, old, new):
         o_h = dict((kk, hh) for kk, _, hh in old)[k]
         n_h = dict((kk, hh) for kk, _, hh in new)[k]
         assert o_h == n_h
+
+
+# --------------------------------------------------------------------------
+# flatten_hierarchy vs a pure-Python recursive walk over random forests
+# --------------------------------------------------------------------------
+
+@st.composite
+def _forest(draw):
+    """Random parent-pointer forest: node i's parent is drawn from nodes
+    with a strictly smaller id (or None for a root) — acyclic by
+    construction, arbitrary shape (chains, stars, bushy trees)."""
+    n = draw(st.integers(min_value=1, max_value=24))
+    parents = {}
+    for i in range(1, n):
+        parents[i] = draw(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=i - 1))
+        )
+    parents[0] = None
+    return parents
+
+
+@given(parents=_forest())
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_flatten_hierarchy_matches_recursive_model(_spark, parents):
+    """Pointer doubling must agree with the obvious recursive walk on every
+    forest shape hypothesis produces (the WITH RECURSIVE model)."""
+    from fund_data_pipeline_spark.operators.graph import flatten_hierarchy
+
+    def walk(i):
+        depth, cur = 0, i
+        while parents.get(cur) is not None:
+            cur = parents[cur]
+            depth += 1
+        return cur, depth
+
+    expect = {i: walk(i) for i in parents}
+    edges = [(i, p) for i, p in parents.items() if p is not None]
+    nodes_df = _spark.createDataFrame([(i,) for i in parents], "node long")
+    edges_df = (
+        _spark.createDataFrame(edges, "child long, parent long")
+        if edges
+        else _spark.createDataFrame([], "child long, parent long")
+    )
+    got = {
+        r.node: (r.root, r.depth)
+        for r in flatten_hierarchy(edges_df, nodes=nodes_df).collect()
+    }
+    assert got == expect
