@@ -177,6 +177,7 @@ _OUT_OF_WINDOW_WHY = {
     "fk_integrity_audit": "new r7 operator (six-relationship referential-integrity report); anti/outer-join counting family in-window via order_fulfillment_outer + customers_without_orders",
     "changelog_compact": "new r7 operator (log-compaction: latest-epoch-per-key with delete tombstones); latest-per-key window family in-window via dedup_keep_last slot history + snapshot_diff (CDC classification kernel)",
     "calendar_gap_fill": "new r7 operator (date-spine densification + LOCF carry re-aggregated to gap stats); LOCF family in-window via sliding_window_stats + rolling_30d_revenue, spine explode is map-side",
+    "embedding_random_projection": "new r7 operator (deterministic JL projection 64->16 dims, exact integer arithmetic, map-side narrow transform); projection family in-window via embedding_topk_cosine + embedding_centroid_stats (same quantized-plane kernel as the LSH bucketer)",
     "dedup_keep_best_quality": "new r7 operator (fingerprint-cluster dedup keeping the argmax-quality copy, the production keep rule); dedup family in-window via exact_dedup + duplicate_key_stats, quality expression via text_statistics",
 }
 

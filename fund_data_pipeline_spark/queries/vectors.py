@@ -719,3 +719,63 @@ def semantic_dedup(
             F.min("lo_id").alias("witness_id"),
         )
     )
+
+
+#: reduced dimensionality for the random-projection query
+RP_DIM = 16
+
+
+@register(
+    "embedding_random_projection",
+    doc="Johnson-Lindenstrauss dimensionality reduction: each 64-dim "
+    "quantized embedding is projected onto 16 deterministic ±1 hyperplanes "
+    "(the derandomized signed-random-projection family the LSH bucketer "
+    "uses — plane j, coord i is +1 iff (i*A + j*B) %% M < T), giving exact "
+    "integer output coordinates both engines compute bit-identically. The "
+    "standard ANN/clustering preprocessing at 100 TB: a map-side narrow "
+    "projection that cuts downstream shuffle bytes 4x before any join or "
+    "codebook step; no shuffle, no UDF, whole-stage-codegen arithmetic. "
+    "Output is summarized per vector (projection L1 norm, positive-coord "
+    "count, first two coords) so the checked result stays narrow.",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_Q} AS qe FROM embeddings
+), proj AS (
+  SELECT vec_id, list_transform(range(0, {RP_DIM}),
+    j -> list_sum(list_transform(range(1, {EMB_DIM + 1}),
+      i -> CASE WHEN (i * {_LSH_A} + j * {_LSH_B}) % {_LSH_MOD} < {_LSH_T}
+           THEN qe[i] ELSE -qe[i] END))) AS p
+  FROM q
+)
+SELECT vec_id,
+       CAST(list_sum(list_transform(p, x -> abs(x))) AS BIGINT) AS l1_norm,
+       CAST(len(list_filter(p, x -> x > 0)) AS BIGINT) AS n_positive,
+       CAST(p[1] AS BIGINT) AS c0,
+       CAST(p[2] AS BIGINT) AS c1
+FROM proj
+""",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant("embedding").alias("qe")
+    )
+    def coord(j: int):
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(EMB_DIM)), _plane_term(F.col("qe"), j)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    proj = F.array(*[coord(j) for j in range(RP_DIM)])
+    out = emb.select("vec_id", proj.alias("p"))
+    return out.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("p"), lambda x: F.abs(x)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("l1_norm"),
+        F.size(F.filter(F.col("p"), lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.element_at("p", 1).alias("c0"),
+        F.element_at("p", 2).alias("c1"),
+    )
