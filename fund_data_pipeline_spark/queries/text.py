@@ -303,23 +303,35 @@ def _shingle_sql() -> str:
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_key) for every doc: the LSH blocking relation
-    shared by ``minhash_lsh_candidates`` and the dedup-cluster query."""
+    shared by ``minhash_lsh_candidates`` and the dedup-cluster query.
+
+    The signature is computed MAP-SIDE: ``array_min(transform(shingles,
+    s -> md5(i|s)))`` takes each hash family's min inside the row's own
+    shingle array — the same value the classic explode -> groupBy(doc_id)
+    min-agg produces (the min over a multiset ignores duplicates), without
+    materializing the |docs| x |shingles| exploded relation or shuffling it
+    back together. At 100 TB that removes the single biggest shuffle of the
+    near-dup pipeline; the signature stage becomes a narrow scan-parallel
+    projection (the oracle keeps the explode/GROUP BY formulation — same
+    values, independently derived). Docs with no 3-gram (under 3 tokens)
+    produce no band rows, matching the exploded formulation's behavior."""
     toks = _tokens()
-    shingles = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select("doc_id", F.explode(shingles).alias("shingle"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(_N_HASH)
-        ]
+    )
+    def _minhash(i: int):
+        # single-arg closure: transform() inspects lambda arity, so the hash
+        # family index must be captured by closure, not a default argument
+        # (a second parameter would receive the array index instead)
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"h{i}")
+
+    sig = docs.filter(F.size(toks) >= 3).select(
+        "doc_id", *[_minhash(i) for i in range(_N_HASH)]
     )
     return reduce(
         DataFrame.unionAll,
