@@ -144,7 +144,8 @@ def vacuum_snapshots(table_path: str, keep_last: int | None = None) -> list[str]
         return []
     if keep_last is None:
         keep_last = _persisted_retention(path) or 1
-    live = mf.read_text().splitlines()[0].strip()
+    # a zero-byte manifest (crash mid-create) parses as no live version
+    live = (mf.read_text().splitlines() or [""])[0].strip()
     try:
         live_version = int(live.rsplit("_", 1)[-1])
     except ValueError:

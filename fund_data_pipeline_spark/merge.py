@@ -280,7 +280,10 @@ def _live_snapshot(path: Path) -> Path | None:
     """Resolve the manifest pointer, or None for plain-directory tables."""
     mf = path / MANIFEST_NAME
     if mf.exists():
-        return path / mf.read_text().splitlines()[0].strip()
+        head = (mf.read_text().splitlines() or [""])[0].strip()
+        if not head:
+            raise ValueError(f"corrupt manifest table: empty {mf}")
+        return path / head
     return None
 
 
@@ -736,18 +739,21 @@ def apply_changes(
     from .maintenance import delete_keys
 
     keys = list(keys)
+    if changes.isEmpty():
+        return  # no-op feed: burn no snapshot version, touch nothing
     if detect_layout(target_path) == "manifest":
         layout = "manifest"  # replica is a manifest table: follow its layout
     deletes = changes.filter(F.col("_change_type") == "delete").select(*keys)
     upserts = changes.filter(F.col("_change_type") != "delete").drop("_change_type")
     if layout == "manifest" and detect_layout(target_path) == "manifest":
         # single-commit path: one read, one anti-join, one pure-DataFrame
-        # merge, one snapshot publish — no intermediate delete-only version
+        # merge, one snapshot publish — no intermediate delete-only version.
+        # No broadcast hint on the delete set: a CDC feed can carry an
+        # unbounded delete set (GDPR sweeps), so let AQE pick broadcast vs
+        # shuffled anti-join from the observed size.
         path = Path(target_path)
         current = read_table(spark, target_path)
-        survivors = current.join(
-            F.broadcast(deletes.dropDuplicates(keys)), keys, "left_anti"
-        )
+        survivors = current.join(deletes.dropDuplicates(keys), keys, "left_anti")
         batch = dedup_keyed(upserts, keys, keys, keep="last")
         merged = merge_as_dataframe(survivors, batch, keys, hash_col=hash_col)
         _manifest_write(merged, path, history=history)

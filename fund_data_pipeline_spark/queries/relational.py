@@ -37,17 +37,27 @@ def _dec(col, prec=18, scale=2):
     headline=True,
     doc="TPC-H Q1 flavor: grouped 8-way aggregate over lineitem (A1/A2 writ large).",
     oracle="""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dp,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS dpd,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS dpdt,
+         SUM(CAST(l_discount AS DECIMAL(8,2))) AS dd,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+       CAST(FLOOR(dq) AS DOUBLE) + CAST(dq - FLOOR(dq) AS DOUBLE) AS sum_qty,
+       CAST(FLOOR(dp) AS DOUBLE) + CAST(dp - FLOOR(dp) AS DOUBLE) AS sum_base_price,
+       CAST(FLOOR(dpd) AS DOUBLE) + CAST(dpd - FLOOR(dpd) AS DOUBLE) AS sum_disc_price,
+       CAST(FLOOR(dpdt) AS DOUBLE) + CAST(dpdt - FLOOR(dpdt) AS DOUBLE) AS sum_charge,
+       (CAST(FLOOR(dq) AS DOUBLE) + CAST(dq - FLOOR(dq) AS DOUBLE)) / count_order AS avg_qty,
+       (CAST(FLOOR(dd) AS DOUBLE) + CAST(dd - FLOOR(dd) AS DOUBLE)) / count_order AS avg_disc,
+       count_order
+FROM s
 """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,9 +70,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A partition would need >~1.8e8 rows of max-charge lineitems to
     # overflow its long partial (128 MB scan partitions hold ~1e6), and
     # ANSI mode (Spark 4 default) throws rather than wraps if one ever
-    # does. Values are bit-identical to the straight decimal(18,2)
-    # formulation the oracle uses (asserted when this landed): both reduce
-    # to the same exact integer, converted once to double.
+    # does. The exact integer totals convert to DOUBLE floor-split (the
+    # price_quantity_stats pattern): integer part via integral division
+    # (long->double, correctly rounded at any magnitude), remainder as one
+    # exact division of sub-scale integers. The oracle mirrors it as
+    # FLOOR(s)/frac on its decimal sums — both halves are correctly
+    # rounded in both engines (verified exhaustively over all fraction
+    # numerators at scales 2/4/6 and at >2^53 integer parts), so the
+    # recombining IEEE add yields identical bits regardless of scale
+    # factor. A direct decimal->double cast followed by a double divide
+    # would be two roundings and only magnitude-coincidentally equal.
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-06-30").cast("timestamp"))
     pc = F.round(F.col("l_extendedprice") * 100).cast("long")
     qc = F.round(F.col("l_quantity") * 100).cast("long")
@@ -79,16 +96,33 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def total(c):
-        return F.sum(F.col(c).cast("decimal(38,0)")).cast("double")
+        return F.sum(F.col(c).cast("decimal(38,0)"))
 
-    return part.groupBy("l_returnflag", "l_linestatus").agg(
-        (total("q") / F.lit(100.0)).alias("sum_qty"),
-        (total("p") / F.lit(100.0)).alias("sum_base_price"),
-        (total("pd") / F.lit(10000.0)).alias("sum_disc_price"),
-        (total("pdt") / F.lit(1000000.0)).alias("sum_charge"),
-        (total("q") / F.lit(100.0) / F.sum("n")).alias("avg_qty"),
-        (total("d") / F.lit(100.0) / F.sum("n")).alias("avg_disc"),
+    tot = part.groupBy("l_returnflag", "l_linestatus").agg(
+        total("q").alias("tq"),
+        total("p").alias("tp"),
+        total("pd").alias("tpd"),
+        total("pdt").alias("tpdt"),
+        total("d").alias("td"),
         F.sum("n").alias("count_order"),
+    )
+
+    def split(c, scale):
+        # exact integer total -> double, floor-split (see doc above)
+        return F.expr(f"{c} div {scale}").cast("double") + (
+            F.col(c) % F.lit(scale)
+        ).cast("double") / F.lit(float(scale))
+
+    return tot.select(
+        "l_returnflag",
+        "l_linestatus",
+        split("tq", 100).alias("sum_qty"),
+        split("tp", 100).alias("sum_base_price"),
+        split("tpd", 10000).alias("sum_disc_price"),
+        split("tpdt", 1000000).alias("sum_charge"),
+        (split("tq", 100) / F.col("count_order")).alias("avg_qty"),
+        (split("td", 100) / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 

@@ -566,3 +566,34 @@ def test_apply_changes_manifest_is_single_commit(spark, tmp_path):
     apply_changes(spark, replica, feed, keys=["ticker"])  # idempotent content
     got2 = sorted((r.ticker, r.value) for r in read_table(spark, replica).collect())
     assert got2 == got
+
+
+def test_apply_changes_empty_feed_is_noop(spark, tmp_path):
+    """An empty change feed must not publish a snapshot version: a no-op
+    sync that burned a version could push real snapshots out of the
+    persisted retention window."""
+    from fund_data_pipeline_spark.merge import apply_changes, list_versions, merge_upsert
+
+    replica = str(tmp_path / "replica")
+    v1 = _snapshot(spark, [("A", "d1", 1.0)])
+    merge_upsert(spark, replica, v1, keys=["ticker"], layout="manifest", history=3)
+    empty = _snapshot(spark, []).withColumn("_change_type", F.lit("update")).limit(0)
+    apply_changes(spark, replica, empty, keys=["ticker"])
+    assert list_versions(replica) == [1]  # no version burned
+
+
+def test_empty_manifest_file_is_handled(spark, tmp_path):
+    """A zero-byte _MANIFEST (crash mid-create) must raise a clear
+    corrupt-table error from read_table, and vacuum_snapshots must degrade
+    to a no-op instead of crashing with IndexError."""
+    import pytest
+
+    from fund_data_pipeline_spark import maintenance
+    from fund_data_pipeline_spark.merge import MANIFEST_NAME, read_table
+
+    path = tmp_path / "corrupt"
+    path.mkdir()
+    (path / MANIFEST_NAME).write_text("")
+    with pytest.raises(ValueError, match="corrupt manifest"):
+        read_table(spark, str(path))
+    assert maintenance.vacuum_snapshots(path) == []
