@@ -33,12 +33,15 @@ from fund_data_pipeline_spark import queries as Q  # noqa: E402
 from fund_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
-def _merge_bench(spark, sf_dir: str) -> float:
+def _merge_bench(spark, sf_dir: str, n_runs: int) -> list[float]:
     """Time the signature operator: a hash-guarded, partition-pruned merge of
     one month's modified batch into a month-partitioned price table built
-    from lineitem. The build of the target is untimed; the timed section is
+    from lineitem. The build of the target is untimed; each timed section is
     exactly the daily-upsert path (prune -> full-outer merge -> rewrite only
-    the touched partition)."""
+    the touched partition). Every run merges a batch with a DIFFERENT price
+    bump (pre-landed untimed) so each one rewrites the partition for real —
+    re-merging an identical batch would hash-match everything and time the
+    no-op path instead of the upsert."""
     import shutil
     import tempfile
 
@@ -65,15 +68,20 @@ def _merge_bench(spark, sf_dir: str) -> float:
         merge_upsert(
             spark, path, snapshot(rows), keys=["k1", "k2", "dt"], partition_col="dt"
         )  # untimed target build
-        # land the batch as a real file first (a daily batch arrives as
+        # land each batch as a real file first (a daily batch arrives as
         # landed data, not a lazy recompute over the whole history)
-        snapshot(
-            rows.filter(F.col("dt") == "1998-06").withColumn("price", F.col("price") + 1.0)
-        ).write.parquet(f"{root}/batch")
-        batch = spark.read.parquet(f"{root}/batch")
-        t0 = time.perf_counter()
-        merge_upsert(spark, path, batch, keys=["k1", "k2", "dt"], partition_col="dt")
-        return round(time.perf_counter() - t0, 3)
+        month = rows.filter(F.col("dt") == "1998-06")
+        for i in range(n_runs):
+            snapshot(month.withColumn("price", F.col("price") + float(i + 1))).write.parquet(
+                f"{root}/batch{i}"
+            )
+        runs: list[float] = []
+        for i in range(n_runs):
+            batch = spark.read.parquet(f"{root}/batch{i}")
+            t0 = time.perf_counter()
+            merge_upsert(spark, path, batch, keys=["k1", "k2", "dt"], partition_col="dt")
+            runs.append(time.perf_counter() - t0)
+        return runs
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -130,23 +138,39 @@ def main() -> None:
 
     # signature write operator + LLM-dedup path, tracked separately:
     # headline_total stays the read-query sum so it is comparable
-    # round-over-round
+    # round-over-round. Same min-of-n + spread methodology as the headline
+    # set (r7's single-sample aux made a 4.2->6.9s minhash swing
+    # unadjudicable against this container's documented ~1.5x jitter).
     aux: dict[str, float] = {}
+    aux_stats: dict[str, dict[str, float]] = {}
+
+    def _record_aux(name: str, runs: list[float]) -> None:
+        runs = sorted(runs)
+        aux[name] = round(runs[0], 3)
+        aux_stats[name] = {
+            "min": round(runs[0], 3),
+            "median": round(statistics.median(runs), 3),
+            "max": round(runs[-1], 3),
+        }
+
     try:
-        aux["merge_partition_pruned"] = _merge_bench(spark, sf_dir)
+        _record_aux("merge_partition_pruned", _merge_bench(spark, sf_dir, n_runs))
     except Exception as e:
         print(f"bench: merge_partition_pruned failed: {e}", file=sys.stderr)
         aux["merge_partition_pruned"] = -1.0
     try:
         # fuzzy-dedup candidate generation through the skew-bounded band
         # join (shingle explode -> minhash signatures -> grid self-join).
-        # Same methodology as the headline set: one untimed warmup run so
-        # the number is steady-state execution, not one-time codegen cost
-        # (measured: 12-21s cold vs ~5s warm for this query's plan size).
+        # One untimed warmup run so the numbers are steady-state execution,
+        # not one-time codegen cost (measured: 12-21s cold vs ~5s warm for
+        # this query's plan size).
         Q.QUERIES["minhash_lsh_candidates"].spark(spark, sf_dir).collect()
-        t0 = time.perf_counter()
-        Q.QUERIES["minhash_lsh_candidates"].spark(spark, sf_dir).collect()
-        aux["minhash_lsh_candidates"] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            Q.QUERIES["minhash_lsh_candidates"].spark(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        _record_aux("minhash_lsh_candidates", runs)
     except Exception as e:
         print(f"bench: minhash_lsh_candidates failed: {e}", file=sys.stderr)
         aux["minhash_lsh_candidates"] = -1.0
@@ -167,6 +191,7 @@ def main() -> None:
                 "stats": stats,
                 "runs": n_runs,
                 "aux": aux,
+                "aux_stats": aux_stats,
                 "sf": sf,
             }
         )
