@@ -13,12 +13,14 @@
   forward, tolerance) via the one-shuffle union + window-LOCF pattern
 - ``graph``       connected components (min-label propagation, with
   large-star/small-star contraction fallback) for dedup cluster assignment
+- ``redaction``   PII scrubbing as a map-side ``regexp_replace`` chain —
+  the redacting transform behind the ``pii_scrub_stats`` audit query
 
 The dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
 embedding-cosine), similarity search, and text analysis live in
 :mod:`fund_data_pipeline_spark.queries` as oracle-checked catalog entries.
 """
 
-from . import asof, chunking, graph, multimodal, sampling
+from . import asof, chunking, graph, multimodal, redaction, sampling
 
-__all__ = ["asof", "chunking", "graph", "multimodal", "sampling"]
+__all__ = ["asof", "chunking", "graph", "multimodal", "redaction", "sampling"]

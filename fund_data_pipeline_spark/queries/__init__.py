@@ -28,16 +28,17 @@ from . import mlops  # noqa: E402,F401
 #:
 #: Window policy (round-2 VERDICT rule): any query that has EVER failed a
 #: driver check stays in the window until it has a green driver row.
-#: Round-7 rotation (per the round-6 VERDICT item 1): CORRECTNESS_r06 was
-#: 50/50 green, so no unpaid failure holds a slot. All 23 operators added
-#: in round 6 (never driver-checked) enter the window; the 8 headline
-#: (benched) queries stay, per standing policy; the remaining 19 slots go
-#: to the longest-unchecked representatives — every query whose latest
-#: driver row is r1 or r2, then the oldest of the r4-green group. After
-#: this round, every catalog query's most recent driver row is r4 or
-#: later. Every excluded query is listed in _OUT_OF_WINDOW_WHY below with
-#: the CORRECTNESS round(s) that checked it green, still registered, and
-#: still gated by scripts/verify_local.py + tests/test_catalog_oracle.py.
+#: Round-8 rotation (per the round-7 VERDICT item 1): CORRECTNESS_r07 was
+#: 50/50 green, so no unpaid failure holds a slot. In: the 6 round-7
+#: queries that have never been driver-checked, the 2 new round-8 queries,
+#: every query whose latest driver row is r4 (10) or r5 (5), and the 19
+#: oldest r6 greens (the 9 single-green-round r6 rows first, then 10 of
+#: the r5+r6 group). The 8 headline (benched) queries stay, per standing
+#: policy. After this round, no catalog query's most recent driver row is
+#: older than r6. Every excluded query is listed in _OUT_OF_WINDOW_WHY
+#: below with the CORRECTNESS round(s) that checked it green, still
+#: registered, and still gated by scripts/verify_local.py +
+#: tests/test_catalog_oracle.py.
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
     # headline queries (benched) — stay in-window every round
@@ -49,52 +50,54 @@ _CHECKED_FIRST = [
     "tumbling_window_stats",
     "text_statistics",
     "exact_dedup",
-    # ---- the 23 round-6 operators: never driver-checked, all enter ----
-    "token_vocabulary",
-    "boilerplate_scrub",
-    "deterministic_shuffle_order",
-    "streaming_click_purchase_join",
-    "embedding_centroid_stats",
-    "characteristic_terms",
-    "scd2_priority_history",
-    "streaming_enriched_purchases",
-    "key_skew_profile",
-    "incremental_near_dup",
-    "audio_quality_gate",
-    "video_frame_sample_stats",
-    "price_histogram",
-    "rolling_30d_revenue",
-    "semantic_dedup_cells",
-    "record_linkage_fuzzy",
-    "running_distinct_users",
-    "daily_order_anomaly",
-    "hierarchy_flatten",
-    "cohort_retention",
-    "snapshot_diff",
-    "price_quantity_stats",
-    "incremental_rollup_revenue",
-    # ---- longest-unchecked: latest driver row is r1 ----
-    "distinct_counts",
-    "rollup_revenue",
-    "grouping_sets_revenue",
-    "repeat_buyers_intersect",
-    "churned_buyers_except",
-    "priority_orders_exists",
-    "price_quartiles_by_segment",
-    "salted_join_revenue",
-    # ---- latest driver row is r2 ----
-    "nation_pair_revenue",
-    "promo_revenue_share",
-    "top_supplier_revenue",
-    "small_quantity_revenue",
-    # ---- oldest of the r4-green group ----
-    "order_fulfillment_outer",
-    "ngram_jaccard_pairs",
-    "order_price_lead_lag",
-    "sliding_window_stats",
-    "null_sentinel_cleanup",
-    "duplicate_key_stats",
-    "sessionization",
+    # ---- the 6 round-7 operators: never driver-checked, all enter ----
+    "winsorized_price_stats",
+    "changelog_compact",
+    "calendar_gap_fill",
+    "fk_integrity_audit",
+    "embedding_random_projection",
+    "dedup_keep_best_quality",
+    # ---- new in round 8: never driver-checked ----
+    "pii_redaction",
+    "corpus_dedup_pipeline",
+    # ---- latest driver row is r4 ----
+    "event_type_summary",
+    "json_props_extraction",
+    "language_id_heuristic",
+    "doc_quality_profile",
+    "minhash_lsh_candidates",
+    "simhash_near_dup",
+    "streaming_tumbling_counts",
+    "train_val_test_split",
+    "embedding_ann_bucketed_topk",
+    "embedding_cosine_near_dup",
+    # ---- latest driver row is r5 ----
+    "cube_order_stats",
+    "pivot_status_by_segment",
+    "unpivot_part_metrics",
+    "buyer_set_ops",
+    "clicks_before_purchase_range_join",
+    # ---- oldest r6 greens: single green driver round ----
+    "multimodal_binary_meta",
+    "streaming_stateful_user_stats",
+    "pii_scrub_stats",
+    "image_decode_features",
+    "doc_chunking",
+    "sequence_packing",
+    "length_percentile_gate",
+    "leakage_safe_split",
+    "language_rebalance_mixture",
+    # ---- oldest r6 greens: r5+r6 group ----
+    "dedup_clusters",
+    "repair_feed_merge",
+    "order_price_percentiles",
+    "conversion_funnel",
+    "table_profile",
+    "dedup_keep_list",
+    "repetition_filter_stats",
+    "benchmark_contamination",
+    "quality_score",
+    "token_count_regex",
 ]
 
 
@@ -104,81 +107,83 @@ _CHECKED_FIRST = [
 #: parked past position 50). "driver-green rN" cites the CORRECTNESS round
 #: that checked the subsuming representative.
 _OUT_OF_WINDOW_WHY = {
-    # Rotated out in round 7 to cede slots to the 23 never-driver-checked
-    # round-6 operators + the longest-unchecked representatives (window
-    # policy: multi-round-green representatives rotate, ever-red stays until
-    # green; CORRECTNESS_r06 was 50/50 so nothing here has an unpaid
-    # failure). Every entry cites its own green driver round(s).
-    "group_count_breakdown": "driver-green r2+r3+r4+r5+r6; grouped-agg family in-window via pricing_summary + price_histogram",
-    "customers_without_orders": "driver-green r2+r3+r4+r5+r6; anti-join family in-window via churned_buyers_except + order_fulfillment_outer",
-    "active_customers_semi": "driver-green r2+r3+r4+r5+r6; semi-join family in-window via priority_orders_exists",
-    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6; per-key top-k window family in-window via order_price_lead_lag + rolling_30d_revenue",
-    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6; running-frame family in-window via sliding_window_stats + rolling_30d_revenue + running_distinct_users",
-    "ntile_quartiles": "driver-green r2+r3+r4+r5+r6; ranking-window family in-window via price_quartiles_by_segment + order_price_lead_lag",
-    "latest_order_per_customer": "driver-green r2+r3+r4+r5+r6; latest-per-key family in-window via cohort_retention + scd2_priority_history",
-    "conform_master_list": "driver-green r2+r3+r4+r5+r6; conform/synonym family in-window via null_sentinel_cleanup",
-    "numeric_string_parsing": "driver-green r2+r3+r4+r5+r6 (X4-X6 parses); parse family in-window via null_sentinel_cleanup + record_linkage_fuzzy's normalize step",
+    # Rotated out in round 8 to cede slots to the 6 never-driver-checked
+    # round-7 operators, the 2 new round-8 queries, and the r4/r5-stale
+    # representatives (window policy: multi-round-green representatives
+    # rotate, ever-red stays until green; CORRECTNESS_r07 was 50/50 so
+    # nothing here has an unpaid failure). Every entry cites its own green
+    # driver round(s); all 50 r7-window queries were green in r7.
+    "token_vocabulary": "driver-green r7 (first exposure); token/tf family in-window via token_count_regex + quality_score",
+    "boilerplate_scrub": "driver-green r7 (first exposure); chunking family in-window via doc_chunking + sequence_packing",
+    "deterministic_shuffle_order": "driver-green r7 (first exposure); md5-bucket family in-window via train_val_test_split + leakage_safe_split",
+    "streaming_click_purchase_join": "driver-green r7 (first exposure); streaming family in-window via streaming_tumbling_counts + streaming_stateful_user_stats",
+    "embedding_centroid_stats": "driver-green r7 (first exposure); embedding-agg family in-window via embedding_ann_bucketed_topk + embedding_random_projection",
+    "characteristic_terms": "driver-green r7 (first exposure); tf-idf family in-window via token_count_regex + quality_score",
+    "scd2_priority_history": "driver-green r7 (first exposure); SCD2/latest-per-key family in-window via changelog_compact",
+    "streaming_enriched_purchases": "driver-green r7 (first exposure); streaming family in-window via streaming_tumbling_counts + streaming_stateful_user_stats",
+    "key_skew_profile": "driver-green r7 (first exposure); profiling family in-window via table_profile",
+    "incremental_near_dup": "driver-green r7 (first exposure); band-index family in-window via minhash_lsh_candidates + benchmark_contamination",
+    "audio_quality_gate": "driver-green r7 (first exposure); multimodal family in-window via image_decode_features + multimodal_binary_meta",
+    "video_frame_sample_stats": "driver-green r7 (first exposure); multimodal family in-window via image_decode_features + multimodal_binary_meta",
+    "price_histogram": "driver-green r7 (first exposure); binning family in-window via length_percentile_gate + winsorized_price_stats",
+    "rolling_30d_revenue": "driver-green r7 (first exposure); window-frame family in-window via calendar_gap_fill (LOCF carry) + winsorized_price_stats (rank windows)",
+    "semantic_dedup_cells": "driver-green r7 (first exposure); IVF/semantic family in-window via corpus_dedup_pipeline (same cell join restricted to survivors) + embedding_cosine_near_dup",
+    "record_linkage_fuzzy": "driver-green r7 (first exposure); blocked fuzzy-join family in-window via simhash_near_dup + corpus_dedup_pipeline",
+    "running_distinct_users": "driver-green r7 (first exposure); per-user accumulation family in-window via streaming_stateful_user_stats + conversion_funnel",
+    "daily_order_anomaly": "driver-green r7 (first exposure); robust-stats family in-window via winsorized_price_stats",
+    "hierarchy_flatten": "driver-green r7 (first exposure); iterative-graph family in-window via dedup_clusters + dedup_keep_list (connected components)",
+    "cohort_retention": "driver-green r7 (first exposure); cohort family in-window via conversion_funnel",
+    "snapshot_diff": "driver-green r7 (first exposure); CDC/hash-compare family in-window via changelog_compact",
+    "price_quantity_stats": "driver-green r7 (first exposure); exact-moment family in-window via winsorized_price_stats + pricing_summary (same floor-split conversion)",
+    "incremental_rollup_revenue": "driver-green r7 (first exposure); merge/rollup family in-window via repair_feed_merge",
+    "distinct_counts": "driver-green r1+r7; distinct-agg family in-window via table_profile",
+    "rollup_revenue": "driver-green r1+r7; ROLLUP family in-window via cube_order_stats",
+    "grouping_sets_revenue": "driver-green r1+r7; grouping-sets family in-window via cube_order_stats + pivot_status_by_segment",
+    "repeat_buyers_intersect": "driver-green r1+r7; INTERSECT family in-window via buyer_set_ops",
+    "churned_buyers_except": "driver-green r1+r7; EXCEPT family in-window via buyer_set_ops",
+    "priority_orders_exists": "driver-green r1+r7; semi-join family in-window via fk_integrity_audit (semi/anti-join audit)",
+    "price_quartiles_by_segment": "driver-green r1+r7; ranking-window family in-window via winsorized_price_stats (rank-selected thresholds)",
+    "salted_join_revenue": "driver-green r1+r7; skew family checked green in two recent rounds (key_skew_profile r6+r7), plan pinned by tests/test_plans.py",
+    "nation_pair_revenue": "driver-green r2+r7; multi-join agg family in-window via regional_supplier_volume (headline)",
+    "promo_revenue_share": "driver-green r2+r7; conditional-agg family in-window via pricing_summary (headline)",
+    "top_supplier_revenue": "driver-green r2+r7; top-k agg family in-window via top_unshipped_orders (headline)",
+    "small_quantity_revenue": "driver-green r2+r7; filtered-agg family in-window via pricing_summary (headline)",
+    "order_fulfillment_outer": "driver-green r4+r7; outer-join family in-window via fk_integrity_audit (outer-join counting)",
+    "ngram_jaccard_pairs": "driver-green r4+r7; blocked shingle-join family in-window via minhash_lsh_candidates + benchmark_contamination",
+    "order_price_lead_lag": "driver-green r4+r7; lead-lag window family in-window via winsorized_price_stats + calendar_gap_fill (keyed windows)",
+    "sliding_window_stats": "driver-green r4+r7; sliding-window family in-window via tumbling_window_stats (headline) + streaming_tumbling_counts",
+    "null_sentinel_cleanup": "driver-green r4+r7; conform family stable (r4+r7); cleanup kernels shared with pii_redaction's regexp chain (in-window)",
+    "duplicate_key_stats": "driver-green r4+r7; keyed-dedup family in-window via exact_dedup (headline) + dedup_keep_best_quality",
+    "sessionization": "driver-green r4+r7; session-window family in-window via conversion_funnel + streaming_stateful_user_stats",
+    # Rotated out in earlier rounds, still multi-round green; staying out
+    # this rotation because their family representative is in-window (reps
+    # refreshed to the r8 window).
+    "group_count_breakdown": "driver-green r2+r3+r4+r5+r6; grouped-agg family in-window via pricing_summary (headline)",
+    "customers_without_orders": "driver-green r2+r3+r4+r5+r6; anti-join family in-window via fk_integrity_audit",
+    "active_customers_semi": "driver-green r2+r3+r4+r5+r6; semi-join family in-window via fk_integrity_audit",
+    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6; per-key top-k window family in-window via winsorized_price_stats (per-key rank windows)",
+    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6; running-frame family in-window via calendar_gap_fill (running LOCF window)",
+    "ntile_quartiles": "driver-green r2+r3+r4+r5+r6; ranking-window family in-window via winsorized_price_stats (rank selection)",
+    "latest_order_per_customer": "driver-green r2+r3+r4+r5+r6; latest-per-key family in-window via changelog_compact",
+    "conform_master_list": "driver-green r2+r3+r4+r5+r6; five consecutive green rounds",
+    "numeric_string_parsing": "driver-green r2+r3+r4+r5+r6 (X4-X6 parses); five consecutive green rounds",
     "fee_rescale_and_repair": "driver-green r2+r3+r4+r5+r6 (X7/X8/F9); five consecutive green rounds",
     "date_parsing_and_arithmetic": "driver-green r2+r3+r4+r5+r6 (X10-X12); five consecutive green rounds",
-    "row_hash_change_detection": "driver-green r2+r3+r4+r5+r6 (H2); hash family in-window via snapshot_diff (hash-compare kernel) + exact_dedup",
-    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6 (D2); keyed-dedup family in-window via duplicate_key_stats + exact_dedup",
+    "row_hash_change_detection": "driver-green r2+r3+r4+r5+r6 (H2); hash family in-window via exact_dedup (md5 content-hash kernel)",
+    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6 (D2); keyed-dedup family in-window via exact_dedup + dedup_keep_best_quality",
     "nav_validation_errors": "driver-green r2+r3+r4+r5+r6 (F1-F4); five consecutive green rounds",
     "master_validation_issues": "driver-green r2+r3+r4+r5+r6 (F5/F6); five consecutive green rounds",
-    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6 (K3/K4/H8); merge family in-window via snapshot_diff + incremental_rollup_revenue + scd2_priority_history",
-    "lifecycle_status_transitions": "driver-green r2+r3+r4+r5+r6 (L2-L5); lifecycle family in-window via scd2_priority_history (SCD2 superset)",
-    "locf_last_valid_value": "driver-green r2+r3+r4+r5+r6 (W4/W5/G3); LOCF window family in-window via order_price_lead_lag + sliding_window_stats",
+    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6 (K3/K4/H8); merge family in-window via repair_feed_merge (same keyed merge kernel)",
+    "lifecycle_status_transitions": "driver-green r2+r3+r4+r5+r6 (L2-L5); lifecycle family in-window via changelog_compact (state classification)",
+    "locf_last_valid_value": "driver-green r2+r3+r4+r5+r6 (W4/W5/G3); LOCF window family in-window via calendar_gap_fill (the LOCF carry)",
     "retention_cutoff_prune": "driver-green r2+r3+r4+r5+r6 (K8); five consecutive green rounds",
-    "dedup_clusters": "driver-green r5+r6 (with dedup_keep_list); connected-components iterative plan family in-window via hierarchy_flatten (bounded pointer-chase)",
-    "repair_feed_merge": "driver-green r5+r6 (U3/G2); merge family in-window via snapshot_diff + incremental_rollup_revenue",
-    "order_price_percentiles": "driver-green r5+r6; percentile family in-window via price_quartiles_by_segment + price_histogram",
-    "conversion_funnel": "driver-green r5+r6; event-agg family in-window via sessionization + cohort_retention + daily_order_anomaly",
-    "table_profile": "driver-green r5+r6; profiling family in-window via distinct_counts + key_skew_profile + price_quantity_stats",
-    "dedup_keep_list": "driver-green r5+r6; dedup-cluster family in-window via exact_dedup + duplicate_key_stats",
-    "repetition_filter_stats": "driver-green r5+r6; text-quality family in-window via text_statistics + token_vocabulary",
-    "benchmark_contamination": "driver-green r5+r6; shingle-join family in-window via ngram_jaccard_pairs + incremental_near_dup",
-    "quality_score": "driver-green r5+r6; text-scoring family in-window via text_statistics + characteristic_terms",
-    "token_count_regex": "driver-green r5+r6; tokenization family in-window via token_vocabulary + text_statistics",
-    "doc_fingerprint": "driver-green r5+r6; fingerprint family in-window via exact_dedup + deterministic_shuffle_order (md5-bucket kernel)",
-    "multimodal_binary_meta": "driver-green r6 (pays its r5 oracle-cast failure); multimodal family in-window via audio_quality_gate + video_frame_sample_stats",
-    "embedding_ivf_topk": "driver-green r5+r6; IVF family in-window via semantic_dedup_cells (same trained-codebook cell assignment) + embedding_centroid_stats",
-    "embedding_lsh_buckets": "driver-green r5+r6; LSH family in-window via incremental_near_dup (band-index join)",
-    "embedding_topk_pandas": "driver-green r5+r6; Arrow-batch family in-window via embedding_topk_cosine (headline) + audio_quality_gate (mapInPandas)",
-    "streaming_session_counts": "driver-green r5+r6; streaming family in-window via streaming_click_purchase_join + streaming_enriched_purchases",
-    "streaming_dedup_users": "driver-green r5+r6; streaming family in-window via streaming_click_purchase_join + streaming_enriched_purchases",
-    "streaming_stateful_user_stats": "driver-green r6 (pays its r5 oracle-cast failure); stateful-streaming family in-window via streaming_click_purchase_join",
-    "stratified_hash_sample": "driver-green r5+r6; hash-split family in-window via deterministic_shuffle_order (same md5-bucket kernel)",
-    "pii_scrub_stats": "driver-green r6 (pays its r5 oracle-cast failure); regexp-scrub family in-window via text_statistics + boilerplate_scrub",
-    "image_decode_features": "driver-green r6 (hard stub-equivalent oracle; rows-only r5); multimodal decode family in-window via audio_quality_gate + video_frame_sample_stats",
-    "doc_chunking": "driver-green r6; chunking family in-window via boilerplate_scrub (shares chunk_by_tokens)",
-    "sequence_packing": "driver-green r6; packing family in-window via boilerplate_scrub + token_vocabulary",
-    "length_percentile_gate": "driver-green r6; gate family in-window via text_statistics + price_histogram (binning kernel)",
-    "leakage_safe_split": "driver-green r6; split family in-window via deterministic_shuffle_order (same md5-bucket kernel)",
-    "language_rebalance_mixture": "driver-green r6; mixture family in-window via deterministic_shuffle_order + token_vocabulary",
-    # Rotated out in earlier rounds, still multi-round green; staying out
-    # this rotation because their family representative is in-window.
-    "cube_order_stats": "driver-green r2+r3+r4+r5 (pays its r1 failure x4); CUBE family in-window via rollup_revenue + grouping_sets_revenue",
-    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5; pivot family stable five consecutive rounds",
-    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5; unpivot/stack family stable five consecutive rounds",
-    "buyer_set_ops": "driver-green r2+r3+r4+r5; INTERSECT/EXCEPT family in-window via repeat_buyers_intersect + churned_buyers_except",
-    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5 (r3 NTZ env failure paid in r4); range-join family in-window via asof_last_click_before_purchase",
-    "event_type_summary": "driver-green r2+r4 (pays its r3 NTZ failure); grouped event aggs in-window via tumbling_window_stats + sessionization",
-    "json_props_extraction": "driver-green r1+r2+r3+r4; JSON path extraction stable across four rounds",
-    "language_id_heuristic": "driver-green r1+r2+r3+r4; text-scoring family in-window via text_statistics",
-    "doc_quality_profile": "driver-green r2+r3+r4; covered by text_statistics + token_vocabulary (in-window)",
-    "minhash_lsh_candidates": "driver-green r2+r3+r4 (headline-bench aux every round); band-join family in-window via ngram_jaccard_pairs + incremental_near_dup",
-    "simhash_near_dup": "driver-green r2+r3+r4; near-dup family in-window via exact_dedup + incremental_near_dup",
-    "streaming_tumbling_counts": "driver-green r2+r4 (pays its r3 NTZ failure); streaming family in-window via streaming_click_purchase_join + streaming_enriched_purchases",
-    "train_val_test_split": "driver-green r2+r3+r4; hash-split family in-window via deterministic_shuffle_order",
-    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4; ANN family in-window via embedding_topk_cosine + semantic_dedup_cells",
-    "embedding_cosine_near_dup": "driver-green r2+r3+r4; bucketed cosine family in-window via semantic_dedup_cells + embedding_topk_cosine",
-    # new in round 7 — queue for the round-8 rotation behind any r7
-    # failures (window policy); local-gate evidence at sf0.001/0.01/0.1
-    "winsorized_price_stats": "new r7 operator (rank-selected p01/p99 winsorization + exact decimal aggregation); rank-selection family in-window via price_quartiles_by_segment, grouped-agg family via price_quantity_stats",
-    "fk_integrity_audit": "new r7 operator (six-relationship referential-integrity report); anti/outer-join counting family in-window via order_fulfillment_outer + customers_without_orders",
-    "changelog_compact": "new r7 operator (log-compaction: latest-epoch-per-key with delete tombstones); latest-per-key window family in-window via dedup_keep_last slot history + snapshot_diff (CDC classification kernel)",
-    "calendar_gap_fill": "new r7 operator (date-spine densification + LOCF carry re-aggregated to gap stats); LOCF family in-window via sliding_window_stats + rolling_30d_revenue, spine explode is map-side",
-    "embedding_random_projection": "new r7 operator (deterministic JL projection 64->16 dims, exact integer arithmetic, map-side narrow transform); projection family in-window via embedding_topk_cosine + embedding_centroid_stats (same quantized-plane kernel as the LSH bucketer)",
-    "dedup_keep_best_quality": "new r7 operator (fingerprint-cluster dedup keeping the argmax-quality copy, the production keep rule); dedup family in-window via exact_dedup + duplicate_key_stats, quality expression via text_statistics",
+    "doc_fingerprint": "driver-green r5+r6; fingerprint family in-window via exact_dedup + doc_quality_profile (same fingerprint expression)",
+    "embedding_ivf_topk": "driver-green r5+r6; IVF family in-window via embedding_ann_bucketed_topk + corpus_dedup_pipeline (same cell assignment)",
+    "embedding_lsh_buckets": "driver-green r5+r6; LSH family in-window via embedding_cosine_near_dup (same plane kernel) + embedding_random_projection",
+    "embedding_topk_pandas": "driver-green r5+r6; Arrow-batch family in-window via embedding_topk_cosine (headline) + image_decode_features (mapInPandas)",
+    "streaming_session_counts": "driver-green r5+r6; streaming family in-window via streaming_tumbling_counts + streaming_stateful_user_stats",
+    "streaming_dedup_users": "driver-green r5+r6; streaming family in-window via streaming_tumbling_counts + streaming_stateful_user_stats",
+    "stratified_hash_sample": "driver-green r5+r6; hash-split family in-window via train_val_test_split + language_rebalance_mixture (same md5-bucket kernel)",
 }
 
 

@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import graph, multimodal, sampling
+from ..operators.redaction import scrub_expr, scrub_pii_sql
 from .registry import register, table
-from .text import minhash_bands, minhash_bands_sql
+from .text import minhash_bands, minhash_bands_sql, quality_expr, quality_sql
+from .vectors import _Q, EMB_DIM, N_IVF_CELLS, SEMDEDUP_TAU, semantic_dedup
 
 
 @register(
@@ -104,6 +106,41 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_scrubbed"
         ),
         F.sum(F.col("len_before") - F.col("len_after")).cast("long").alias("bytes_removed"),
+    )
+
+
+@register(
+    "pii_redaction",
+    doc="PII redaction transform (operators.redaction.scrub_pii): emits the "
+    "scrubbed text itself — email/SSN/IP/long-digit spans masked by a "
+    "map-side regexp_replace chain, no UDF, scan-speed at 100 TB. The "
+    "redacted text is verified per document by content hash (md5 of the "
+    "scrubbed string), not just by counts: the oracle applies the "
+    "IDENTICAL pattern chain (generated from the same pattern list), so a "
+    "single divergent replacement anywhere in the corpus fails the check.",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id,
+         {scrub_pii_sql("coalesce(text, '')")} AS redacted,
+         coalesce(text, '') AS original
+  FROM documents
+)
+SELECT doc_id,
+       md5(redacted) AS redacted_md5,
+       CAST(length(redacted) AS BIGINT) AS n_chars_after,
+       redacted <> original AS was_redacted
+FROM r
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    original = F.coalesce(F.col("text"), F.lit(""))
+    redacted = scrub_expr(original)
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("n_chars_after"),
+        (redacted != original).alias("was_redacted"),
     )
 
 
@@ -426,4 +463,155 @@ def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("media_id").cast("long").alias("doc_id"), "n_frames", "frame_bytes"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus dedup pipeline
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = f"""
+WITH RECURSIVE
+s1 AS (
+  SELECT doc_id, text, lang,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+  FROM documents
+),
+surv1 AS (SELECT doc_id, text, lang FROM s1 WHERE doc_id = exact_keeper),
+{{bands}},
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM surv1
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+surv2 AS (
+  SELECT s.doc_id, s.text, s.lang
+  FROM surv1 s JOIN cc ON cc.doc_id = s.doc_id AND cc.cluster_id = s.doc_id
+),
+e AS (SELECT vec_id, {_Q} AS qe FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id < {N_IVF_CELLS}),
+se AS (SELECT e.vec_id, e.qe FROM e JOIN surv2 s ON e.vec_id = s.doc_id),
+d AS (
+  SELECT se.vec_id, se.qe, c.cid,
+         list_sum(list_transform(se.qe, x -> x * x))
+           - 2 * list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> se.qe[i] * c.ce[i]))
+           + list_sum(list_transform(c.ce, x -> x * x)) AS dist
+  FROM se CROSS JOIN c
+),
+a2 AS (
+  SELECT vec_id, qe, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+),
+cells AS (SELECT vec_id, qe, cid AS cell FROM a2 WHERE rn = 1),
+drops3 AS (
+  SELECT DISTINCT hi.vec_id AS doc_id
+  FROM cells hi JOIN cells lo ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> hi.qe[i] * lo.qe[i])) AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(hi.qe, x -> x * x)) AS DOUBLE))
+             * sqrt(CAST(list_sum(list_transform(lo.qe, x -> x * x)) AS DOUBLE))) >= {SEMDEDUP_TAU}
+),
+surv3 AS (SELECT * FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM drops3)),
+scored AS (
+  SELECT doc_id,
+         md5(COALESCE(lang,'') || '|' || substr(text, 1, 32)) AS fingerprint,
+         {quality_sql()} AS quality
+  FROM surv3
+),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY quality DESC, doc_id) AS rn
+  FROM scored
+),
+stages AS (
+  SELECT doc_id, 'exact' AS drop_stage FROM s1 WHERE doc_id <> exact_keeper
+  UNION ALL SELECT doc_id, 'near_dup' FROM cc WHERE doc_id <> cluster_id
+  UNION ALL SELECT doc_id, 'semantic' FROM drops3
+  UNION ALL SELECT doc_id, 'quality' FROM ranked WHERE rn > 1
+)
+SELECT d.doc_id, s.drop_stage, s.drop_stage IS NULL AS keep
+FROM documents d LEFT JOIN stages s ON d.doc_id = s.doc_id
+""".format(bands=minhash_bands_sql(source="surv1"))
+
+
+@register(
+    "corpus_dedup_pipeline",
+    doc="End-to-end corpus dedup: the four dedup stages composed on ONE "
+    "corpus with consistent keep semantics — (1) exact content dedup "
+    "(md5(text) hash-groupBy, keep lowest id), (2) MinHash-LSH near-dup "
+    "(banded candidate pairs -> connected components, keep lowest id per "
+    "cluster), (3) SemDeDup semantic dedup over the embedding column "
+    "(IVF-cell cosine, greedy lower-id witness — restricted to docs still "
+    "alive, so a dropped doc can never witness a drop), (4) quality-ranked "
+    "fingerprint dedup (keep the best-scored copy). Emits one row per "
+    "document with its keep verdict and the FIRST stage that dropped it — "
+    "the per-stage attribution a data-curation report needs. Every stage "
+    "is bucketed/blocked (hash groups, LSH bands, IVF cells with "
+    "blocked_self_join, fingerprint clusters): no all-pairs work anywhere, "
+    "so the composition scales like its worst stage, not their product.",
+    oracle=_PIPELINE_ORACLE,
+)
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import banded_pairs_skew_bounded
+
+    docs = table(spark, sf_dir, "documents")
+
+    # stage 1: exact content dedup (one shuffle on the content hash)
+    s1 = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("exact_keeper"),
+    )
+    drops1 = s1.filter(F.col("doc_id") != F.col("exact_keeper")).select(
+        "doc_id", F.lit("exact").alias("drop_stage")
+    )
+    surv1 = s1.filter(F.col("doc_id") == F.col("exact_keeper")).drop("exact_keeper")
+
+    # stage 2: MinHash-LSH near-dup -> connected components, keep min id
+    edges = banded_pairs_skew_bounded(minhash_bands(surv1)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = graph.connected_components(surv1.select(F.col("doc_id").alias("node")), edges)
+    drops2 = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id"), F.lit("near_dup").alias("drop_stage")
+    )
+    surv2 = surv1.join(
+        cc.filter(F.col("node") == F.col("cluster_id")).select(
+            F.col("node").alias("doc_id")
+        ),
+        "doc_id",
+        "semi",
+    )
+
+    # stage 3: SemDeDup restricted to surviving docs (docs without an
+    # embedding row pass through untouched)
+    drops3 = semantic_dedup(
+        spark, sf_dir, restrict_ids=surv2.select(F.col("doc_id").alias("vec_id"))
+    ).select(F.col("vec_id").alias("doc_id"), F.lit("semantic").alias("drop_stage"))
+    surv3 = surv2.join(drops3.select("doc_id"), "doc_id", "anti")
+
+    # stage 4: quality-ranked fingerprint dedup (keep the best copy)
+    fingerprint = F.md5(
+        F.concat(F.coalesce(F.col("lang"), F.lit("")), F.lit("|"), F.substring("text", 1, 32))
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col("quality").desc(), "doc_id")
+    drops4 = (
+        surv3.select("doc_id", fingerprint.alias("fingerprint"), quality_expr().alias("quality"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", F.lit("quality").alias("drop_stage"))
+    )
+
+    stages = drops1.unionByName(drops2).unionByName(drops3).unionByName(drops4)
+    return docs.select("doc_id").join(stages, "doc_id", "left").select(
+        "doc_id", "drop_stage", F.col("drop_stage").isNull().alias("keep")
     )

@@ -29,6 +29,34 @@ def _tokens(col="text"):
     return F.split(F.col(col), " ")
 
 
+def quality_expr(col: str = "text"):
+    """Composite document-quality score (token-count band + stopword ratio
+    + avg token length band) — the keep-rank key of quality-aware dedup.
+    Shared by doc_quality_profile, dedup_keep_best_quality, and
+    corpus_dedup_pipeline so the score can never drift between the
+    profiling query and the keep rule that consumes it."""
+    toks = _tokens(col)
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
+    avg_len = F.length(F.regexp_replace(col, " ", "")).cast("double") / n_tokens
+    return (
+        F.lit(0.5) * F.when((n_tokens >= 30) & (n_tokens <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * F.least(stop_ratio * 10.0, F.lit(1.0))
+        + F.lit(0.2) * F.when((avg_len >= 3.0) & (avg_len <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+
+
+def quality_sql(col: str = "text") -> str:
+    """DuckDB form of :func:`quality_expr` (oracle reuse)."""
+    return (
+        f"0.5 * (CASE WHEN len(string_split({col}, ' ')) BETWEEN 30 AND 400 THEN 1.0 ELSE 0.0 END)"
+        f" + 0.3 * least(CAST(len(list_filter(string_split({col}, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)"
+        f" / len(string_split({col}, ' ')) * 10.0, 1.0)"
+        f" + 0.2 * (CASE WHEN CAST(length(replace({col}, ' ', '')) AS DOUBLE) / len(string_split({col}, ' '))"
+        f" BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)"
+    )
+
+
 @register(
     "text_statistics",
     headline=True,
@@ -194,15 +222,7 @@ FROM (
 )
 def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
-    avg_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
-    quality = (
-        F.lit(0.5) * F.when((n_tokens >= 30) & (n_tokens <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
-        + F.lit(0.3) * F.least(stop_ratio * 10.0, F.lit(1.0))
-        + F.lit(0.2) * F.when((avg_len >= 3.0) & (avg_len <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    )
+    quality = quality_expr()
     fingerprint = F.md5(
         F.concat(
             F.coalesce(F.col("lang"), F.lit("")),
@@ -346,12 +366,14 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands_sql() -> str:
-    """DuckDB CTE body equivalent of :func:`minhash_bands` (oracle reuse)."""
+def minhash_bands_sql(source: str = "documents") -> str:
+    """DuckDB CTE body equivalent of :func:`minhash_bands` (oracle reuse).
+    ``source`` is the relation holding (doc_id, text) — a prior CTE name
+    when banding a filtered corpus (corpus_dedup_pipeline's survivors)."""
     sig = (
         f"SELECT doc_id, "
         + ", ".join(f"MIN(md5('{i}|' || shingle)) AS h{i}" for i in range(_N_HASH))
-        + f" FROM (SELECT doc_id, unnest({_shingle_sql()}) AS shingle FROM documents) GROUP BY doc_id"
+        + f" FROM (SELECT doc_id, unnest({_shingle_sql()}) AS shingle FROM {source}) GROUP BY doc_id"
     )
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band, md5(h{a} || h{b}) AS band_key FROM sig"
@@ -1052,11 +1074,7 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH scored AS (
   SELECT doc_id,
          md5(COALESCE(lang,'') || '|' || substr(text, 1, 32)) AS fingerprint,
-         0.5 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 400 THEN 1.0 ELSE 0.0 END)
-       + 0.3 * least(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
-                     / len(string_split(text, ' ')) * 10.0, 1.0)
-       + 0.2 * (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))
-                      BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) AS quality
+         {quality_sql()} AS quality
   FROM documents
 ), ranked AS (
   SELECT doc_id, fingerprint, quality,
@@ -1073,15 +1091,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
-    avg_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
-    quality = (
-        F.lit(0.5) * F.when((n_tokens >= 30) & (n_tokens <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
-        + F.lit(0.3) * F.least(stop_ratio * 10.0, F.lit(1.0))
-        + F.lit(0.2) * F.when((avg_len >= 3.0) & (avg_len <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    )
+    quality = quality_expr()
     fingerprint = F.md5(
         F.concat(
             F.coalesce(F.col("lang"), F.lit("")),

@@ -662,6 +662,7 @@ def semantic_dedup(
     threshold: float = SEMDEDUP_TAU,
     centroids: Sequence[tuple[int, Sequence[int]]] | None = None,
     block_size: int = 4096,
+    restrict_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Cell-bucketed semantic dedup drop list.
 
@@ -674,6 +675,14 @@ def semantic_dedup(
     ``train_ivf_codebook(...)`` output for a corpus-shaped codebook — the
     plan is identical, only the literals change. Size ``n_cells`` with
     :func:`cells_for_corpus` at real corpus sizes.
+
+    ``restrict_ids`` (one ``vec_id`` column) limits the dedup to a subset
+    of the corpus — the pipeline-composition hook: a staged dedup
+    (corpus_dedup_pipeline) must only let SURVIVING vectors witness a
+    semantic drop. Centroids still come from the full table so the cell
+    geometry is stable across stages; the restriction is a semi-join
+    applied before the pair join, so the per-cell work shrinks with the
+    survivor set.
 
     The within-cell pair join goes through
     :func:`~..operators.similarity.blocked_self_join`: SemDeDup corpora are
@@ -693,6 +702,8 @@ def semantic_dedup(
             .select(F.col("vec_id").alias("cid"), "qe")
             .collect()
         )
+    if restrict_ids is not None:
+        emb = emb.join(restrict_ids.select("vec_id"), "vec_id", "semi")
     cells = emb.withColumn("cell", F.array_min(_cell_dist_arr(cents))["cid"])
     cosine = F.col("dot").cast("double") / (
         F.sqrt(F.col("hnorm").cast("double")) * F.sqrt(F.col("lnorm").cast("double"))

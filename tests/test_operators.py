@@ -771,3 +771,93 @@ def test_flatten_hierarchy_edge_table_doubling_and_guards(spark):
     only1 = spark.createDataFrame([(1,)], "node long")
     out = {r.node: (r.root, r.depth) for r in flatten_hierarchy(dang, nodes=only1).collect()}
     assert out == {1: (77, 1)}
+
+
+# ---------------------------------------------------------------------------
+# redaction
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_masks_and_preserves(spark):
+    from fund_data_pipeline_spark.operators.redaction import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk today"),
+            (2, "ssn 123-45-6789 on file"),
+            (3, "host 192.168.001.1 responded"),
+            (4, "card 12345678901234 charged"),
+            (5, "clean text stays clean"),
+            (6, None),
+            (7, "dual jo@ex.com and 987654321"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in scrub_pii(df).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "ssn <SSN> on file"
+    assert got[3] == "host <IP> responded"
+    assert got[4] == "card <NUM> charged"
+    assert got[5] == "clean text stays clean"
+    assert got[6] is None  # NULL text stays NULL — never invent content
+    assert got[7] == "dual <EMAIL> and <NUM>"
+
+    # out_col keeps the original for audit diffs
+    both = scrub_pii(df, out_col="redacted").filter("doc_id = 2").collect()[0]
+    assert both.text == "ssn 123-45-6789 on file" and both.redacted == "ssn <SSN> on file"
+
+
+def test_scrub_pii_sql_parity(spark):
+    """The generated DuckDB chain produces byte-identical redactions —
+    the invariant the pii_redaction oracle hash check rests on."""
+    import duckdb
+
+    from fund_data_pipeline_spark.operators.redaction import scrub_pii, scrub_pii_sql
+
+    texts = [
+        "a@b.io met 111-22-3333 at 10.0.0.255 ref 123456789012",
+        "no pii here",
+        "edge: almost-ssn 1234-56-7890 and short ip 1.2.3",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    spark_out = [r.text for r in scrub_pii(df).orderBy("i").collect()]
+    duck_out = [
+        duckdb.sql(f"SELECT {scrub_pii_sql('?::VARCHAR')}", params=[t]).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_out == duck_out
+
+
+# ---------------------------------------------------------------------------
+# corpus dedup pipeline composition
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_dedup_pipeline_stage_attribution(spark, sf_dir):
+    """Stage-attribution counts must sum to the total drops (every dropped
+    doc has exactly ONE stage), each stage must drop into the survivor set
+    of the previous stage, and stage 1 must agree with the standalone
+    exact_dedup query."""
+    from fund_data_pipeline_spark.queries.mlops import corpus_dedup_pipeline
+    from fund_data_pipeline_spark.queries.text import exact_dedup
+
+    rows = corpus_dedup_pipeline(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs  # exactly one verdict per document
+
+    by_stage: dict[str, int] = {}
+    n_kept = 0
+    for r in rows:
+        assert (r.drop_stage is None) == bool(r.keep)
+        if r.drop_stage is None:
+            n_kept += 1
+        else:
+            by_stage[r.drop_stage] = by_stage.get(r.drop_stage, 0) + 1
+    assert set(by_stage) <= {"exact", "near_dup", "semantic", "quality"}
+    assert sum(by_stage.values()) == n_docs - n_kept  # attribution is total
+
+    # stage 1 parity with the standalone exact_dedup operator: its drop
+    # count is (copies - groups)
+    ed = exact_dedup(spark, sf_dir).collect()
+    exact_drops = sum(r.n_copies for r in ed) - len(ed)
+    assert by_stage.get("exact", 0) == exact_drops
