@@ -15,12 +15,22 @@
   large-star/small-star contraction fallback) for dedup cluster assignment
 - ``redaction``   PII scrubbing as a map-side ``regexp_replace`` chain —
   the redacting transform behind the ``pii_scrub_stats`` audit query
+- ``timeseries``  daily date-spine gap fill with LOCF carry; spine
+  boundable to the trailing N days with carry-in across the cap
 
 The dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
 embedding-cosine), similarity search, and text analysis live in
 :mod:`fund_data_pipeline_spark.queries` as oracle-checked catalog entries.
 """
 
-from . import asof, chunking, graph, multimodal, redaction, sampling
+from . import asof, chunking, graph, multimodal, redaction, sampling, timeseries
 
-__all__ = ["asof", "chunking", "graph", "multimodal", "redaction", "sampling"]
+__all__ = [
+    "asof",
+    "chunking",
+    "graph",
+    "multimodal",
+    "redaction",
+    "sampling",
+    "timeseries",
+]

@@ -531,6 +531,8 @@ GROUP BY custkey
 """,
 )
 def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_fill_locf
+
     orders = table(spark, sf_dir, "orders")
     daily = (
         orders.select(
@@ -541,22 +543,9 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("custkey", "dt")
         .agg(F.sum("price").alias("day_revenue"))
     )
-    spans = daily.groupBy("custkey").agg(F.min("dt").alias("d0"), F.max("dt").alias("d1"))
-    spine = spans.select(
-        "custkey",
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("dt"),
-    )
-    w = (
-        Window.partitionBy("custkey")
-        .orderBy("dt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = spine.join(daily, ["custkey", "dt"], "left").select(
-        "custkey",
-        "dt",
-        "day_revenue",
-        F.last("day_revenue", ignorenulls=True).over(w).alias("carried"),
-    )
+    # unbounded spine: the oracle-checkable definition; production callers
+    # pass last_n_days to gap_fill_locf to cap each key's spine
+    filled = gap_fill_locf(daily, ["custkey"], "dt", "day_revenue")
     return filled.groupBy("custkey").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum(F.when(F.col("day_revenue").isNull(), 1).otherwise(0))

@@ -861,3 +861,53 @@ def test_corpus_dedup_pipeline_stage_attribution(spark, sf_dir):
     ed = exact_dedup(spark, sf_dir).collect()
     exact_drops = sum(r.n_copies for r in ed) - len(ed)
     assert by_stage.get("exact", 0) == exact_drops
+
+
+# ---------------------------------------------------------------------------
+# bounded-span gap fill
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_locf_span_cap_with_carry_in(spark):
+    """last_n_days must (1) bound every key's spine to N rows, (2) keep
+    in-range carried values identical to the unbounded spine (carry-in
+    across the cap from pre-cap observations), and (3) leave keys shorter
+    than N untouched."""
+    import datetime as dt
+
+    from fund_data_pipeline_spark.operators.timeseries import gap_fill_locf
+
+    d = dt.date
+    daily = spark.createDataFrame(
+        [
+            # key 1: long history — obs on day 1, 3, then a 60-day gap, obs day 64
+            (1, d(2024, 1, 1), 10.0),
+            (1, d(2024, 1, 3), 30.0),
+            (1, d(2024, 3, 4), 64.0),
+            # key 2: short history, inside any cap
+            (2, d(2024, 1, 10), 5.0),
+            (2, d(2024, 1, 12), 7.0),
+        ],
+        "k long, dt date, v double",
+    )
+    full = gap_fill_locf(daily, ["k"], "dt", "v")
+    capped = gap_fill_locf(daily, ["k"], "dt", "v", last_n_days=10)
+
+    full_rows = {(r.k, r.dt): (r.v, r.carried) for r in full.collect()}
+    cap_rows = {(r.k, r.dt): (r.v, r.carried) for r in capped.collect()}
+
+    # key 1 spans 64 days unbounded, exactly 10 capped; key 2 spans 3 both ways
+    assert sum(1 for k, _ in full_rows if k == 1) == 64
+    assert sum(1 for k, _ in cap_rows if k == 1) == 10
+    assert sum(1 for k, _ in cap_rows if k == 2) == 3
+
+    # capped rows agree with the unbounded spine, including carry-in: every
+    # capped day of key 1 is a gap day except the last, carried from day 3's
+    # observation (30.0) across the cap boundary
+    for key_dt, val in cap_rows.items():
+        assert full_rows[key_dt] == val
+    assert cap_rows[(1, d(2024, 2, 28))] == (None, 30.0)
+    assert cap_rows[(1, d(2024, 3, 4))] == (64.0, 64.0)
+
+    with pytest.raises(ValueError, match="last_n_days"):
+        gap_fill_locf(daily, ["k"], "dt", "v", last_n_days=0)
