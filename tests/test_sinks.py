@@ -75,6 +75,46 @@ def test_write_upsert_executor_path_sqlite(spark, tmp_path):
         got = dict(conn.execute("SELECT ticker, price FROM nav").fetchall())
     assert got == {"AAA": 1.0, "BBB": 9.0, "CCC": 3.0, "DDD": 4.0}
 
+    # hash-guard SKIP: same row_hash with a different payload must leave the
+    # stored row untouched (the WHERE <hash> IS NOT excluded.<hash> guard
+    # fires server-side) — the property that makes re-runs no-ops
+    feed([("AAA", 111.0, "h1")])
+    with sqlite3.connect(db) as conn:
+        (price,) = conn.execute("SELECT price FROM nav WHERE ticker='AAA'").fetchone()
+    assert price == 1.0
+
+
+def test_write_upsert_multi_partition_connections(spark, tmp_path):
+    """Each partition opens its own connection on the executor; with a
+    busy-timeout factory the partitions serialize on sqlite's single-writer
+    lock and every row still lands exactly once."""
+    db = str(tmp_path / "mp.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE t (k INTEGER, v TEXT, row_hash TEXT, UNIQUE(k))")
+
+    rows = [(i, f"v{i}", f"h{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v string, row_hash string").repartition(4)
+    write_upsert(
+        df,
+        lambda: sqlite3.connect(db, timeout=30),
+        "t",
+        keys=["k"],
+        dialect="sqlite",
+        batch_size=7,
+    )
+    # idempotent re-run: identical hashes -> zero server-side changes
+    write_upsert(
+        df,
+        lambda: sqlite3.connect(db, timeout=30),
+        "t",
+        keys=["k"],
+        dialect="sqlite",
+        batch_size=7,
+    )
+    with sqlite3.connect(db) as conn:
+        got = dict(conn.execute("SELECT k, v FROM t").fetchall())
+    assert got == {i: f"v{i}" for i in range(40)}
+
 
 def test_upsert_sql_rejects_unsafe_identifiers():
     from fund_data_pipeline_spark.sinks.jdbc_upsert import upsert_sql
