@@ -945,3 +945,27 @@ def test_scrub_pii_parity_fuzz(spark):
     duck_out = [r[0] for r in con.execute(
         f"SELECT {scrub_pii_sql('text')} FROM t ORDER BY i").fetchall()]
     assert spark_out == duck_out
+
+
+def test_scrub_pii_is_streaming_safe(spark, sf_dir):
+    """scrub_pii is a stateless map-side transform, so it must compose with
+    Structured Streaming unchanged: a streamed scrub over the documents
+    landing zone (availableNow drain) yields exactly the batch result."""
+    from fund_data_pipeline_spark.operators.redaction import scrub_pii
+    from fund_data_pipeline_spark.streaming.streams import run_to_memory
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    streamed = run_to_memory(
+        scrub_pii(sdf).select("doc_id", "text"), mode="append"
+    ).collect()
+    batch = scrub_pii(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "text"
+    ).collect()
+    assert sorted((r.doc_id, r.text) for r in streamed) == sorted(
+        (r.doc_id, r.text) for r in batch
+    )
