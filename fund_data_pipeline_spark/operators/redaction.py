@@ -67,6 +67,9 @@ def scrub_pii_sql(
     in patterns are not supported (none of the defaults contain any)."""
     out = expr
     for pattern, token in patterns:
-        assert "'" not in pattern and "'" not in token
+        if "'" in pattern or "'" in token:
+            # interpolated unquoted-safe only; a quote would emit broken
+            # (or crafted) SQL whose error surfaces far from the cause
+            raise ValueError(f"single quotes not supported in patterns: {pattern!r} -> {token!r}")
         out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
     return out

@@ -73,12 +73,15 @@ def gap_fill_locf(
     )
     if last_n_days is None:
         return filled.drop("__d0")
-    # carry-in across the cap: newest observation at-or-before the capped
-    # start, from observation rows only (tiny relative to any spine)
+    # carry-in across the cap: newest NON-NULL observation at-or-before the
+    # capped start, from observation rows only (tiny relative to any
+    # spine). The null filter mirrors the in-spine LOCF's ignorenulls —
+    # a NULL observation must not mask an older real value.
     ws = Window.partitionBy(*keys).orderBy(F.col(date_col).desc())
     seed = (
         daily.join(spans.select(*keys, "__d0"), keys)
         .filter(F.col(date_col) < F.col("__d0"))
+        .filter(F.col(value_col).isNotNull())
         .withColumn("__rn", F.row_number().over(ws))
         .filter(F.col("__rn") == 1)
         .select(*keys, F.col(value_col).alias("__seed"))

@@ -750,12 +750,10 @@ def incremental_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qc).alias("q"), F.sum(pc * dmul).alias("pd"), F.count(F.lit(1)).alias("n")
         )
 
-    def split_double(total, scale: int):
-        # exact integer decimal -> double, floor-split (identical bits to
-        # the oracle's FLOOR/frac decomposition at any scale factor)
-        r = total % F.lit(scale)
-        whole = ((total - r) / F.lit(scale)).cast("decimal(38,0)")
-        return whole.cast("double") + r.cast("double") / F.lit(float(scale))
+    # exact integer decimal -> double, floor-split (identical bits to the
+    # oracle's FLOOR/frac decomposition at any scale factor; shared kernel
+    # in queries/numeric.py)
+    from .numeric import split_integer_total as split_double
 
     measures = {
         "sum_qty": split_double(F.sum(F.col("q").cast("decimal(38,0)")), 100),

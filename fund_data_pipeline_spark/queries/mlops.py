@@ -69,18 +69,16 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pii_scrub_stats",
-    doc="PII scrub pass over documents: mask email-shaped and long-digit "
-    "sequences (regexp_replace, JVM-side), report how many documents were "
-    "touched and the byte delta — the audit query of a redaction stage.",
-    oracle=r"""
+    doc="PII scrub audit over documents: how many documents the redaction "
+    "pass touches and the byte delta. Applies the SAME pattern chain as "
+    "the shipping transform (operators.redaction.scrub_pii — email / SSN "
+    "/ IP / long-digit), generated from one pattern list on both engines, "
+    "so the audit can never drift from the redaction it audits.",
+    oracle=f"""
 WITH scrubbed AS (
   SELECT doc_id,
          length(text) AS len_before,
-         length(
-           regexp_replace(
-             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\d{9,}', '<NUM>', 'g')
-         ) AS len_after
+         length({scrub_pii_sql("text")}) AS len_after
   FROM documents
 )
 SELECT COUNT(*) AS n_docs,
@@ -91,13 +89,7 @@ FROM scrubbed
 )
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
-        ),
-        r"\d{9,}",
-        "<NUM>",
-    )
+    scrubbed = scrub_expr("text")
     return docs.select(
         F.length("text").alias("len_before"), F.length(scrubbed).alias("len_after")
     ).agg(

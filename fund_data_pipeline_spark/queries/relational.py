@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .numeric import split_integer_total, split_scaled_decimal
 from .registry import register, table
 
 
@@ -108,10 +109,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def split(c, scale):
-        # exact integer total -> double, floor-split (see doc above)
-        return F.expr(f"{c} div {scale}").cast("double") + (
-            F.col(c) % F.lit(scale)
-        ).cast("double") / F.lit(float(scale))
+        # exact integer total -> double, floor-split (see doc above;
+        # shared kernel in queries/numeric.py)
+        return split_integer_total(F.col(c), scale)
 
     return tot.select(
         "l_returnflag",
@@ -888,11 +888,9 @@ def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     price, qty = _dec("l_extendedprice"), _dec("l_quantity")
 
-    def to_double(c):
-        # floor-split decimal->double (see doc): both halves convert
-        # correctly-rounded on both engines; the recombining add is one
-        # IEEE op neither engine contracts (no FMA across operators)
-        return F.floor(c).cast("double") + (c - F.floor(c)).cast("double")
+    # floor-split decimal->double (see doc; shared kernel in
+    # queries/numeric.py)
+    to_double = split_scaled_decimal
 
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -912,6 +912,23 @@ def test_gap_fill_locf_span_cap_with_carry_in(spark):
     with pytest.raises(ValueError, match="last_n_days"):
         gap_fill_locf(daily, ["k"], "dt", "v", last_n_days=0)
 
+    # a NULL observation just before the cap must not mask the older real
+    # value: the carry-in seed skips NULLs like the in-spine LOCF does
+    nully = spark.createDataFrame(
+        [(1, d(2024, 1, 1), 5.0), (1, d(2024, 1, 2), None), (1, d(2024, 3, 1), 1.0)],
+        "k long, dt date, v double",
+    )
+    got = {
+        r.dt: r.carried
+        for r in gap_fill_locf(nully, ["k"], "dt", "v", last_n_days=10).collect()
+    }
+    want = {
+        r.dt: r.carried
+        for r in gap_fill_locf(nully, ["k"], "dt", "v").collect()
+        if r.dt in got
+    }
+    assert got == want and got[d(2024, 2, 25)] == 5.0
+
 
 def test_scrub_pii_parity_fuzz(spark):
     """Cross-engine redaction parity over 200 seeded pseudo-random texts
