@@ -184,6 +184,14 @@ _OUT_OF_WINDOW_WHY = {
     "streaming_session_counts": "driver-green r5+r6; streaming family in-window via streaming_tumbling_counts + streaming_stateful_user_stats",
     "streaming_dedup_users": "driver-green r5+r6; streaming family in-window via streaming_tumbling_counts + streaming_stateful_user_stats",
     "stratified_hash_sample": "driver-green r5+r6; hash-split family in-window via train_val_test_split + language_rebalance_mixture (same md5-bucket kernel)",
+    # new in round 8 (late additions after the r8 window was pinned) —
+    # queue for the round-9 rotation behind any r8 failures (window
+    # policy); these upgrade previously tests-only library ops (H3-H7,
+    # X13/X14/X16/X17, U1) to oracle-checked catalog rows; local-gate
+    # evidence at sf0.001/0.01/0.1
+    "row_hash_surfaces": "new r8 operator (H2-H7 hash kernels from hashing.py driver-checkable per row: concat/safe md5, OHLCV + dividend sha256, pipe-delimited normalized key); hash family in-window via exact_dedup + pii_redaction (md5 content hashes)",
+    "string_compose_format": "new r8 operator (X13/X14/X16/X17 string kernels from parse.py: split/compose, %.2f format, default-fill, filename-stem); parse family in-window via pii_redaction (regexp chain) + train_val_test_split",
+    "union_mixed_schemas": "new r8 operator (U1 heterogeneous unionByName(allowMissingColumns) with null-fill); union family exercised in-window via corpus_dedup_pipeline's stage union + buyer_set_ops",
 }
 
 

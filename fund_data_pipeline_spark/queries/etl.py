@@ -872,3 +872,115 @@ def changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("key", F.col("epoch").alias("last_epoch"), F.col("price").alias("final_price"))
     )
+
+
+@register(
+    "row_hash_surfaces",
+    doc="The H2-H7 row-hash kernels (hashing.py) driver-checked per row: "
+    "separator-less md5 concat (H2/H7, byte-compatible with the reference's "
+    "hasher including its inherited concat-collision quirk), the "
+    "unit-separator v2 hash, the sha256 OHLCV-style concat (H3 kernel), the "
+    "sha256 date+amount+type hash (H4 kernel), and the pipe-delimited "
+    "normalized key with lower/trim + ISO date + %.6f amount (H5). All "
+    "single JVM-side expressions over string/integer/timestamp inputs "
+    "(doubles only through explicit %.6f formatting — a bare double->string "
+    "cast renders differently per engine and is deliberately excluded from "
+    "every hash surface).",
+    oracle="""
+SELECT o_orderkey,
+       md5(COALESCE(CAST(o_orderstatus AS VARCHAR),'')
+           || COALESCE(CAST(o_orderpriority AS VARCHAR),'')
+           || COALESCE(CAST(o_orderkey AS VARCHAR),'')) AS concat_hash,
+       md5(concat_ws(chr(31),
+           COALESCE(CAST(o_orderstatus AS VARCHAR),''),
+           COALESCE(CAST(o_orderpriority AS VARCHAR),''),
+           COALESCE(CAST(o_orderkey AS VARCHAR),''))) AS safe_hash,
+       sha256(COALESCE(CAST(o_orderkey AS VARCHAR),'')
+           || COALESCE(CAST(o_custkey AS VARCHAR),'')
+           || COALESCE(CAST(o_orderstatus AS VARCHAR),'')
+           || COALESCE(CAST(o_orderpriority AS VARCHAR),'')
+           || COALESCE(CAST(o_orderdate AS VARCHAR),'')
+           || COALESCE(CAST(o_orderkey AS VARCHAR),'')) AS ohlcv_style_hash,
+       sha256(COALESCE(CAST(o_orderdate AS VARCHAR),'')
+           || COALESCE(CAST(o_custkey AS VARCHAR),'')
+           || COALESCE(CAST(o_orderstatus AS VARCHAR),'')) AS dividend_style_hash,
+       sha256(concat_ws('|',
+           lower(trim(o_orderpriority)),
+           lower(trim(o_orderstatus)),
+           COALESCE(CAST(o_custkey AS VARCHAR),''),
+           COALESCE(strftime(o_orderdate, '%Y-%m-%d'),''),
+           COALESCE(printf('%.6f', CAST(o_totalprice AS DOUBLE)),''))) AS normalized_key_hash
+FROM orders
+""",
+)
+def row_hash_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..hashing import (
+        dividend_hash,
+        normalized_key_hash,
+        ohlcv_hash,
+        row_hash_concat,
+        row_hash_safe,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_orderkey"]
+    return orders.select(
+        "o_orderkey",
+        row_hash_concat(cols).alias("concat_hash"),
+        row_hash_safe(cols).alias("safe_hash"),
+        ohlcv_hash(
+            open_col="o_orderkey",
+            high_col="o_custkey",
+            low_col="o_orderstatus",
+            close_col="o_orderpriority",
+            adj_close_col="o_orderdate",
+            volume_col="o_orderkey",
+        ).alias("ohlcv_style_hash"),
+        dividend_hash(
+            ex_date="o_orderdate", amount="o_custkey", type_col="o_orderstatus"
+        ).alias("dividend_style_hash"),
+        normalized_key_hash(
+            ticker="o_orderpriority",
+            asset_type="o_orderstatus",
+            source="o_custkey",
+            ex_date="o_orderdate",
+            amount="o_totalprice",
+        ).alias("normalized_key_hash"),
+    )
+
+
+@register(
+    "string_compose_format",
+    doc="The X13/X14/X16/X17 string kernels (parse.py) driver-checked per "
+    "row: split/compose on a delimiter (split_ticker), fixed-point %.2f "
+    "amount formatting (format_amount — the only sanctioned double->string "
+    "path), default-fill on NULL (default_if_null over a synthesized NULL), "
+    "and filename-stem extraction (filename_stem_ticker over a composed "
+    "landing path). All narrow map-side expressions.",
+    oracle="""
+SELECT c_custkey,
+       string_split(c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR), ':')[1] AS ticker_part,
+       string_split(c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR), ':')[2] AS currency_part,
+       printf('%.2f', CAST(c_acctbal AS DOUBLE)) AS balance_fmt,
+       COALESCE(nullif(c_mktsegment, 'FURNITURE'), 'DEFAULT') AS segment_defaulted,
+       regexp_extract(string_split('landing/' || c_name || '_2024.csv', '/')[-1], '^([^_.]+)', 1) AS stem_ticker
+FROM customer
+""",
+)
+def string_compose_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..parse import default_if_null, filename_stem_ticker, format_amount, split_ticker
+
+    cust = table(spark, sf_dir, "customer")
+    composed = F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_nationkey").cast("string"))
+    ticker, currency = split_ticker(composed)
+    path = F.concat(F.lit("landing/"), F.col("c_name"), F.lit("_2024.csv"))
+    return cust.select(
+        "c_custkey",
+        ticker.alias("ticker_part"),
+        currency.alias("currency_part"),
+        format_amount("c_acctbal", 2).alias("balance_fmt"),
+        default_if_null(F.nullif(F.col("c_mktsegment"), F.lit("FURNITURE")), "DEFAULT").alias(
+            "segment_defaulted"
+        ),
+        filename_stem_ticker(path).alias("stem_ticker"),
+    )

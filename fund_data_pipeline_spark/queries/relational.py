@@ -1066,3 +1066,33 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "union_mixed_schemas",
+    doc="U1 driver-checked: UNION ALL of heterogeneous frames via "
+    "unionByName(allowMissingColumns=True) — the landing-zone append shape "
+    "where files legitimately differ in width; the missing column "
+    "null-fills instead of positional-union silently misaligning. Narrow "
+    "map-side op; at scale this is a metadata-only plan node.",
+    oracle="""
+SELECT c_custkey AS entity_id, c_name AS name, c_mktsegment AS segment, 'customer' AS side
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, NULL, 'supplier'
+FROM supplier
+""",
+)
+def union_mixed_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("customer").alias("side"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("side"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
