@@ -71,13 +71,23 @@ def compact_partition(
     import shutil as _shutil
 
     p = Path(path)
-    backup = Path(path + ".__old__")
+    # backup/staging are dot-prefixed: a compacted leaf often sits inside a
+    # hive root, where a visible 'dt=...__old__'/'...__compact__' sibling
+    # would be parsed by partition discovery as a real partition (corrupt
+    # reads of in-flight staging data or of the crash leftover)
+    backup = p.with_name("." + p.name + ".__old__")
     if backup.exists() and not p.exists():
         # a previous compaction crashed between the two renames: the backup
         # IS the table. Restore it and carry on.
         backup.rename(p)
     elif backup.exists():
         _shutil.rmtree(backup)  # stale leftover from a crash after the swap
+    if not p.exists():
+        raise FileNotFoundError(
+            f"compact_partition target does not exist and no crash backup was "
+            f"found to restore: {path} (mistyped path, or the partition was "
+            f"dropped by retention?)"
+        )
     if any(child.is_dir() and "=" in child.name for child in p.iterdir()):
         raise ValueError(
             f"compact_partition must target a leaf partition directory, not a "
@@ -87,7 +97,7 @@ def compact_partition(
     df = spark.read.parquet(path)
     total = sum(f.stat().st_size for f in p.rglob("*.parquet"))
     n = max(1, int(total / target_bytes_per_file) + (1 if total % target_bytes_per_file else 0))
-    staging = Path(path + ".__compact__")
+    staging = p.with_name("." + p.name + ".__compact__")
     if staging.exists():
         _shutil.rmtree(staging)
     df.coalesce(n).write.mode("overwrite").parquet(str(staging))

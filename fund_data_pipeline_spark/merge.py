@@ -170,10 +170,19 @@ def merge_upsert(
         # drop the evolved column. Footer-merging is a distributed
         # metadata-only job bounded by file count — correct first, and cheap
         # relative to the merge itself.
+        # both prune paths are NULL-safe: a batch row with a NULL partition
+        # value lives in __HIVE_DEFAULT_PARTITION__, and that partition's
+        # existing target rows must enter the merge like any other touched
+        # partition's (plain isin / == would silently drop them and the
+        # swap would overwrite the NULL partition with source-only content)
         if len(touched) <= _ISIN_PRUNE_MAX:
             target = (
                 spark.read.option("mergeSchema", "true").parquet(str(path))
-                .filter(F.col(partition_col).cast(src_dtype).isin(touched))
+                .filter(
+                    touched_partition_filter(
+                        F.col(partition_col).cast(src_dtype), touched
+                    )
+                )
                 .withColumn(partition_col, F.col(partition_col).cast(src_dtype))
             )
         else:
@@ -187,7 +196,7 @@ def merge_upsert(
             target = (
                 raw.join(
                     probe,
-                    raw[partition_col] == probe["__touched_part"],
+                    raw[partition_col].eqNullSafe(probe["__touched_part"]),
                     "left_semi",
                 )
                 .withColumn(partition_col, F.col(partition_col).cast(src_dtype))
@@ -258,12 +267,22 @@ def merge_upsert(
 
     stats = MergeStats(-1, -1, -1)
     if collect_stats:
-        counts = {r["__action"]: r["n"] for r in result.groupBy("__action").agg(F.count(F.lit(1)).alias("n")).collect()}
-        stats = MergeStats(
-            inserted=counts.get("insert", 0),
-            updated=counts.get("update", 0),
-            unchanged=counts.get("unchanged", 0) + counts.get("keep", 0),
-        )
+        # persist across the stats pass AND the write: without it the
+        # dominant full-outer shuffle runs twice per merge, and a
+        # non-deterministic source could make the reported counts disagree
+        # with the rows actually written
+        result = result.persist()
+        try:
+            counts = {r["__action"]: r["n"] for r in result.groupBy("__action").agg(F.count(F.lit(1)).alias("n")).collect()}
+            stats = MergeStats(
+                inserted=counts.get("insert", 0),
+                updated=counts.get("update", 0),
+                unchanged=counts.get("unchanged", 0) + counts.get("keep", 0),
+            )
+            _write_table(result.drop("__action"), path, layout, partition_col, history)
+        finally:
+            result.unpersist()
+        return stats
 
     _write_table(result.drop("__action"), path, layout, partition_col, history)
     return stats
@@ -307,15 +326,23 @@ def _persisted_retention(path: Path) -> int | None:
 def detect_layout(path: Path | str) -> str | None:
     """The on-disk layout of an existing table: ``"manifest"`` (pointer
     file), ``"hive"`` (``col=value`` partition dirs), ``"flat"`` (plain
-    parquet directory), or None if nothing exists yet."""
+    parquet directory), or None if nothing exists yet.
+
+    Hidden and underscore-prefixed entries don't count as table content:
+    an empty pre-created directory, a crash-orphaned ``_v_*`` snapshot
+    whose manifest pointer was never written, or a leftover dot-prefixed
+    swap backup must not classify as a ``flat`` table — that would make
+    the layout guard refuse the (perfectly safe) first or retried write
+    forever."""
     path = Path(path)
     if (path / MANIFEST_NAME).exists():
         return "manifest"
     if not path.exists():
         return None
-    if any(d.is_dir() and "=" in d.name for d in path.iterdir()):
+    entries = [d for d in path.iterdir() if not d.name.startswith((".", "_"))]
+    if any(d.is_dir() and "=" in d.name for d in entries):
         return "hive"
-    return "flat"
+    return "flat" if entries else None
 
 
 def _check_layout_compatible(path: Path, intended: str) -> None:
@@ -358,16 +385,18 @@ def hive_partition_dir(partition_col: str, value) -> str:
     return f"{partition_col}={escaped}"
 
 
-def touched_partition_filter(partition_col: str, touched) -> Column:
+def touched_partition_filter(partition_col: str | Column, touched) -> Column:
     """Null-safe membership filter over partition values: plain ``isin``
     silently drops a NULL partition value (SQL three-valued logic), so rows
     in ``__HIVE_DEFAULT_PARTITION__`` would be excluded from a rewrite that
-    claims to cover them."""
+    claims to cover them. Accepts a column name or a prepared Column
+    expression (the pruned merge passes the dtype-cast column)."""
+    col = F.col(partition_col) if isinstance(partition_col, str) else partition_col
     touched = list(touched)  # consumed twice below; tolerate one-shot iterators
     nonnull = [v for v in touched if v is not None]
-    cond = F.col(partition_col).isin(nonnull) if nonnull else F.lit(False)
+    cond = col.isin(nonnull) if nonnull else F.lit(False)
     if len(nonnull) != len(touched):
-        cond = cond | F.col(partition_col).isNull()
+        cond = cond | col.isNull()
     return cond
 
 
@@ -447,7 +476,11 @@ def read_table(
 def _table_exists(path: Path, layout: str) -> bool:
     if layout == "manifest":
         return (path / MANIFEST_NAME).exists()
-    return path.exists()
+    # content-based, matching detect_layout: a pre-created EMPTY directory
+    # (or one holding only bookkeeping/hidden entries) is not a table —
+    # treating it as one would send the merge down the read path and die
+    # on schema inference over zero files
+    return detect_layout(path) in ("hive", "flat")
 
 
 def _write_table(
@@ -578,6 +611,10 @@ def diff_frames(
     omitted. Inserts/updates carry the ``new`` row, deletes the ``old`` row;
     keys join null-safely (matching the merge's own semantics)."""
     keys = list(keys)
+    reserved = {"__o_present", "__n_present"}
+    clash = reserved & (set(old.columns) | set(new.columns))
+    if clash:
+        raise ValueError(f"column names reserved by diff_frames: {sorted(clash)}")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
     o = old.withColumn("__o_present", F.lit(True)).alias("o")
     n = new.withColumn("__n_present", F.lit(True)).alias("n")
@@ -627,14 +664,23 @@ def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> set[
         partition_col
     ).parquet(str(staging))
     path.mkdir(parents=True, exist_ok=True)
+    # heal EVERY orphaned backup first, not just this batch's partitions: a
+    # crash between the two renames of some earlier batch leaves only the
+    # backup, and waiting for the same partition to be touched again would
+    # leave the table missing that partition indefinitely. Backup names are
+    # dot-prefixed so Spark's partition discovery never parses one as a
+    # real partition (a visible '<pcol>=<v>.__old__' dir would read back as
+    # rows under a corrupted partition value).
+    for backup in list(path.glob(f".{partition_col}=*.__old__")):
+        dest = path / backup.name[1 : -len(".__old__")]
+        if dest.exists():
+            shutil.rmtree(backup)  # crash after the swap: backup is stale
+        else:
+            backup.rename(dest)  # crash between renames: backup IS the data
     swapped: set[str] = set()
     for part_dir in sorted(staging.glob(f"{partition_col}=*")):
         dest = path / part_dir.name
-        backup = path / (part_dir.name + ".__old__")
-        if backup.exists() and not dest.exists():
-            backup.rename(dest)
-        elif backup.exists():
-            shutil.rmtree(backup)
+        backup = path / ("." + part_dir.name + ".__old__")
         if dest.exists():
             dest.rename(backup)
         part_dir.rename(dest)
@@ -758,6 +804,11 @@ def apply_changes(
         merged = merge_as_dataframe(survivors, batch, keys, hash_col=hash_col)
         _manifest_write(merged, path, history=history)
         return
+    # bootstrap replay: a feed applied to a not-yet-existing replica has
+    # nothing to delete from — skip straight to the upserts instead of
+    # crashing inside delete_keys' read of the missing path
+    if not Path(target_path).exists():
+        deletes = deletes.limit(0)
     if not deletes.isEmpty():
         delete_keys(
             spark, target_path, deletes, keys, partition_col=partition_col, history=history

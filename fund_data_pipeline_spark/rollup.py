@@ -60,16 +60,33 @@ def build_rollup(
 ) -> None:
     """Full build: aggregate the whole base table and write the rollup as a
     hive-partitioned parquet table (one-time; afterwards use
-    :func:`refresh_rollup` per batch)."""
+    :func:`refresh_rollup` per batch).
+
+    Staging-then-swap like every other write path in the engine: a naive
+    delete-then-write would destroy the previous good rollup on a crash
+    mid-build and could leave a partial table that READS as valid (a hive
+    root silently missing an arbitrary subset of partitions). A crashed
+    build is self-healed on the next call (backup restored)."""
     out = rollup_frame(base, partition_col, group_cols, measures)
     path = Path(rollup_path)
-    if path.exists():
-        shutil.rmtree(path)
+    staging = path.with_name(path.name + ".__staging__")
+    backup = path.with_name(path.name + ".__old__")
+    if backup.exists() and not path.exists():
+        backup.rename(path)  # previous swap crashed mid-way: backup IS the table
+    elif backup.exists():
+        shutil.rmtree(backup)
+    if staging.exists():
+        shutil.rmtree(staging)
     # one task per partition: rollup partitions are aggregate-sized (small),
     # so fan-out to tasks x partitions files would be pure scan overhead
     out.repartition(F.col(partition_col)).write.partitionBy(partition_col).parquet(
-        str(path)
+        str(staging)
     )
+    if path.exists():
+        path.rename(backup)
+    staging.rename(path)
+    if backup.exists():
+        shutil.rmtree(backup)
 
 
 def refresh_rollup(

@@ -113,12 +113,17 @@ def test_manifest_layout_swaps_via_pointer(spark, tmp_path):
 def test_compact_partition_recovers_from_crashed_swap(spark, tmp_path):
     path = tmp_path / "t"
     spark.range(0, 100).write.parquet(str(path))
-    # simulate a crash between the two swap renames: only the backup exists
-    path.rename(tmp_path / "t.__old__")
+    # simulate a crash between the two swap renames: only the (dot-prefixed,
+    # discovery-invisible) backup exists
+    path.rename(tmp_path / ".t.__old__")
     n = maintenance.compact_partition(spark, str(path))
     assert n >= 1
     assert spark.read.parquet(str(path)).count() == 100
-    assert not (tmp_path / "t.__old__").exists()
+    assert not (tmp_path / ".t.__old__").exists()
+
+    # a missing target with no backup is a loud, explained error
+    with pytest.raises(FileNotFoundError, match="no crash backup"):
+        maintenance.compact_partition(spark, str(tmp_path / "nope"))
 
 
 def test_compact_partition_refuses_partitioned_root(spark, tmp_path):
@@ -597,3 +602,122 @@ def test_empty_manifest_file_is_handled(spark, tmp_path):
     with pytest.raises(ValueError, match="corrupt manifest"):
         read_table(spark, str(path))
     assert maintenance.vacuum_snapshots(path) == []
+
+
+def test_partition_pruned_merge_keeps_null_partition_rows(spark, tmp_path):
+    """A batch touching the NULL partition (__HIVE_DEFAULT_PARTITION__) must
+    merge INTO it like any other partition — the prune filter is null-safe,
+    so pre-existing NULL-partition rows survive a merge that only updates
+    one of them (review r8: plain isin dropped them and the swap replaced
+    the whole partition with source-only content)."""
+    from fund_data_pipeline_spark.merge import merge_upsert, read_table
+
+    path = str(tmp_path / "t")
+    base = _snapshot(
+        spark, [("AAA", "2024-01", 1.0), ("BBB", "2024-01", 2.0), ("CCC", None, 3.0), ("DDD", None, 4.0)]
+    )
+    merge_upsert(spark, path, base, keys=["ticker", "dt"], partition_col="dt")
+    batch = _snapshot(spark, [("CCC", None, 9.0)])  # update one NULL-partition row
+    merge_upsert(spark, path, batch, keys=["ticker", "dt"], partition_col="dt")
+    got = sorted((r.ticker, r.dt, r.value) for r in read_table(spark, path).collect())
+    assert got == [
+        ("AAA", "2024-01", 1.0),
+        ("BBB", "2024-01", 2.0),
+        ("CCC", None, 9.0),
+        ("DDD", None, 4.0),  # the other NULL-partition row must survive
+    ]
+
+
+def test_partition_swap_heals_foreign_orphan_backup(spark, tmp_path):
+    """A crash between the two swap renames of an EARLIER batch leaves only
+    the (dot-prefixed) backup; the next merge — touching a DIFFERENT
+    partition — must restore it, and the backup must never be visible to
+    partition discovery meanwhile."""
+    from fund_data_pipeline_spark.merge import merge_upsert, read_table
+
+    path = tmp_path / "t"
+    base = _snapshot(spark, [("AAA", "2024-01", 1.0), ("BBB", "2024-02", 2.0)])
+    merge_upsert(spark, str(path), base, keys=["ticker", "dt"], partition_col="dt")
+    # simulate the crash: partition dir renamed to backup, dest missing
+    (path / "dt=2024-01").rename(path / ".dt=2024-01.__old__")
+    # hidden backup: reads don't see a bogus '2024-01.__old__' partition
+    assert sorted(r.dt for r in spark.read.parquet(str(path)).collect()) == ["2024-02"]
+    batch = _snapshot(spark, [("BBB", "2024-02", 5.0)])  # touches another partition
+    merge_upsert(spark, str(path), batch, keys=["ticker", "dt"], partition_col="dt")
+    got = sorted((r.ticker, r.value) for r in read_table(spark, str(path)).collect())
+    assert got == [("AAA", 1.0), ("BBB", 5.0)]  # orphan healed, batch applied
+    assert not (path / ".dt=2024-01.__old__").exists()
+
+
+def test_first_write_into_precreated_empty_dir(spark, tmp_path):
+    """An operator-pre-created empty directory (or a crash-orphaned _v_*
+    snapshot with no manifest pointer) must not classify as an existing
+    flat table and brick the first/retried write (review r8)."""
+    from fund_data_pipeline_spark.merge import detect_layout, list_versions, merge_upsert
+
+    path = tmp_path / "t"
+    path.mkdir()
+    assert detect_layout(path) is None
+    merge_upsert(spark, str(path), _snapshot(spark, [("A", "d1", 1.0)]),
+                 keys=["ticker"], layout="manifest")
+    assert detect_layout(path) == "manifest" and list_versions(str(path)) == [1]
+
+    # crashed first manifest write: snapshot dir exists, pointer never written
+    p2 = tmp_path / "t2"
+    (p2 / "_v_00001").mkdir(parents=True)
+    assert detect_layout(p2) is None
+    merge_upsert(spark, str(p2), _snapshot(spark, [("A", "d1", 1.0)]),
+                 keys=["ticker"], layout="manifest")
+    assert list_versions(str(p2)) == [1]
+
+    # pre-created empty dir before a hive-partitioned first merge
+    p3 = tmp_path / "t3"
+    p3.mkdir()
+    merge_upsert(spark, str(p3), _snapshot(spark, [("A", "2024-01", 1.0)]),
+                 keys=["ticker", "dt"], partition_col="dt")
+    assert detect_layout(p3) == "hive"
+
+
+def test_apply_changes_bootstraps_missing_replica_with_deletes(spark, tmp_path):
+    """Replaying a CDC feed that contains deletes against a not-yet-existing
+    replica must treat the deletes as no-ops and create the replica from
+    the upserts (review r8: previously crashed in delete_keys)."""
+    from fund_data_pipeline_spark.merge import apply_changes, read_table
+
+    replica = str(tmp_path / "replica")
+    feed = (
+        _snapshot(spark, [("GONE", "d1", 0.0)]).withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            _snapshot(spark, [("A", "d1", 1.0)]).withColumn("_change_type", F.lit("insert"))
+        )
+    )
+    apply_changes(spark, replica, feed, keys=["ticker"])
+    got = [(r.ticker, r.value) for r in read_table(spark, replica).collect()]
+    assert got == [("A", 1.0)]
+
+
+def test_diff_frames_rejects_reserved_columns(spark):
+    from fund_data_pipeline_spark.merge import diff_frames
+
+    df = spark.createDataFrame([(1, True)], "k long, __n_present boolean")
+    clean = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="reserved by diff_frames"):
+        diff_frames(clean, df, ["k"])
+
+
+def test_build_rollup_recovers_from_crashed_swap(spark, tmp_path):
+    """build_rollup over an existing rollup is staging-then-swap: a crash
+    that left only the backup is healed, and a successful rebuild leaves
+    no staging/backup residue."""
+    from fund_data_pipeline_spark.rollup import build_rollup, read_rollup
+
+    base = _snapshot(spark, [("A", "2024-01", 1.0), ("B", "2024-02", 2.0)])
+    path = tmp_path / "r"
+    measures = {"total": F.sum("value")}
+    build_rollup(base, str(path), partition_col="dt", group_cols=["ticker"], measures=measures)
+    # simulate a crash between the two renames: only the backup remains
+    path.rename(tmp_path / "r.__old__")
+    build_rollup(base, str(path), partition_col="dt", group_cols=["ticker"], measures=measures)
+    assert read_rollup(spark, str(path)).count() == 2
+    assert not (tmp_path / "r.__old__").exists()
+    assert not (tmp_path / "r.__staging__").exists()
