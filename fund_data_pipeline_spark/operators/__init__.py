@@ -17,20 +17,36 @@
   the redacting transform behind the ``pii_scrub_stats`` audit query
 - ``timeseries``  daily date-spine gap fill with LOCF carry; spine
   boundable to the trailing N days with carry-in across the cap
+- ``similarity``  Arrow-batched exact top-k cosine and the skew-bounded
+  blocked self-join behind every LSH band / IVF cell pair join
+- ``profiling``   sketch-based table profiling (HLL++ distinct, GK
+  quantiles) — the 100 TB complement of the exact table_profile query
 
 The dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
 embedding-cosine), similarity search, and text analysis live in
 :mod:`fund_data_pipeline_spark.queries` as oracle-checked catalog entries.
 """
 
-from . import asof, chunking, graph, multimodal, redaction, sampling, timeseries
+from . import (
+    asof,
+    chunking,
+    graph,
+    multimodal,
+    profiling,
+    redaction,
+    sampling,
+    similarity,
+    timeseries,
+)
 
 __all__ = [
     "asof",
     "chunking",
     "graph",
     "multimodal",
+    "profiling",
     "redaction",
     "sampling",
+    "similarity",
     "timeseries",
 ]

@@ -48,9 +48,12 @@ def asof_join(
       away are nulled out, preserving LEFT semantics.
 
     NULL handling (merge_asof rejects null keys; this keeps LEFT
-    semantics instead): right rows with a null ``on`` can never match —
-    they are dropped before the union — and left rows with a null ``on``
-    are kept with a null match. Ties among right rows at the same
+    semantics instead): right rows with a null ``on`` OR a null ``by``
+    key can never match — they are dropped before the union — and left
+    rows with a null ``on`` or null ``by`` key are kept with a null
+    match. The ``by`` rule matches SQL equi-join semantics: without it,
+    ``Window.partitionBy`` would group all NULL-keyed rows together and
+    silently cross-match dirty data. Ties among right rows at the same
     (by, on) are broken deterministically by the greatest value tuple, so
     results are stable across shuffle orders.
     """
@@ -79,6 +82,9 @@ def asof_join(
             f"pass a different suffix"
         )
     right = right.filter(F.col(on).isNotNull())
+    for k in by:
+        # NULL by-keys must not partition together and cross-match (see doc)
+        right = right.filter(F.col(k).isNotNull())
 
     payload = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in value_cols])
     left_cols = left.columns

@@ -31,12 +31,14 @@ def approx_profile(
     percentiles: Sequence[float] = (0.5, 0.95),
     accuracy: int = 10_000,
 ) -> DataFrame:
-    """One-row profile of ``cols``: per column, row/null counts and min/max
-    (exact — they are cheap partial aggregates), HLL++ distinct estimate at
-    relative standard deviation ``rsd``, and GK quantile estimates at
-    ``1/accuracy`` rank error. Single scan, single reduce, O(KB) state per
-    column regardless of table size."""
-    aggs = []
+    """One-row profile of ``cols``: a total ``n_rows`` plus, per column,
+    the non-null count and min/max (exact — they are cheap partial
+    aggregates), HLL++ distinct estimate at relative standard deviation
+    ``rsd``, and GK quantile estimates at ``1/accuracy`` rank error. Null
+    count per column = ``n_rows - <col>__n_nonnull``, derivable without a
+    second scan. Single scan, single reduce, O(KB) state per column
+    regardless of table size."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__n_nonnull"),

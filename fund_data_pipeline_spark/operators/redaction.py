@@ -36,12 +36,27 @@ DEFAULT_PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def _check_tokens(patterns: tuple[tuple[str, str], ...]) -> None:
+    """Reject replacement tokens Spark and DuckDB would interpret
+    differently: ``$`` is a Java group reference and ``\\`` an escape in
+    Spark's regexp_replace, but literal in DuckDB — a chain containing one
+    would silently break the engines-agree contract (or throw executor-side
+    on a dangling group reference)."""
+    for _, token in patterns:
+        if "$" in token or "\\" in token:
+            raise ValueError(
+                f"replacement token {token!r} contains $ or backslash, which "
+                f"Spark (Java replaceAll) and DuckDB interpret differently"
+            )
+
+
 def scrub_expr(
     col: Column | str, patterns: tuple[tuple[str, str], ...] = DEFAULT_PII_PATTERNS
 ) -> Column:
     """The redacted-text expression: ``regexp_replace`` chain over ``col``.
 
     NULL text stays NULL (the transform never invents content)."""
+    _check_tokens(patterns)
     expr = F.col(col) if isinstance(col, str) else col
     for pattern, token in patterns:
         expr = F.regexp_replace(expr, pattern, token)
@@ -64,7 +79,12 @@ def scrub_pii_sql(
     expr: str, patterns: tuple[tuple[str, str], ...] = DEFAULT_PII_PATTERNS
 ) -> str:
     """DuckDB SQL form of the same chain, for oracle queries. Single quotes
-    in patterns are not supported (none of the defaults contain any)."""
+    in patterns are not supported (none of the defaults contain any), and
+    replacement tokens may not contain ``$`` or ``\\``: Spark's
+    regexp_replace treats those as Java group references / escapes while
+    DuckDB inserts them literally, which would silently break the
+    engines-agree contract this module exists to guarantee."""
+    _check_tokens(patterns)
     out = expr
     for pattern, token in patterns:
         if "'" in pattern or "'" in token:

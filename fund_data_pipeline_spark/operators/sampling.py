@@ -26,18 +26,29 @@ from pyspark.sql import functions as F
 N_BUCKETS = 10_000
 
 
-def hash_bucket(key: Column | str, n_buckets: int = N_BUCKETS) -> Column:
-    """Stable bucket in [0, n_buckets): conv(substr(md5(key),1,8)) % n."""
+def hash_bucket(key: Column | str, n_buckets: int = N_BUCKETS, salt: str = "") -> Column:
+    """Stable bucket in [0, n_buckets): conv(substr(md5(salt|key),1,8)) % n.
+
+    ``salt`` decorrelates bucket assignments between DIFFERENT uses of the
+    same key: the unsalted default is the co-sampling contract (same key →
+    same bucket everywhere), but composing two unsalted operations on one
+    key is fully correlated — e.g. an unsalted 20% sample followed by an
+    unsalted 80/10/10 split puts every sampled row in 'train'. Give each
+    independent decision its own salt (``shuffled_shards`` already salts
+    with its seed)."""
     c = F.col(key) if isinstance(key, str) else key
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    keyed = F.concat(F.lit(f"{salt}|"), c.cast("string")) if salt else c.cast("string")
+    h = F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
     return h % F.lit(n_buckets)
 
 
-def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+def deterministic_sample(df: DataFrame, key: str, fraction: float, salt: str = "") -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash — reproducible and
-    co-sampled (the same keys survive in every table sampled on that key,
-    so sampled fact/dim tables still join)."""
-    return df.filter(hash_bucket(key) < int(round(fraction * N_BUCKETS)))
+    (with the default empty salt) co-sampled: the same keys survive in
+    every table sampled on that key, so sampled fact/dim tables still
+    join. Pass a ``salt`` when this sample must be INDEPENDENT of another
+    hash-based decision on the same key (see :func:`hash_bucket`)."""
+    return df.filter(hash_bucket(key, salt=salt) < int(round(fraction * N_BUCKETS)))
 
 
 def split_column(key: Column | str, weights: Sequence[float], labels: Sequence[str]) -> Column:
@@ -91,6 +102,11 @@ def shuffled_shards(
     ROW_NUMBER a naive "ORDER BY random()" serializer needs. Size n_shards
     so a shard fits one task (e.g. 10k shards at 100 TB -> ~10 GB each,
     then raise it); the writer maps one shard to one output file.
+
+    ``key`` must be UNIQUE per row (a doc id): duplicate key values tie on
+    (skey, key) and row_number breaks the tie by partition arrival order,
+    which is not reproducible. The rank is over the hash, so uniqueness of
+    the key is the entire determinism contract.
     """
     from pyspark.sql import Window
 

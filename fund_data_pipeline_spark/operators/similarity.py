@@ -168,6 +168,8 @@ def topk_cosine(
 
     q = _round_half_away(np.asarray(list(query_vec), dtype="float64") * 1e6)
     qnorm = float(np.sqrt(float((q * q).sum())))
+    if qnorm == 0.0:
+        raise ValueError("query_vec has zero norm; cosine similarity is undefined")
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -182,11 +184,17 @@ def topk_cosine(
             mat = _round_half_away(np.stack(pdf[vec_col].to_numpy()).astype("float64") * 1e6)
             dots = mat @ q
             norms = np.sqrt((mat * mat).sum(axis=1).astype("float64"))
-            cos = dots.astype("float64") / (norms * qnorm)
+            # a zero-norm vector (padding/default row) has no defined cosine:
+            # 0/0 -> NaN, which pandas sorts LAST in the partial top-k but
+            # Spark's orderBy ranks ABOVE every real value — partition-
+            # dependent garbage at rank 1. Exclude such rows outright.
+            mask = norms > 0.0
+            ids, labels = pdf[id_col].to_numpy()[mask], pdf[label_col].to_numpy()[mask]
+            cos = dots[mask].astype("float64") / (norms[mask] * qnorm)
             out = pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "label": pdf[label_col].to_numpy(),
+                    "vec_id": ids,
+                    "label": labels,
                     "cosine": cos,
                 }
             )

@@ -570,6 +570,7 @@ def test_approx_profile_accuracy_bounds(spark, sf_dir):
     assert abs(est - exact_distinct) <= max(3, 3 * 0.02 * exact_distinct)
 
     n = orders.count()
+    assert row["n_rows"] == n  # null counts derivable: n_rows - n_nonnull
     assert row["o_custkey__n_nonnull"] == n
     # GK guarantee: estimated p50 has true rank within n/accuracy of n/2
     p50 = row["o_totalprice__percentiles"][0]
@@ -986,3 +987,72 @@ def test_scrub_pii_is_streaming_safe(spark, sf_dir):
     assert sorted((r.doc_id, r.text) for r in streamed) == sorted(
         (r.doc_id, r.text) for r in batch
     )
+
+
+def test_topk_cosine_excludes_zero_norm_vectors(spark):
+    """A zero-norm (padding) vector has no defined cosine: 0/0 NaN sorts
+    LAST in the pandas partial top-k but FIRST in Spark's orderBy — so it
+    must be excluded outright, and a zero query vector must be rejected."""
+    from fund_data_pipeline_spark.operators.similarity import topk_cosine
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 0.0], 0),  # zero-norm: must never appear in results
+        (2, [0.5, 0.5], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = [r.vec_id for r in topk_cosine(emb, [1.0, 0.0], k=3).collect()]
+    assert got == [0, 2]  # ranked by cosine, zero vector absent
+
+    with pytest.raises(ValueError, match="zero norm"):
+        topk_cosine(emb, [0.0, 0.0], k=3)
+
+
+def test_asof_join_null_by_keys_never_match(spark):
+    """NULL by-keys must not partition together and cross-match (SQL
+    equi-join semantics): a left row with a NULL key keeps LEFT semantics
+    with a null match; a right row with a NULL key can never be carried."""
+    from fund_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(None, 25), ("A", 25)], "sym string, t long")
+    right = spark.createDataFrame(
+        [(None, 20, 2.0), ("A", 20, 7.0)], "sym string, t long, px double"
+    )
+    out = {r.sym: r.px_right for r in asof_join(left, right, on="t", by=["sym"]).collect()}
+    assert out == {None: None, "A": 7.0}
+
+
+def test_deterministic_sample_salt_decorrelates_from_split(spark):
+    """Unsalted sample + unsalted split on the same key are fully
+    correlated (every sampled row lands in 'train'); a salted sample must
+    restore ~independent split proportions on the sampled subset."""
+    from fund_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        train_val_test,
+    )
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    unsalted = train_val_test(
+        deterministic_sample(df, "doc_id", 0.2), "doc_id"
+    ).groupBy("split").count()
+    assert {r.split for r in unsalted.collect()} == {"train"}  # degenerate
+
+    salted = {
+        r.split: r["count"]
+        for r in train_val_test(
+            deterministic_sample(df, "doc_id", 0.2, salt="sample"), "doc_id"
+        ).groupBy("split").count().collect()
+    }
+    total = sum(salted.values())
+    assert set(salted) == {"train", "val", "test"}
+    assert abs(salted["train"] / total - 0.8) < 0.05  # ~independent again
+
+
+def test_scrub_pii_rejects_engine_divergent_tokens(spark):
+    from fund_data_pipeline_spark.operators.redaction import scrub_expr, scrub_pii_sql
+
+    bad = ((r"\d{9,}", "<US$1M>"),)
+    with pytest.raises(ValueError, match="interpret differently"):
+        scrub_expr("text", bad)
+    with pytest.raises(ValueError, match="interpret differently"):
+        scrub_pii_sql("text", bad)
