@@ -37,10 +37,14 @@ def clean(df: DataFrame, dedupe_order: Sequence[str] = ("scrape_date", "origin_f
 
     ``dedupe_order`` replaces pandas' read-order keep-last (D2) with an
     explicit tiebreaker: latest scrape_date wins, then origin_file
-    lexicographic (SURVEY §7.4-3).
+    lexicographic (SURVEY §7.4-3). ``nav_price`` is always appended as the
+    final tiebreaker so the dedup stays deterministic even for a frame
+    with NO provenance columns — the previous as_of_date fallback was a
+    key column, constant within its own partition, i.e. an arbitrary
+    survivor.
     """
     df = conform.rename_synonyms(conform.normalize_headers(df))
-    keep_order = [c for c in dedupe_order if c in df.columns] or ["as_of_date"]
+    keep_order = [c for c in dedupe_order if c in df.columns] + ["nav_price"]
     base = ["ticker", "asset_type", "source", "nav_price", "currency", "as_of_date"]
     extras = [c for c in dict.fromkeys([*keep_order, "scrape_date"]) if c in df.columns and c not in base]
     df = df.select(

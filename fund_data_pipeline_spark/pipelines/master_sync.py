@@ -39,7 +39,14 @@ def clean(df: DataFrame) -> DataFrame:
     Header normalize + synonym rename, upper/trim ticker & asset_type (X1),
     MUTUAL FUND -> FUND (X3), lower/trim status (X2), source typo map,
     conform to the scrape columns, then in-source keep-first dedup on
-    (ticker, asset_type) — D1, made deterministic by ordering on source.
+    (ticker, asset_type, source) — D1. ``source`` is in the dedup key so a
+    caller feeding one COMBINED frame spanning several sources (the
+    orchestrator's single landing-dir scan) cannot collapse cross-source
+    rows that consolidate/SECURITY_MASTER_KEY deliberately preserve; for a
+    single-source frame the behavior is identical. The tiebreak order is
+    over NON-key columns (name, status, date_added) — ordering on a key
+    column is constant within its own partition and would pick an
+    arbitrary survivor.
     """
     df = conform.rename_synonyms(conform.normalize_headers(df))
     for c in SCRAPE_COLUMNS:
@@ -57,26 +64,32 @@ def clean(df: DataFrame) -> DataFrame:
         ).alias("source"),
         F.col("date_added").try_cast("date").alias("date_added"),
     )
-    return dedup.dedup_keyed(df, ["ticker", "asset_type"], ["source", "ticker"], keep="first")
+    return dedup.dedup_keyed(
+        df, ["ticker", "asset_type", "source"], ["name", "status", "date_added"], keep="first"
+    )
 
 
 def consolidate(sources: Sequence[DataFrame]) -> DataFrame:
-    """01_source_consolidator.py:67-86: union by name, sort, per-source dedup.
+    """01_source_consolidator.py:67-86: union by name, per-source dedup (D3).
 
     The reference sorts then keep-first dedups on (ticker, asset_type,
-    source); the sort is what made pandas deterministic, so the tiebreak
-    order here is the same sort key (D3).
+    source). Its sort key IS the dedup key, so within a duplicate group
+    pandas fell back to read order — i.e. the survivor among true
+    duplicates was arbitrary. Here the tiebreak is explicit NON-key
+    columns (name, status, date_added): deterministic run-over-run, which
+    the reference's behavior was not. No trailing global sort: row order
+    carries no downstream contract (the merge reshuffles on the key), so
+    a full range-partition exchange would be pure waste.
     """
     unioned = sources[0]
     for s in sources[1:]:
         unioned = unioned.unionByName(s, allowMissingColumns=True)
-    deduped = dedup.dedup_keyed(
+    return dedup.dedup_keyed(
         unioned,
         ["ticker", "asset_type", "source"],
-        ["source", "asset_type", "ticker"],
+        ["name", "status", "date_added"],
         keep="first",
     )
-    return deduped.orderBy("source", "asset_type", "ticker")
 
 
 def validate_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -124,7 +137,12 @@ def run(
         unconditional=True,
         collect_stats=True,
     )
-    table = spark.read.parquet(target_path)
+    # layout-aware read + guard: the transition rewrite is flat-layout by
+    # contract; going through the public read path and the layout guard
+    # means a migrated (manifest/hive) table fails loudly instead of being
+    # silently flattened
+    merge._check_layout_compatible(merge.Path(target_path), "flat")
+    table = merge.read_table(spark, target_path)
     transitioned = lifecycle.apply_status_transitions(table, today=today)
     merge._atomic_write(transitioned, merge.Path(target_path))
     return stats, invalid

@@ -122,6 +122,11 @@ def _record(result: StageResult, value: object) -> None:
             result.side_counts["rows_quarantined"] = side.count()
         except AttributeError:
             pass
+        except Exception:  # noqa: BLE001 — the stage's merge already
+            # committed; a failure recounting the quarantine side channel
+            # (e.g. a landing file deleted after the load) must not mark
+            # the stage failed and fail-stop the rest of the run
+            result.side_counts["rows_quarantined"] = -1
     elif value is not None:
         result.side_counts["returned"] = 1
 

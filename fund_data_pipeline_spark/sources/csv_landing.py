@@ -38,8 +38,11 @@ def read_landing_csvs(
     """S1/S3/S5/S6/S7: one permissive scan over all landing dirs.
 
     ``exclude_name_parts`` reproduces the 'skip files with error/log in the
-    name' rule (00_performance_data_cleaner.py:60-61) as a filter on
-    ``input_file_name()`` — evaluated at the scan, no driver-side listing.
+    name' rule (00_performance_data_cleaner.py:60-61) as a filter on the
+    BASENAME of ``input_file_name()`` — evaluated at the scan, no
+    driver-side listing. Basename, not full path: a landing root whose
+    path merely contains 'log' (``/data/fund_catalog/``, ``.../backlog/``)
+    must not silently drop the entire feed.
     """
     reader = (
         spark.read.option("header", True)
@@ -50,8 +53,9 @@ def read_landing_csvs(
         reader = reader.option("pathGlobFilter", path_glob)
     df = reader.csv(list(paths))
     df = df.withColumn("origin_file", F.input_file_name())
+    basename = F.lower(F.element_at(F.split(F.col("origin_file"), "/"), -1))
     for part in exclude_name_parts:
-        df = df.filter(~F.lower(F.col("origin_file")).contains(part))
+        df = df.filter(~basename.contains(part))
     if not with_provenance:
         df = df.drop("origin_file")
     return df

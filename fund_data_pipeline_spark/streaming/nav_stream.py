@@ -40,6 +40,7 @@ def start_nav_stream(
     rollup_path: str | None = None,
     rollup_group_cols: tuple[str, ...] = ("source",),
     rollup_measures=None,
+    errors_path: str | None = None,
 ):
     """Drain new landing CSVs into the NAV table; returns the StreamingQuery.
 
@@ -61,10 +62,28 @@ def start_nav_stream(
     guard refuses that write against the existing flat table (mixed
     layouts corrupt reads) — migrate the table once (read -> partitioned
     rewrite) before switching modes.
+
+    ``errors_path``: append each micro-batch's quarantined rows (the
+    validate split's failure side) there — without it the batch loader's
+    quarantine accounting would silently vanish in streaming mode.
+
+    Cross-batch staleness: the hash-guarded merge updates on ANY hash
+    difference, so a re-delivered OLD file drained in a later micro-batch
+    would overwrite newer rows. Each batch therefore drops rows whose
+    ``scrape_date`` is older than the stored one (keys without a stored
+    ``scrape_date`` always pass) — the cross-batch form of the batch
+    loader's keep-last-by-scrape_date dedup. The guard scan is pruned to
+    the batch's ``as_of_date`` partitions in rollup mode.
     """
     raw = (
         spark.readStream.schema(schema)
         .option("header", True)
+        # enforceSchema=false makes Spark VERIFY the CSV header against the
+        # schema instead of binding columns positionally — a landing file
+        # with reordered or synonym headers fails loudly rather than
+        # silently merging source values into asset_type (the batch reader
+        # maps by header name; the stream cannot, so it must verify)
+        .option("enforceSchema", "false")
         .option("pathGlobFilter", "*.csv")
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -72,11 +91,38 @@ def start_nav_stream(
     )
 
     def load_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..merge import detect_layout, read_table, touched_partition_filter
+
         cleaned = daily_nav.clean(batch_df)
-        valid, _errors = daily_nav.validate_split(cleaned)
+        valid, errors = daily_nav.validate_split(cleaned)
+        if errors_path is not None and not errors.isEmpty():
+            errors.write.mode("append").parquet(errors_path)
         batch = daily_nav.prepare_load(valid)
         if batch.isEmpty():
             return
+        if detect_layout(target_path) is not None:
+            # drop rows staler than what the table already holds (see doc)
+            current = read_table(spark, target_path)
+            if rollup_path is not None:
+                dates = [r[0] for r in batch.select("as_of_date").distinct().collect()]
+                current = current.filter(touched_partition_filter("as_of_date", dates))
+            stored = current.select(
+                *DAILY_NAV_KEY, F.col("scrape_date").alias("__stored_sd")
+            )
+            fresh = F.col("__stored_sd").isNull() | (
+                F.col("scrape_date").isNotNull()
+                & (F.col("scrape_date") >= F.col("__stored_sd"))
+            )
+            batch = batch.join(stored, DAILY_NAV_KEY, "left").filter(fresh).drop("__stored_sd")
+            # materialize NOW: the guarded batch lazily reads the target's
+            # current files, which the merge below replaces — a later
+            # re-evaluation (touched-dates collect, swap staging) would hit
+            # deleted files. A micro-batch is small by construction.
+            batch = batch.localCheckpoint()
+            if batch.isEmpty():
+                return
         if rollup_path is None:
             merge_upsert(spark, target_path, batch, DAILY_NAV_KEY)
             return

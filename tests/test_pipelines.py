@@ -513,3 +513,59 @@ def test_nav_stream_with_incremental_rollup(spark, tmp_path):
     # conform maps the landing synonyms ft/yf to canonical source names
     assert got[("2024-03-01", "financial_times")] == 1
     assert got[("2024-03-01", "yahoo_finance")] == 1
+
+
+def test_nav_stream_stale_redelivery_does_not_clobber(spark, tmp_path):
+    """A re-delivered OLD file drained in a LATER micro-batch must not
+    overwrite newer rows: the cross-batch scrape_date guard drops stale
+    incoming rows before the hash-guarded merge (review r8)."""
+    from fund_data_pipeline_spark.streaming.nav_stream import start_nav_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "stg_daily_nav")
+    ckpt = str(tmp_path / "ckpt")
+    errors = str(tmp_path / "errors")
+    header = "ticker,asset_type,source,nav_price,currency,as_of_date,scrape_date\n"
+
+    (landing / "new.csv").write_text(header + "AAA,FUND,yf,101.0,USD,2024-01-04,2024-01-05\n")
+    start_nav_stream(spark, str(landing), target, ckpt, errors_path=errors).awaitTermination()
+
+    # the scraper re-delivers an OLDER file for the same key
+    (landing / "old_redelivered.csv").write_text(
+        header + "AAA,FUND,yf,99.0,USD,2024-01-04,2024-01-02\n"
+    )
+    start_nav_stream(spark, str(landing), target, ckpt, errors_path=errors).awaitTermination()
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1 and float(rows[0].nav_price) == 101.0  # newer value survives
+
+    # quarantine side channel: a future-dated row lands in errors_path
+    (landing / "future.csv").write_text(
+        header + "BBB,FUND,yf,50.0,USD,2099-01-01,2024-01-06\n"
+    )
+    start_nav_stream(spark, str(landing), target, ckpt, errors_path=errors).awaitTermination()
+    quarantined = spark.read.parquet(errors).collect()
+    assert any(r.ticker == "BBB" for r in quarantined)
+    assert all(r.ticker != "BBB" for r in spark.read.parquet(target).collect())
+
+
+def test_master_sync_keeps_cross_source_rows_from_combined_frame(spark, tmp_path):
+    """One combined frame spanning two sources (the orchestrator's single
+    landing-dir scan) must keep BOTH sources' rows for the same ticker:
+    SECURITY_MASTER_KEY includes source (review r8: the old
+    (ticker, asset_type) clean dedup collapsed cross-source rows)."""
+    from fund_data_pipeline_spark.pipelines import master_sync
+
+    combined = spark.createDataFrame(
+        [
+            ("VTSAX", "FUND", "Vanguard Total", "active", "ft", "2024-01-01"),
+            ("VTSAX", "FUND", "Vanguard Total", "active", "yf", "2024-01-01"),
+            ("VTSAX", "FUND", "Vanguard Total DUP", "active", "yf", "2024-01-01"),
+        ],
+        "ticker string, asset_type string, name string, status string, source string, date_added string",
+    )
+    stats, invalid = master_sync.run(spark, [combined], str(tmp_path / "master"))
+    rows = spark.read.parquet(str(tmp_path / "master")).collect()
+    sources = sorted(r.source for r in rows)
+    assert sources == ["financial_times", "yahoo_finance"]  # both survive
+    assert stats.inserted == 2
