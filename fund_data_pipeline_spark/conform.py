@@ -124,13 +124,21 @@ def map_values(col: Column | str, mapping: Mapping[str, str], default_passthroug
 #: asset-type value synonyms (00_master_list_cleaner.py:60)
 ASSET_TYPE_MAP = {"MUTUAL FUND": "FUND", "MUTUALFUND": "FUND", "MUTUAL_FUND": "FUND"}
 
-#: source typo/short-name map (00_master_list_cleaner.py:68-73, db_connector.py:355-360)
+#: source typo/short-name map (00_master_list_cleaner.py:68-73, db_connector.py:355-360).
+#: The space forms matter: scrapers emit 'Financial Times' etc., which
+#: lower_trim turns into 'financial times' — without these keys the value
+#: keeps its space while other paths emit the canonical underscore form,
+#: and since source is part of every natural key the same entity would
+#: silently split into two keys.
 SOURCE_MAP = {
     "ft": "financial_times",
     "yf": "yahoo_finance",
     "sa": "stock_analysis",
     "finantial_times": "financial_times",
     "yahoofinance": "yahoo_finance",
+    "financial times": "financial_times",
+    "yahoo finance": "yahoo_finance",
+    "stock analysis": "stock_analysis",
 }
 
 

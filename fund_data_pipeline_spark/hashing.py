@@ -1,8 +1,20 @@
 """Row-hash change-detection expressions (SURVEY §2.10, H1-H10).
 
-The reference's hashes are byte-reproduced so outputs are comparable against
-reference-produced hashes; all are single Column expressions (md5/sha2 over
-concat), evaluated JVM-side.
+All are single Column expressions (md5/sha2 over concat), evaluated
+JVM-side, reproducing the reference's hash SHAPES (same columns, same
+separators, same null coercion rule). Byte-parity scope — what a
+migration comparing hashes across systems must know:
+
+- exact for STRING / integer / date-formatted inputs (the H2/H5/H7
+  master and key hashes): str(value) agrees between engines there;
+- NOT exact where the reference stringified raw pandas floats (H3/H4
+  over unconformed CSV floats: pandas emits '10.5' / 'nan' /
+  '12345.0' where a conformed DECIMAL renders '10.5000' and NULL
+  coerces to '') or JSON (H1: json.dumps uses ', ' separators and
+  keeps nulls; Spark to_json is compact and drops null fields).
+  A migration from reference-produced H1/H3/H4 hashes must recompute
+  them once rather than compare bytes; within this engine every hash
+  is self-consistent and the merge guard behaves identically.
 
 Parity targets (paths relative to /root/reference/):
 - H1 md5 of sorted-key JSON: src/utils/hasher.py:8-11
@@ -85,13 +97,20 @@ def normalized_key_hash(
     amount: str = "amount",
 ) -> Column:
     """H5: sha256 of pipe-joined lower/strip ticker+asset_type, source, ISO date,
-    '%.6f' amount."""
+    '%.6f' amount. EVERY part is NULL-coalesced to '': ``concat_ws``
+    silently drops NULL elements, so an uncoalesced NULL ticker would
+    collapse the field count and shift field boundaries — cross-field
+    collisions, and never the reference's fixed five-part key
+    (bulk_import_from_hashed.py:96-105)."""
+    amount_c = _c(amount).cast("double")
     parts = [
-        F.lower(F.trim(_c(ticker))),
-        F.lower(F.trim(_c(asset_type))),
+        F.coalesce(F.lower(F.trim(_c(ticker))), F.lit("")),
+        F.coalesce(F.lower(F.trim(_c(asset_type))), F.lit("")),
         _as_str(source),
         F.coalesce(F.date_format(_c(ex_date), "yyyy-MM-dd"), F.lit("")),
-        F.coalesce(F.format_string("%.6f", _c(amount).cast("double")), F.lit("")),
+        # format_string('%.6f', NULL) yields the STRING 'null' (Java
+        # String.format), not NULL — it must be guarded, not coalesced
+        F.when(amount_c.isNull(), F.lit("")).otherwise(F.format_string("%.6f", amount_c)),
     ]
     return F.sha2(F.concat_ws("|", *parts), 256)
 

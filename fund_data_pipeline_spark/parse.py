@@ -37,8 +37,12 @@ def parse_magnitude(col: Column | str) -> Column:
     """X6: '842.33m USD' -> 842_330_000.0; '1.2b' -> 1_200_000_000.0; 'k' -> 1e3.
 
     Strips everything but digits, '.', '-', then scales by the first magnitude
-    suffix found after the number. Parity: bulk_import_from_hashed.py:155-175
-    (parse_number).
+    suffix found after the number. Reference: bulk_import_from_hashed.py:155-175
+    (parse_number) — a DELIBERATE superset of it: the reference scales only
+    when the raw string ends with 'm'/'b' (so '842.33m USD' would NOT be
+    scaled, silently storing millions as units) and has no 'k'/'t'. Here
+    the suffix is recognized adjacent to the number regardless of trailing
+    currency text; oracle-checked as numeric_string_parsing.
     """
     s = F.lower(F.trim(_c(col)))
     num = F.regexp_extract(s, r"(-?[\d,]*\.?\d+)", 1)
@@ -109,9 +113,14 @@ def default_if_null(col: Column | str, default) -> Column:
 
 
 def split_ticker(col: Column | str) -> tuple[Column, Column]:
-    """X16: 'VTSAX:USD' -> (ticker, currency). Parity: 01_ft_list_scraper.py:175-179."""
+    """X16: 'VTSAX:USD' / 'VWRL:LSE:GBP' -> (ticker, currency).
+
+    Parity: 01_ft_list_scraper.py:175-179 — FT full tickers are
+    TICKER[:EXCHANGE]:CURRENCY, so the currency is the LAST part, not the
+    second (taking parts[1] would store the exchange code as a currency
+    for three-part tickers)."""
     parts = F.split(_c(col), ":")
-    return parts.getItem(0), parts.getItem(1)
+    return parts.getItem(0), F.element_at(parts, -1)
 
 
 def format_amount(col: Column | str, decimals: int = 6) -> Column:
@@ -126,20 +135,31 @@ def filename_stem_ticker(path_col: Column | str | None = None, stop: str = "_") 
     """X14/S2: ticker from the filename stem before the first ``stop``.
 
     ``.../VTSAX_history.csv`` -> ``VTSAX``. Defaults to ``input_file_name()``.
-    Parity: 02_performance_sync/00_price_history_cleaner.py:43.
+    Parity: 02_performance_sync/00_price_history_cleaner.py:43 —
+    ``Path.stem.split(stop)[0]``: only the FINAL extension is stripped, so
+    a dotted ticker survives (``BRK.B_history.csv`` -> ``BRK.B``; a
+    char-class regex over ``[^_.]`` would truncate it to ``BRK`` and merge
+    the rows under the wrong entity). ``stop`` is regex-escaped before
+    use, so any literal separator is safe.
     """
+    import re as _re
+
     p = F.input_file_name() if path_col is None else _c(path_col)
     base = F.element_at(F.split(p, "/"), -1)
-    return F.regexp_extract(base, rf"^([^{stop}.]+)", 1)
+    stem = F.regexp_replace(base, r"\.[^.]*$", "")
+    return F.element_at(F.split(stem, _re.escape(stop)), 1)
 
 
 def path_date(path_col: Column | str | None = None) -> Column:
     """S4: extract the YYYY-MM-DD directory component of the file path as a date.
 
-    Parity: 04_holdings_sync/00_holdings_data_cleaner.py:75-81.
+    Parity: 04_holdings_sync/00_holdings_data_cleaner.py:75-81 — the
+    reference parses whole path COMPONENTS, so the date must be an entire
+    slash-bounded segment: a root like ``/data/export-2020-01-01/...``
+    must not hijack the real ``/2024-05-05/`` date directory below it.
     """
     p = F.input_file_name() if path_col is None else _c(path_col)
-    return F.regexp_extract(p, r"(\d{4}-\d{2}-\d{2})", 1).try_cast("date")
+    return F.regexp_extract(p, r"(?:^|/)(\d{4}-\d{2}-\d{2})(?=/|$)", 1).try_cast("date")
 
 
 def asset_type_from_path(path_col: Column | str | None = None) -> Column:

@@ -325,7 +325,16 @@ def nav_validation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_orderdate").cast("date"))
         .alias("as_of_date"),
     )
-    _, invalid = validation_split_single_reason(dirty, nav_rules(today=F.lit("2001-09-01").cast("date")))
+    # the synthesized frame carries only the three columns under test, so
+    # the critical-cols subset is passed explicitly (the library default is
+    # the reference's full five-column set)
+    _, invalid = validation_split_single_reason(
+        dirty,
+        nav_rules(
+            today=F.lit("2001-09-01").cast("date"),
+            critical_cols=("ticker", "nav_price", "as_of_date"),
+        ),
+    )
     return invalid.select("rec_id", "error_reason")
 
 
@@ -336,9 +345,9 @@ def nav_validation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT rec_id,
        NULLIF(concat_ws('; ',
          CASE WHEN ticker IS NULL OR trim(ticker) = '' THEN 'Missing Ticker' END,
-         CASE WHEN asset_type NOT IN ('FUND','ETF') THEN 'Invalid Asset Type' END,
+         CASE WHEN asset_type IS NULL OR asset_type NOT IN ('FUND','ETF') THEN 'Invalid Asset Type' END,
          CASE WHEN source IS NULL OR trim(source) = '' THEN 'Missing Source' END,
-         CASE WHEN status NOT IN ('active','inactive','new') THEN 'Invalid Status' END), '') AS validation_issues
+         CASE WHEN status IS NULL OR status NOT IN ('active','inactive','new') THEN 'Invalid Status' END), '') AS validation_issues
 FROM (
   SELECT c_custkey AS rec_id,
          CASE WHEN c_custkey % 11 = 0 THEN '' ELSE c_name END AS ticker,
@@ -348,9 +357,9 @@ FROM (
   FROM customer
 )
 WHERE (ticker IS NULL OR trim(ticker) = '')
-   OR asset_type NOT IN ('FUND','ETF')
+   OR (asset_type IS NULL OR asset_type NOT IN ('FUND','ETF'))
    OR (source IS NULL OR trim(source) = '')
-   OR status NOT IN ('active','inactive','new')
+   OR (status IS NULL OR status NOT IN ('active','inactive','new'))
 """,
 )
 def master_validation_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,8 +914,8 @@ SELECT o_orderkey,
            || COALESCE(CAST(o_custkey AS VARCHAR),'')
            || COALESCE(CAST(o_orderstatus AS VARCHAR),'')) AS dividend_style_hash,
        sha256(concat_ws('|',
-           lower(trim(o_orderpriority)),
-           lower(trim(o_orderstatus)),
+           COALESCE(lower(trim(o_orderpriority)), ''),
+           COALESCE(lower(trim(o_orderstatus)), ''),
            COALESCE(CAST(o_custkey AS VARCHAR),''),
            COALESCE(strftime(o_orderdate, '%Y-%m-%d'),''),
            COALESCE(printf('%.6f', CAST(o_totalprice AS DOUBLE)),''))) AS normalized_key_hash
@@ -960,10 +969,10 @@ def row_hash_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey,
        string_split(c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR), ':')[1] AS ticker_part,
-       string_split(c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR), ':')[2] AS currency_part,
+       string_split(c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR), ':')[-1] AS currency_part,
        printf('%.2f', CAST(c_acctbal AS DOUBLE)) AS balance_fmt,
        COALESCE(nullif(c_mktsegment, 'FURNITURE'), 'DEFAULT') AS segment_defaulted,
-       regexp_extract(string_split('landing/' || c_name || '_2024.csv', '/')[-1], '^([^_.]+)', 1) AS stem_ticker
+       string_split(regexp_replace(string_split('landing/' || c_name || '_2024.csv', '/')[-1], '\.[^.]*$', ''), '_')[1] AS stem_ticker
 FROM customer
 """,
 )

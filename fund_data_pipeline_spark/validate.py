@@ -50,18 +50,26 @@ def validation_split_all_reasons(df: DataFrame, rules: Sequence[Rule]) -> tuple[
 
 # ---- canonical rule sets ---------------------------------------------------
 
-def nav_rules(today: Column | None = None) -> list[Rule]:
+#: the reference validator's critical_cols (01_performance_validator.py:47)
+NAV_CRITICAL_COLS = ("ticker", "asset_type", "source", "nav_price", "as_of_date")
+
+
+def nav_rules(
+    today: Column | None = None,
+    critical_cols: Sequence[str] = NAV_CRITICAL_COLS,
+) -> list[Rule]:
     """The daily-NAV validator's three rules (01_performance_validator.py:42-78).
 
     Rule order matters: the reference applies missing -> non-positive ->
-    future-date, each overwriting the previous reason.
+    future-date, each overwriting the previous reason. ``critical_cols``
+    defaults to the reference's full set — asset_type and source included,
+    since both are natural-key components a NULL would corrupt; pass a
+    subset only for frames that legitimately lack the optional columns.
     """
     today = F.current_date() if today is None else today
-    missing = (
-        F.col("ticker").isNull()
-        | F.col("nav_price").isNull()
-        | F.col("as_of_date").isNull()
-    )
+    missing = F.lit(False)
+    for c in critical_cols:
+        missing = missing | F.col(c).isNull()
     non_positive = F.col("nav_price") <= 0
     future = F.col("as_of_date") > F.date_add(today, 1)
     return [
@@ -72,13 +80,20 @@ def nav_rules(today: Column | None = None) -> list[Rule]:
 
 
 def master_rules() -> list[Rule]:
-    """The master-list validator's rules (02_master_list_validator.py:37-62)."""
+    """The master-list validator's rules (02_master_list_validator.py:37-62).
+
+    The membership rules are NULL-safe: a bare ``~isin(...)`` is NULL (not
+    true) for a NULL value under three-valued logic, so a row whose
+    asset_type/status was nulled by the sentinel cleanup would slip
+    through as VALID — the reference flags it (str(nan) is not in the
+    allowed list), so NULL is explicitly invalid here too."""
     blank = lambda c: F.col(c).isNull() | (F.trim(F.col(c)) == "")  # noqa: E731
+    invalid_in = lambda c, *allowed: F.col(c).isNull() | ~F.col(c).isin(*allowed)  # noqa: E731
     return [
         ("Missing Ticker", blank("ticker")),
-        ("Invalid Asset Type", ~F.col("asset_type").isin("FUND", "ETF")),
+        ("Invalid Asset Type", invalid_in("asset_type", "FUND", "ETF")),
         ("Missing Source", blank("source")),
-        ("Invalid Status", ~F.col("status").isin("active", "inactive", "new")),
+        ("Invalid Status", invalid_in("status", "active", "inactive", "new")),
     ]
 
 

@@ -110,12 +110,45 @@ def test_validation_split_single_reason_overwrite_order(spark):
         Row(ticker="C", nav_price=-1.0, as_of_date=datetime.date(2099, 1, 1)),
     ]
     df = spark.createDataFrame(rows)
-    valid, invalid = validate.validation_split_single_reason(df, validate.nav_rules())
+    rules = validate.nav_rules(critical_cols=("ticker", "nav_price", "as_of_date"))
+    valid, invalid = validate.validation_split_single_reason(df, rules)
     assert valid.count() == 1
     reasons = {r.ticker: r.error_reason for r in invalid.collect()}
     # row C fails both Non-Positive and Future Date; reference overwrite keeps the LAST rule
     assert reasons[None] == "Missing Data"
     assert reasons["C"] == "Future Date"
+
+
+def test_nav_rules_default_covers_all_critical_cols(spark):
+    """The default critical set is the reference's full five columns: a
+    NULL source/asset_type (natural-key components) must quarantine as
+    'Missing Data' (review r8: they previously passed as valid)."""
+    import datetime
+
+    rows = [
+        ("A", "FUND", None, 1.0, datetime.date(2024, 1, 1)),
+        ("B", None, "yf", 1.0, datetime.date(2024, 1, 1)),
+        ("C", "FUND", "yf", 1.0, datetime.date(2024, 1, 1)),
+    ]
+    frame = spark.createDataFrame(
+        rows,
+        "ticker string, asset_type string, source string, nav_price double, as_of_date date",
+    )
+    valid, invalid = validate.validation_split_single_reason(frame, validate.nav_rules())
+    assert {r.ticker for r in valid.collect()} == {"C"}
+    assert {r.error_reason for r in invalid.collect()} == {"Missing Data"}
+
+
+def test_master_rules_null_membership_is_invalid(spark):
+    """NULL asset_type/status must be flagged (bare ~isin is NULL under
+    three-valued logic and previously let the row through as VALID)."""
+    df = spark.createDataFrame(
+        [("A", None, "yf", None)],
+        "ticker string, asset_type string, source string, status string",
+    )
+    valid, invalid = validate.validation_split_all_reasons(df, validate.master_rules())
+    assert valid.count() == 0
+    assert invalid.first().validation_issues == "Invalid Asset Type; Invalid Status"
 
 
 def test_validation_split_all_reasons(spark):
@@ -195,3 +228,43 @@ def test_driver_window_is_first_fifty_registered():
         if n not in q._OUT_OF_WINDOW_WHY
     ]
     assert not undocumented
+
+
+def test_parse_path_helpers_edge_cases(spark):
+    """Dotted tickers survive stem extraction, path dates must be whole
+    components, split_ticker takes the LAST part as currency, and the
+    normalized key hash always emits five fields (review r8)."""
+    from fund_data_pipeline_spark import hashing
+    from fund_data_pipeline_spark.parse import filename_stem_ticker, path_date, split_ticker
+
+    df = spark.createDataFrame(
+        [
+            ("/land/export-2020-01-01/2024-05-05/BRK.B_history.csv", "VWRL:LSE:GBP"),
+            ("/land/2024-02-02/VTSAX_history.csv", "VTSAX:USD"),
+        ],
+        ["path", "full_ticker"],
+    )
+    t, c = split_ticker("full_ticker")
+    rows = df.select(
+        filename_stem_ticker(F.col("path")).alias("stem"),
+        path_date(F.col("path")).alias("dt"),
+        t.alias("tick"),
+        c.alias("cur"),
+    ).collect()
+    assert (rows[0].stem, str(rows[0].dt), rows[0].tick, rows[0].cur) == (
+        "BRK.B", "2024-05-05", "VWRL", "GBP",
+    )
+    assert (rows[1].stem, str(rows[1].dt), rows[1].tick, rows[1].cur) == (
+        "VTSAX", "2024-02-02", "VTSAX", "USD",
+    )
+
+    # H5: NULL ticker must not collapse the field count (concat_ws drops
+    # NULLs) — the five-field shape is the collision guard
+    h = spark.createDataFrame(
+        [(None, "FUND", "yf", None, None)],
+        "ticker string, asset_type string, source string, ex_date date, amount double",
+    ).select(hashing.normalized_key_hash().alias("h"))
+    import hashlib
+
+    expected = hashlib.sha256(b"|fund|yf||").hexdigest()
+    assert h.first().h == expected
