@@ -4,10 +4,11 @@ Prints ONE JSON line:
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
      "queries": {"<name>": <sec>, ...}, "sf": <float>}
 
-Each query is executed to completion (count + collect of a bounded result)
-so the timing covers the full scan->shuffle->result path, not just plan
-construction. A warmup run of the smallest query amortizes JVM/codegen
-startup out of the numbers.
+Each query is executed to completion (collect of a bounded result) so the
+timing covers the full scan->shuffle->result path, not just plan
+construction. A warmup pass runs EVERY headline query once untimed, so
+the min-of-n numbers measure steady state rather than one-time
+JVM/codegen/file-index startup.
 
 Scale coverage: the container ships sf0.001 / sf0.01 / sf0.1 only, so the
 largest recordable point is sf0.1 (set SPARK_GRAFT_SF_DIR to any of them).
@@ -47,13 +48,13 @@ def _merge_bench(spark, sf_dir: str, n_runs: int) -> list[float]:
 
     from pyspark.sql import functions as F
 
+    from fund_data_pipeline_spark.hashing import row_hash_safe
     from fund_data_pipeline_spark.merge import merge_upsert
 
     def snapshot(df):
-        return df.withColumn(
-            "row_hash",
-            F.md5(F.concat_ws("|", "k1", "k2", "dt", F.col("price").cast("string"))),
-        )
+        # the engine's own collision-safe hash kernel, not a hand-rolled
+        # concat (which would NULL-collapse fields)
+        return df.withColumn("row_hash", row_hash_safe(["k1", "k2", "dt", "price"]))
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rows = li.select(
@@ -88,7 +89,7 @@ def _merge_bench(spark, sf_dir: str, n_runs: int) -> list[float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("bench")

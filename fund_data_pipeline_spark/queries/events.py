@@ -24,7 +24,7 @@ from .registry import register, table
     doc="Tumbling 5-minute window per event_type: count + exact decimal sum. "
     "Spark side uses the native window() operator (streaming-compatible).",
     oracle="""
-SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start_epoch,
+SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS window_start_epoch,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -59,7 +59,7 @@ SELECT w.window_start_epoch, COUNT(*) AS n_events,
 FROM events e
 CROSS JOIN (SELECT unnest([0, 1]) AS k) k
 CROSS JOIN LATERAL (
-  SELECT (CAST(floor(epoch(e.ts)) AS BIGINT) // 300) * 300 - k.k * 300 AS window_start_epoch
+  SELECT CAST(floor(epoch(e.ts) / 300) AS BIGINT) * 300 - k.k * 300 AS window_start_epoch
 ) w
 GROUP BY w.window_start_epoch
 """,

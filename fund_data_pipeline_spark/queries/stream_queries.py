@@ -3,6 +3,15 @@ Structured Streaming's incremental path, drained with availableNow and
 compared against the same batch-SQL oracles as everything else — the
 streaming results are deterministic because windows/dedup-keys/state are
 order-independent aggregates.
+
+Determinism scope: the fixture landing zone is a single parquet file, so
+every drain is ONE micro-batch and watermarks never drop anything. A
+multi-file landing zone drained across several micro-batches is subject
+to the declared watermarks (1h on the dedup/join queries): rows arriving
+a batch later and more than the watermark older than the seen max are
+dropped, as in any Structured Streaming deployment — size the watermark
+to the real out-of-orderness of the feed, or the batch oracle and the
+stream will legitimately diverge.
 """
 
 from __future__ import annotations
@@ -24,7 +33,7 @@ from .registry import register
     "Structured Streaming query (watermark 10m, complete mode, availableNow "
     "drain) over the events landing zone. Same result as the batch window.",
     oracle="""
-SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS window_start_epoch,
+SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS window_start_epoch,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -90,7 +99,11 @@ def _user_stats_fn(key, pdf_iter, state: GroupState):
     n, q = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        q += int(np.floor(pdf["value"].to_numpy() * 1e6).astype("int64").sum())
+        v = pdf["value"].to_numpy()
+        # NaN (a NULL value) must be skipped like the oracle's SUM skips
+        # NULLs — np.floor(NaN).astype(int64) silently yields INT64_MIN
+        v = v[~np.isnan(v)]
+        q += int(np.floor(v * 1e6).astype("int64").sum())
     state.update((n, q))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_q_sum": [q]})
 

@@ -76,4 +76,11 @@ def run_to_memory(sdf: DataFrame, mode: str, shuffle_partitions: int | None = 8)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # detach the result from the memory sink: the sink table would
+    # otherwise stay registered (and pinned in driver memory) for the life
+    # of the session — one leaked result set per streaming query run. The
+    # eager localCheckpoint copies the rows into managed blocks that the
+    # ContextCleaner releases once the returned DataFrame is unreachable.
+    out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out

@@ -21,8 +21,21 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if "/" not in a)
+    # argv contract: an argument that IS a directory (or the first arg if
+    # path-shaped) selects the SF dir; everything else must be a known
+    # query name. Extra path-like arguments are an error, not silently
+    # ignored — "verify two SFs" must not quietly verify one.
+    sf_dir = "/root/testdata/sf0.01"
+    only: set[str] = set()
+    args = sys.argv[1:]
+    if args and (Path(args[0]).is_dir() or "/" in args[0]):
+        sf_dir = args[0]
+        args = args[1:]
+    extra_paths = [a for a in args if Path(a).is_dir() or "/" in a]
+    if extra_paths:
+        print(f"only one sf_dir is supported; unexpected path arguments: {extra_paths}")
+        return 2
+    only = set(args)
 
     from fund_data_pipeline_spark import queries as Q
     from fund_data_pipeline_spark.oracle import compare_query, duckdb_connect
