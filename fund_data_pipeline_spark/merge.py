@@ -677,6 +677,17 @@ def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> set[
             shutil.rmtree(backup)  # crash after the swap: backup is stale
         else:
             backup.rename(dest)  # crash between renames: backup IS the data
+    # also heal the LEGACY un-dotted backup name ('<pcol>=v.__old__') that
+    # pre-dot-prefix releases wrote: a crash leftover in that format is
+    # otherwise parsed by partition discovery as a real partition with
+    # value 'v.__old__' — the exact corruption the dot prefix was
+    # introduced to prevent (review r9). Same restore-or-delete rule.
+    for backup in list(path.glob(f"{partition_col}=*.__old__")):
+        dest = path / backup.name[: -len(".__old__")]
+        if dest.exists():
+            shutil.rmtree(backup)
+        else:
+            backup.rename(dest)
     swapped: set[str] = set()
     for part_dir in sorted(staging.glob(f"{partition_col}=*")):
         dest = path / part_dir.name

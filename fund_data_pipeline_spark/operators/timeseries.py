@@ -46,6 +46,13 @@ def gap_fill_locf(
     keys = list(keys)
     if last_n_days is not None and last_n_days < 1:
         raise ValueError(f"last_n_days must be >= 1, got {last_n_days}")
+    # same reserved-name contract as merge_as_dataframe / diff_frames: an
+    # input that already carries an internal column would produce an
+    # ambiguous/duplicate column in the spans-spine join (review r9)
+    reserved = {"__d0", "__d1", "__rn", "__seed", "carried"}
+    clash = reserved & set(daily.columns)
+    if clash:
+        raise ValueError(f"column names reserved by gap_fill_locf: {sorted(clash)}")
     spans = daily.groupBy(keys).agg(
         F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
     )

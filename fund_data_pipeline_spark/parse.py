@@ -118,9 +118,18 @@ def split_ticker(col: Column | str) -> tuple[Column, Column]:
     Parity: 01_ft_list_scraper.py:175-179 — FT full tickers are
     TICKER[:EXCHANGE]:CURRENCY, so the currency is the LAST part, not the
     second (taking parts[1] would store the exchange code as a currency
-    for three-part tickers)."""
+    for three-part tickers). A delimiter-less input ('VTSAX') has no
+    currency part, so currency is NULL — the reference emits 'N/A'/absent
+    there too (01_ft_list_scraper.py:177), and echoing the ticker back as
+    its own currency would poison the default_if_null('USD') fill.
+    Deliberate divergence for 2-part tickers: the reference treats
+    parts[1] as an EXCHANGE code; we return it as the currency column
+    because the landing schema here has no exchange column and FT 2-part
+    tickers ('VWRL:GBP') put the currency second in practice.
+    """
     parts = F.split(_c(col), ":")
-    return parts.getItem(0), F.element_at(parts, -1)
+    currency = F.when(F.size(parts) >= 2, F.element_at(parts, -1))
+    return parts.getItem(0), currency
 
 
 def format_amount(col: Column | str, decimals: int = 6) -> Column:

@@ -28,16 +28,18 @@ from . import mlops  # noqa: E402,F401
 #:
 #: Window policy (round-2 VERDICT rule): any query that has EVER failed a
 #: driver check stays in the window until it has a green driver row.
-#: Round-8 rotation (per the round-7 VERDICT item 1): CORRECTNESS_r07 was
-#: 50/50 green, so no unpaid failure holds a slot. In: the 6 round-7
-#: queries that have never been driver-checked, the 2 new round-8 queries,
-#: every query whose latest driver row is r4 (10) or r5 (5), and the 19
-#: oldest r6 greens (the 9 single-green-round r6 rows first, then 10 of
-#: the r5+r6 group). The 8 headline (benched) queries stay, per standing
-#: policy. After this round, no catalog query's most recent driver row is
-#: older than r6. Every excluded query is listed in _OUT_OF_WINDOW_WHY
-#: below with the CORRECTNESS round(s) that checked it green, still
-#: registered, and still gated by scripts/verify_local.py +
+#: Round-9 rotation (per the round-8 VERDICT item 1): CORRECTNESS_r08 was
+#: 50/50 green, so no unpaid failure holds a slot. In: the 3 late-r8
+#: queries that have never been driver-checked (row_hash_surfaces,
+#: string_compose_format, union_mixed_schemas), all 26 queries whose
+#: latest driver row is r6, and 13 of the 23 single-green-r7 queries
+#: (streaming family + the heaviest/least-represented kernels first,
+#: including price_quantity_stats and incremental_rollup_revenue whose
+#: kernels changed in r8). The 8 headline (benched) queries stay, per
+#: standing policy. After this round, no catalog query's most recent
+#: driver row is older than r7. Every excluded query is listed in
+#: _OUT_OF_WINDOW_WHY below with the CORRECTNESS round(s) that checked it
+#: green, still registered, and still gated by scripts/verify_local.py +
 #: tests/test_catalog_oracle.py.
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
@@ -50,54 +52,51 @@ _CHECKED_FIRST = [
     "tumbling_window_stats",
     "text_statistics",
     "exact_dedup",
-    # ---- the 6 round-7 operators: never driver-checked, all enter ----
-    "winsorized_price_stats",
-    "changelog_compact",
-    "calendar_gap_fill",
-    "fk_integrity_audit",
-    "embedding_random_projection",
-    "dedup_keep_best_quality",
-    # ---- new in round 8: never driver-checked ----
-    "pii_redaction",
-    "corpus_dedup_pipeline",
-    # ---- latest driver row is r4 ----
-    "event_type_summary",
-    "json_props_extraction",
-    "language_id_heuristic",
-    "doc_quality_profile",
-    "minhash_lsh_candidates",
-    "simhash_near_dup",
-    "streaming_tumbling_counts",
-    "train_val_test_split",
-    "embedding_ann_bucketed_topk",
-    "embedding_cosine_near_dup",
-    # ---- latest driver row is r5 ----
-    "cube_order_stats",
-    "pivot_status_by_segment",
-    "unpivot_part_metrics",
-    "buyer_set_ops",
-    "clicks_before_purchase_range_join",
-    # ---- oldest r6 greens: single green driver round ----
-    "multimodal_binary_meta",
-    "streaming_stateful_user_stats",
-    "pii_scrub_stats",
-    "image_decode_features",
-    "doc_chunking",
-    "sequence_packing",
-    "length_percentile_gate",
-    "leakage_safe_split",
-    "language_rebalance_mixture",
-    # ---- oldest r6 greens: r5+r6 group ----
-    "dedup_clusters",
-    "repair_feed_merge",
-    "order_price_percentiles",
-    "conversion_funnel",
-    "table_profile",
-    "dedup_keep_list",
-    "repetition_filter_stats",
-    "benchmark_contamination",
-    "quality_score",
-    "token_count_regex",
+    # ---- late round-8 additions: never driver-checked, all enter ----
+    "row_hash_surfaces",
+    "string_compose_format",
+    "union_mixed_schemas",
+    # ---- latest driver row is r6 (all 26 enter) ----
+    "active_customers_semi",
+    "conform_master_list",
+    "customers_without_orders",
+    "date_parsing_and_arithmetic",
+    "dedup_keep_last",
+    "doc_fingerprint",
+    "embedding_ivf_topk",
+    "embedding_lsh_buckets",
+    "embedding_topk_pandas",
+    "fee_rescale_and_repair",
+    "group_count_breakdown",
+    "hash_guarded_merge",
+    "latest_order_per_customer",
+    "lifecycle_status_transitions",
+    "locf_last_valid_value",
+    "master_validation_issues",
+    "nav_validation_errors",
+    "ntile_quartiles",
+    "numeric_string_parsing",
+    "retention_cutoff_prune",
+    "row_hash_change_detection",
+    "running_revenue_by_supplier",
+    "stratified_hash_sample",
+    "streaming_dedup_users",
+    "streaming_session_counts",
+    "top_orders_per_customer",
+    # ---- single-green r7 (13 of 23; streams + changed kernels first) ----
+    "streaming_click_purchase_join",
+    "streaming_enriched_purchases",
+    "token_vocabulary",
+    "boilerplate_scrub",
+    "semantic_dedup_cells",
+    "incremental_near_dup",
+    "record_linkage_fuzzy",
+    "hierarchy_flatten",
+    "scd2_priority_history",
+    "rolling_30d_revenue",
+    "price_quantity_stats",
+    "incremental_rollup_revenue",
+    "daily_order_anomaly",
 ]
 
 
@@ -105,93 +104,83 @@ _CHECKED_FIRST = [
 #: structurally enforced by :func:`_pin_driver_window` (an undocumented
 #: exclusion is a hard error at import, so a failing query cannot be quietly
 #: parked past position 50). "driver-green rN" cites the CORRECTNESS round
-#: that checked the subsuming representative.
+#: that checked the query itself; "family in-window via X" names its
+#: representative in the CURRENT (r9) window.
 _OUT_OF_WINDOW_WHY = {
-    # Rotated out in round 8 to cede slots to the 6 never-driver-checked
-    # round-7 operators, the 2 new round-8 queries, and the r4/r5-stale
-    # representatives (window policy: multi-round-green representatives
-    # rotate, ever-red stays until green; CORRECTNESS_r07 was 50/50 so
-    # nothing here has an unpaid failure). Every entry cites its own green
-    # driver round(s); all 50 r7-window queries were green in r7.
-    "token_vocabulary": "driver-green r7 (first exposure); token/tf family in-window via token_count_regex + quality_score",
-    "boilerplate_scrub": "driver-green r7 (first exposure); chunking family in-window via doc_chunking + sequence_packing",
-    "deterministic_shuffle_order": "driver-green r7 (first exposure); md5-bucket family in-window via train_val_test_split + leakage_safe_split",
-    "streaming_click_purchase_join": "driver-green r7 (first exposure); streaming family in-window via streaming_tumbling_counts + streaming_stateful_user_stats",
-    "embedding_centroid_stats": "driver-green r7 (first exposure); embedding-agg family in-window via embedding_ann_bucketed_topk + embedding_random_projection",
-    "characteristic_terms": "driver-green r7 (first exposure); tf-idf family in-window via token_count_regex + quality_score",
-    "scd2_priority_history": "driver-green r7 (first exposure); SCD2/latest-per-key family in-window via changelog_compact",
-    "streaming_enriched_purchases": "driver-green r7 (first exposure); streaming family in-window via streaming_tumbling_counts + streaming_stateful_user_stats",
-    "key_skew_profile": "driver-green r7 (first exposure); profiling family in-window via table_profile",
-    "incremental_near_dup": "driver-green r7 (first exposure); band-index family in-window via minhash_lsh_candidates + benchmark_contamination",
-    "audio_quality_gate": "driver-green r7 (first exposure); multimodal family in-window via image_decode_features + multimodal_binary_meta",
-    "video_frame_sample_stats": "driver-green r7 (first exposure); multimodal family in-window via image_decode_features + multimodal_binary_meta",
-    "price_histogram": "driver-green r7 (first exposure); binning family in-window via length_percentile_gate + winsorized_price_stats",
-    "rolling_30d_revenue": "driver-green r7 (first exposure); window-frame family in-window via calendar_gap_fill (LOCF carry) + winsorized_price_stats (rank windows)",
-    "semantic_dedup_cells": "driver-green r7 (first exposure); IVF/semantic family in-window via corpus_dedup_pipeline (same cell join restricted to survivors) + embedding_cosine_near_dup",
-    "record_linkage_fuzzy": "driver-green r7 (first exposure); blocked fuzzy-join family in-window via simhash_near_dup + corpus_dedup_pipeline",
-    "running_distinct_users": "driver-green r7 (first exposure); per-user accumulation family in-window via streaming_stateful_user_stats + conversion_funnel",
-    "daily_order_anomaly": "driver-green r7 (first exposure); robust-stats family in-window via winsorized_price_stats",
-    "hierarchy_flatten": "driver-green r7 (first exposure); iterative-graph family in-window via dedup_clusters + dedup_keep_list (connected components)",
-    "cohort_retention": "driver-green r7 (first exposure); cohort family in-window via conversion_funnel",
-    "snapshot_diff": "driver-green r7 (first exposure); CDC/hash-compare family in-window via changelog_compact",
-    "price_quantity_stats": "driver-green r7 (first exposure); exact-moment family in-window via winsorized_price_stats + pricing_summary (same floor-split conversion)",
-    "incremental_rollup_revenue": "driver-green r7 (first exposure); merge/rollup family in-window via repair_feed_merge",
-    "distinct_counts": "driver-green r1+r7; distinct-agg family in-window via table_profile",
-    "rollup_revenue": "driver-green r1+r7; ROLLUP family in-window via cube_order_stats",
-    "grouping_sets_revenue": "driver-green r1+r7; grouping-sets family in-window via cube_order_stats + pivot_status_by_segment",
-    "repeat_buyers_intersect": "driver-green r1+r7; INTERSECT family in-window via buyer_set_ops",
-    "churned_buyers_except": "driver-green r1+r7; EXCEPT family in-window via buyer_set_ops",
-    "priority_orders_exists": "driver-green r1+r7; semi-join family in-window via fk_integrity_audit (semi/anti-join audit)",
-    "price_quartiles_by_segment": "driver-green r1+r7; ranking-window family in-window via winsorized_price_stats (rank-selected thresholds)",
-    "salted_join_revenue": "driver-green r1+r7; skew family checked green in two recent rounds (key_skew_profile r6+r7), plan pinned by tests/test_plans.py",
-    "nation_pair_revenue": "driver-green r2+r7; multi-join agg family in-window via regional_supplier_volume (headline)",
-    "promo_revenue_share": "driver-green r2+r7; conditional-agg family in-window via pricing_summary (headline)",
-    "top_supplier_revenue": "driver-green r2+r7; top-k agg family in-window via top_unshipped_orders (headline)",
-    "small_quantity_revenue": "driver-green r2+r7; filtered-agg family in-window via pricing_summary (headline)",
-    "order_fulfillment_outer": "driver-green r4+r7; outer-join family in-window via fk_integrity_audit (outer-join counting)",
-    "ngram_jaccard_pairs": "driver-green r4+r7; blocked shingle-join family in-window via minhash_lsh_candidates + benchmark_contamination",
-    "order_price_lead_lag": "driver-green r4+r7; lead-lag window family in-window via winsorized_price_stats + calendar_gap_fill (keyed windows)",
-    "sliding_window_stats": "driver-green r4+r7; sliding-window family in-window via tumbling_window_stats (headline) + streaming_tumbling_counts",
-    "null_sentinel_cleanup": "driver-green r4+r7; conform family stable (r4+r7); cleanup kernels shared with pii_redaction's regexp chain (in-window)",
-    "duplicate_key_stats": "driver-green r4+r7; keyed-dedup family in-window via exact_dedup (headline) + dedup_keep_best_quality",
-    "sessionization": "driver-green r4+r7; session-window family in-window via conversion_funnel + streaming_stateful_user_stats",
-    # Rotated out in earlier rounds, still multi-round green; staying out
-    # this rotation because their family representative is in-window (reps
-    # refreshed to the r8 window).
-    "group_count_breakdown": "driver-green r2+r3+r4+r5+r6; grouped-agg family in-window via pricing_summary (headline)",
-    "customers_without_orders": "driver-green r2+r3+r4+r5+r6; anti-join family in-window via fk_integrity_audit",
-    "active_customers_semi": "driver-green r2+r3+r4+r5+r6; semi-join family in-window via fk_integrity_audit",
-    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6; per-key top-k window family in-window via winsorized_price_stats (per-key rank windows)",
-    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6; running-frame family in-window via calendar_gap_fill (running LOCF window)",
-    "ntile_quartiles": "driver-green r2+r3+r4+r5+r6; ranking-window family in-window via winsorized_price_stats (rank selection)",
-    "latest_order_per_customer": "driver-green r2+r3+r4+r5+r6; latest-per-key family in-window via changelog_compact",
-    "conform_master_list": "driver-green r2+r3+r4+r5+r6; five consecutive green rounds",
-    "numeric_string_parsing": "driver-green r2+r3+r4+r5+r6 (X4-X6 parses); five consecutive green rounds",
-    "fee_rescale_and_repair": "driver-green r2+r3+r4+r5+r6 (X7/X8/F9); five consecutive green rounds",
-    "date_parsing_and_arithmetic": "driver-green r2+r3+r4+r5+r6 (X10-X12); five consecutive green rounds",
-    "row_hash_change_detection": "driver-green r2+r3+r4+r5+r6 (H2); hash family in-window via exact_dedup (md5 content-hash kernel)",
-    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6 (D2); keyed-dedup family in-window via exact_dedup + dedup_keep_best_quality",
-    "nav_validation_errors": "driver-green r2+r3+r4+r5+r6 (F1-F4); five consecutive green rounds",
-    "master_validation_issues": "driver-green r2+r3+r4+r5+r6 (F5/F6); five consecutive green rounds",
-    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6 (K3/K4/H8); merge family in-window via repair_feed_merge (same keyed merge kernel)",
-    "lifecycle_status_transitions": "driver-green r2+r3+r4+r5+r6 (L2-L5); lifecycle family in-window via changelog_compact (state classification)",
-    "locf_last_valid_value": "driver-green r2+r3+r4+r5+r6 (W4/W5/G3); LOCF window family in-window via calendar_gap_fill (the LOCF carry)",
-    "retention_cutoff_prune": "driver-green r2+r3+r4+r5+r6 (K8); five consecutive green rounds",
-    "doc_fingerprint": "driver-green r5+r6; fingerprint family in-window via exact_dedup + doc_quality_profile (same fingerprint expression)",
-    "embedding_ivf_topk": "driver-green r5+r6; IVF family in-window via embedding_ann_bucketed_topk + corpus_dedup_pipeline (same cell assignment)",
-    "embedding_lsh_buckets": "driver-green r5+r6; LSH family in-window via embedding_cosine_near_dup (same plane kernel) + embedding_random_projection",
-    "embedding_topk_pandas": "driver-green r5+r6; Arrow-batch family in-window via embedding_topk_cosine (headline) + image_decode_features (mapInPandas)",
-    "streaming_session_counts": "driver-green r5+r6; streaming family in-window via streaming_tumbling_counts + streaming_stateful_user_stats",
-    "streaming_dedup_users": "driver-green r5+r6; streaming family in-window via streaming_tumbling_counts + streaming_stateful_user_stats",
-    "stratified_hash_sample": "driver-green r5+r6; hash-split family in-window via train_val_test_split + language_rebalance_mixture (same md5-bucket kernel)",
-    # new in round 8 (late additions after the r8 window was pinned) —
-    # queue for the round-9 rotation behind any r8 failures (window
-    # policy); these upgrade previously tests-only library ops (H3-H7,
-    # X13/X14/X16/X17, U1) to oracle-checked catalog rows; local-gate
-    # evidence at sf0.001/0.01/0.1
-    "row_hash_surfaces": "new r8 operator (H2-H7 hash kernels from hashing.py driver-checkable per row: concat/safe md5, OHLCV + dividend sha256, pipe-delimited normalized key); hash family in-window via exact_dedup + pii_redaction (md5 content hashes)",
-    "string_compose_format": "new r8 operator (X13/X14/X16/X17 string kernels from parse.py: split/compose, %.2f format, default-fill, filename-stem); parse family in-window via pii_redaction (regexp chain) + train_val_test_split",
-    "union_mixed_schemas": "new r8 operator (U1 heterogeneous unionByName(allowMissingColumns) with null-fill); union family exercised in-window via corpus_dedup_pipeline's stage union + buyer_set_ops",
+    # ---- rotated out in round 9: latest driver row is r8 (fresh) ----
+    "winsorized_price_stats": "driver-green r8; robust-stats family in-window via daily_order_anomaly + price_quantity_stats",
+    "changelog_compact": "driver-green r8; SCD2/CDC family in-window via scd2_priority_history + latest_order_per_customer",
+    "calendar_gap_fill": "driver-green r8; LOCF/densify family in-window via locf_last_valid_value + rolling_30d_revenue",
+    "fk_integrity_audit": "driver-green r8; semi/anti audit family in-window via customers_without_orders + active_customers_semi",
+    "embedding_random_projection": "driver-green r8; projection family in-window via embedding_lsh_buckets (same plane kernel)",
+    "dedup_keep_best_quality": "driver-green r8; keyed-dedup family in-window via dedup_keep_last + exact_dedup (headline)",
+    "pii_redaction": "driver-green r8; regexp-chain family in-window via string_compose_format + conform_master_list",
+    "corpus_dedup_pipeline": "driver-green r8; dedup-pipeline stages in-window via exact_dedup + incremental_near_dup + semantic_dedup_cells",
+    "event_type_summary": "driver-green r1+r2+r4+r8; grouped-agg family in-window via group_count_breakdown + pricing_summary (headline)",
+    "json_props_extraction": "driver-green r1+r2+r3+r4+r8; expression family in-window via string_compose_format + date_parsing_and_arithmetic",
+    "language_id_heuristic": "driver-green r1+r2+r3+r4+r8; text family in-window via text_statistics (headline) + doc_fingerprint",
+    "doc_quality_profile": "driver-green r2+r3+r4+r8; text-quality family in-window via text_statistics (headline) + doc_fingerprint",
+    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8; minhash-band family in-window via incremental_near_dup (same signature/band kernel)",
+    "simhash_near_dup": "driver-green r2+r3+r4+r8; hamming near-dup family in-window via record_linkage_fuzzy + incremental_near_dup",
+    "streaming_tumbling_counts": "driver-green r2+r4+r8; streaming family in-window via tumbling_window_stats (headline) + streaming_session_counts",
+    "train_val_test_split": "driver-green r2+r3+r4+r8; md5-bucket split family in-window via stratified_hash_sample (same kernel)",
+    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8; ANN family in-window via embedding_lsh_buckets + embedding_ivf_topk",
+    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8; vector near-dup family in-window via embedding_lsh_buckets + semantic_dedup_cells",
+    "cube_order_stats": "driver-green r1+r2+r3+r4+r5+r8; multi-level agg family in-window via group_count_breakdown + pricing_summary (headline)",
+    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8; pivot family in-window via group_count_breakdown (same grouped-agg kernel)",
+    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8; reshape/stack family in-window via union_mixed_schemas (column-union kernel)",
+    "buyer_set_ops": "driver-green r2+r3+r4+r5+r8; set-ops family in-window via active_customers_semi + customers_without_orders (semi/anti forms)",
+    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5+r8; range-join family in-window via asof_last_click_before_purchase (headline)",
+    "multimodal_binary_meta": "driver-green r5+r6+r8; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
+    "streaming_stateful_user_stats": "driver-green r5+r6+r8; stateful-streaming family in-window via streaming_dedup_users + streaming_session_counts",
+    "pii_scrub_stats": "driver-green r5+r6+r8; regexp-chain family in-window via string_compose_format + conform_master_list",
+    "image_decode_features": "driver-green r6+r8; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
+    "doc_chunking": "driver-green r6+r8; chunking family in-window via boilerplate_scrub + token_vocabulary",
+    "sequence_packing": "driver-green r6+r8; packing family in-window via token_vocabulary + boilerplate_scrub",
+    "length_percentile_gate": "driver-green r6+r8; percentile-gate family in-window via ntile_quartiles + daily_order_anomaly",
+    "leakage_safe_split": "driver-green r6+r8; content-hash split family in-window via stratified_hash_sample (same md5-bucket kernel)",
+    "language_rebalance_mixture": "driver-green r6+r8; mixture/split family in-window via stratified_hash_sample",
+    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8; connected-components family in-window via hierarchy_flatten (iterative graph)",
+    "repair_feed_merge": "driver-green r5+r6+r8; keyed-merge family in-window via hash_guarded_merge + incremental_rollup_revenue",
+    "order_price_percentiles": "driver-green r5+r6+r8; percentile family in-window via ntile_quartiles + daily_order_anomaly",
+    "conversion_funnel": "driver-green r5+r6+r8; funnel/session family in-window via streaming_session_counts + streaming_click_purchase_join",
+    "table_profile": "driver-green r5+r6+r8; profiling family in-window via group_count_breakdown (distinct/null counting)",
+    "dedup_keep_list": "driver-green r5+r6+r8; dedup-attribution family in-window via exact_dedup (headline) + dedup_keep_last",
+    "repetition_filter_stats": "driver-green r5+r6+r8; text-gate family in-window via text_statistics (headline) + token_vocabulary",
+    "benchmark_contamination": "driver-green r5+r6+r8; shingle-join family in-window via incremental_near_dup + token_vocabulary",
+    "quality_score": "driver-green r5+r6+r8; text-quality family in-window via text_statistics (headline) + doc_fingerprint",
+    "token_count_regex": "driver-green r5+r6+r8; tokenize family in-window via token_vocabulary (same regex kernel)",
+    # ---- latest driver row is r7, multi-round green ----
+    "distinct_counts": "driver-green r1+r7; distinct-agg family in-window via group_count_breakdown",
+    "rollup_revenue": "driver-green r1+r7; ROLLUP family in-window via incremental_rollup_revenue + group_count_breakdown",
+    "grouping_sets_revenue": "driver-green r1+r7; grouping-sets family in-window via group_count_breakdown + pricing_summary (headline)",
+    "repeat_buyers_intersect": "driver-green r1+r7; INTERSECT family in-window via active_customers_semi (semi-join semantics)",
+    "churned_buyers_except": "driver-green r1+r7; EXCEPT family in-window via customers_without_orders (anti-join semantics)",
+    "priority_orders_exists": "driver-green r1+r7; semi-join family in-window via active_customers_semi",
+    "price_quartiles_by_segment": "driver-green r1+r7; ranking-window family in-window via ntile_quartiles + top_orders_per_customer",
+    "salted_join_revenue": "driver-green r1+r7; skew family — plan pinned by tests/test_plans.py; blocked/salted kernels in-window via semantic_dedup_cells + record_linkage_fuzzy",
+    "nation_pair_revenue": "driver-green r1+r2+r7; multi-join agg family in-window via regional_supplier_volume (headline)",
+    "promo_revenue_share": "driver-green r1+r2+r7; conditional-agg family in-window via pricing_summary (headline)",
+    "top_supplier_revenue": "driver-green r1+r2+r7; top-k agg family in-window via top_unshipped_orders (headline)",
+    "small_quantity_revenue": "driver-green r1+r2+r7; filtered-agg family in-window via pricing_summary (headline)",
+    "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7; outer-join counting family in-window via customers_without_orders + group_count_breakdown",
+    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7; blocked shingle-join family in-window via incremental_near_dup + record_linkage_fuzzy",
+    "order_price_lead_lag": "driver-green r1+r3+r4+r7; lead-lag window family in-window via rolling_30d_revenue + locf_last_valid_value (keyed windows)",
+    "sliding_window_stats": "driver-green r1+r3+r4+r7; sliding-window family in-window via tumbling_window_stats (headline)",
+    "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7; conform family in-window via conform_master_list + string_compose_format",
+    "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7; keyed-dedup family in-window via exact_dedup (headline) + dedup_keep_last",
+    "sessionization": "driver-green r1+r2+r3+r4+r7; session-window family in-window via streaming_session_counts + streaming_click_purchase_join",
+    # ---- single-green r7, staying out this rotation (family reps in) ----
+    "audio_quality_gate": "driver-green r7; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
+    "characteristic_terms": "driver-green r7; tf-idf family in-window via token_vocabulary (same tokenize+df kernel)",
+    "cohort_retention": "driver-green r7; cohort family in-window via latest_order_per_customer + group_count_breakdown",
+    "deterministic_shuffle_order": "driver-green r7; md5-bucket family in-window via stratified_hash_sample (same kernel)",
+    "embedding_centroid_stats": "driver-green r7; centroid family in-window via embedding_ivf_topk (same cell-assign kernel)",
+    "key_skew_profile": "driver-green r7; profiling family in-window via group_count_breakdown; skew-handling kernels via semantic_dedup_cells",
+    "price_histogram": "driver-green r7; binning family in-window via ntile_quartiles + daily_order_anomaly",
+    "running_distinct_users": "driver-green r7; per-user accumulation family in-window via streaming_dedup_users + streaming_session_counts",
+    "snapshot_diff": "driver-green r7; CDC/hash-compare family in-window via row_hash_change_detection + scd2_priority_history",
+    "video_frame_sample_stats": "driver-green r7; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
 }
 
 
@@ -214,6 +203,11 @@ def _pin_driver_window() -> None:
     if stale:
         raise RuntimeError(
             f"_OUT_OF_WINDOW_WHY entries for queries no longer registered: {stale}"
+        )
+    both = [n for n in _OUT_OF_WINDOW_WHY if n in _CHECKED_FIRST]
+    if both:
+        raise RuntimeError(
+            f"queries both in-window and excluded: {both}"
         )
     head = {n: QUERIES[n] for n in _CHECKED_FIRST}
     tail = {n: s for n, s in QUERIES.items() if n not in head}

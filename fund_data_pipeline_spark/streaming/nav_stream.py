@@ -63,9 +63,11 @@ def start_nav_stream(
     layouts corrupt reads) — migrate the table once (read -> partitioned
     rewrite) before switching modes.
 
-    ``errors_path``: append each micro-batch's quarantined rows (the
-    validate split's failure side) there — without it the batch loader's
-    quarantine accounting would silently vanish in streaming mode.
+    ``errors_path``: each micro-batch's quarantined rows (the validate
+    split's failure side) land under ``errors_path/batch_id=N`` (overwrite
+    per batch, so a replayed micro-batch replaces rather than duplicates
+    its own quarantine output) — without it the batch loader's quarantine
+    accounting would silently vanish in streaming mode.
 
     Cross-batch staleness: the hash-guarded merge updates on ANY hash
     difference, so a re-delivered OLD file drained in a later micro-batch
@@ -98,7 +100,16 @@ def start_nav_stream(
         cleaned = daily_nav.clean(batch_df)
         valid, errors = daily_nav.validate_split(cleaned)
         if errors_path is not None and not errors.isEmpty():
-            errors.write.mode("append").parquet(errors_path)
+            # Idempotent quarantine (review r9): foreachBatch may replay a
+            # micro-batch whose quarantine write already landed (write
+            # succeeded, merge crashed before the checkpoint commit). A
+            # plain append would re-add the same rows; writing each batch
+            # to its own batch_id=N partition directory in overwrite mode
+            # makes the replay replace, not duplicate. Readers see batch_id
+            # as a discovered partition column on errors_path.
+            errors.write.mode("overwrite").parquet(
+                f"{errors_path}/batch_id={batch_id}"
+            )
         batch = daily_nav.prepare_load(valid)
         if batch.isEmpty():
             return

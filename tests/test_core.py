@@ -258,6 +258,15 @@ def test_parse_path_helpers_edge_cases(spark):
         "VTSAX", "2024-02-02", "VTSAX", "USD",
     )
 
+    # X16 r9 ADVICE fix: a delimiter-less ticker has NO currency part —
+    # currency must be NULL, not an echo of the ticker (the reference
+    # emits no currency below 2 parts, 01_ft_list_scraper.py:177; echoing
+    # would poison a default_if_null('USD') fill downstream)
+    bare = spark.createDataFrame([("VTSAX",), ("VWRL:GBP",)], ["full_ticker"])
+    t2, c2 = split_ticker("full_ticker")
+    got = {r.t: r.c for r in bare.select(t2.alias("t"), c2.alias("c")).collect()}
+    assert got == {"VTSAX": None, "VWRL": "GBP"}
+
     # H5: NULL ticker must not collapse the field count (concat_ws drops
     # NULLs) — the five-field shape is the collision guard
     h = spark.createDataFrame(

@@ -649,6 +649,34 @@ def test_partition_swap_heals_foreign_orphan_backup(spark, tmp_path):
     assert not (path / ".dt=2024-01.__old__").exists()
 
 
+def test_partition_swap_heals_legacy_undotted_backup(spark, tmp_path):
+    """A crash leftover from the pre-dot-prefix release wrote VISIBLE
+    '<pcol>=v.__old__' backups; the healing loop must also restore/delete
+    those (review r9: they'd otherwise be parsed by partition discovery as
+    a real partition with value 'v.__old__' — the exact corruption the
+    rename was meant to prevent)."""
+    from fund_data_pipeline_spark.merge import merge_upsert, read_table
+
+    path = tmp_path / "t"
+    base = _snapshot(spark, [("AAA", "2024-01", 1.0), ("BBB", "2024-02", 2.0)])
+    merge_upsert(spark, str(path), base, keys=["ticker", "dt"], partition_col="dt")
+    # legacy crash between renames: dest missing, un-dotted backup IS the data
+    (path / "dt=2024-01").rename(path / "dt=2024-01.__old__")
+    batch = _snapshot(spark, [("BBB", "2024-02", 5.0)])  # touches another partition
+    merge_upsert(spark, str(path), batch, keys=["ticker", "dt"], partition_col="dt")
+    got = sorted((r.ticker, r.dt, r.value) for r in read_table(spark, str(path)).collect())
+    assert got == [("AAA", "2024-01", 1.0), ("BBB", "2024-02", 5.0)]
+    assert not (path / "dt=2024-01.__old__").exists()
+
+    # legacy crash AFTER the swap: dest present, stale un-dotted backup
+    (path / "dt=2024-02.__old__").mkdir()
+    batch2 = _snapshot(spark, [("AAA", "2024-01", 7.0)])
+    merge_upsert(spark, str(path), batch2, keys=["ticker", "dt"], partition_col="dt")
+    assert not (path / "dt=2024-02.__old__").exists()  # stale backup deleted
+    got = sorted((r.ticker, r.value) for r in read_table(spark, str(path)).collect())
+    assert got == [("AAA", 7.0), ("BBB", 5.0)]
+
+
 def test_first_write_into_precreated_empty_dir(spark, tmp_path):
     """An operator-pre-created empty directory (or a crash-orphaned _v_*
     snapshot with no manifest pointer) must not classify as an existing

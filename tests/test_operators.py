@@ -930,6 +930,12 @@ def test_gap_fill_locf_span_cap_with_carry_in(spark):
     }
     assert got == want and got[d(2024, 2, 25)] == 5.0
 
+    # reserved internal names hard-fail up front instead of producing an
+    # ambiguous column in the spans-spine join (review r9)
+    clashing = daily.withColumn("__d0", F.lit(1))
+    with pytest.raises(ValueError, match="reserved by gap_fill_locf"):
+        gap_fill_locf(clashing, ["k"], "dt", "v")
+
 
 def test_scrub_pii_parity_fuzz(spark):
     """Cross-engine redaction parity over 200 seeded pseudo-random texts

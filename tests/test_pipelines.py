@@ -548,6 +548,26 @@ def test_nav_stream_stale_redelivery_does_not_clobber(spark, tmp_path):
     assert any(r.ticker == "BBB" for r in quarantined)
     assert all(r.ticker != "BBB" for r in spark.read.parquet(target).collect())
 
+    # Replay idempotence (review r9): drop the newest checkpoint commit so
+    # Structured Streaming re-executes the SAME micro-batch (same batch_id)
+    # on restart — the foreachBatch retry path. The quarantine write is
+    # per-batch_id overwrite, so the replayed batch must replace its own
+    # rows, not append duplicates.
+    import os
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # local ChecksumFs twin must go too
+        os.remove(crc)
+    before = sum(1 for r in quarantined if r.ticker == "BBB")
+    start_nav_stream(spark, str(landing), target, ckpt, errors_path=errors).awaitTermination()
+    after = sum(1 for r in spark.read.parquet(errors).collect() if r.ticker == "BBB")
+    assert before == after == 1
+    assert len(spark.read.parquet(target).collect()) == 1  # merge replay idempotent too
+
 
 def test_master_sync_keeps_cross_source_rows_from_combined_frame(spark, tmp_path):
     """One combined frame spanning two sources (the orchestrator's single
