@@ -84,6 +84,7 @@ def merge_upsert(
     preserve_cols: Sequence[str] = (),
     always_update_cols: Sequence[str] = (),
     unconditional: bool = False,
+    precedence_col: str | None = None,
     dedupe_order: Sequence[str] | None = None,
     collect_stats: bool = False,
     partition_col: str | None = None,
@@ -101,6 +102,15 @@ def merge_upsert(
       untouched on unchanged rows.
     - ``unconditional=True``: K5's always-update semantics (no hash guard),
       used by the master loader; default is the H8 hash guard.
+    - ``precedence_col``: cross-batch staleness guard. A matched source row
+      whose value in this column is strictly OLDER than the target's (both
+      non-NULL) does not update ANY column — the target row wins and the row
+      counts as unchanged, even under ``unconditional`` / always-update
+      columns. NULL on either side passes (unknown freshness merges like the
+      batch loader would). Used by the streaming NAV loader so a re-delivered
+      old file drained in a later micro-batch cannot clobber newer rows; the
+      guard runs inside the merge's own full-outer join, so it costs no extra
+      target scan.
     - ``dedupe_order``: tiebreak columns making the batch one-row-per-key
       (required for a deterministic merge; defaults to the key itself).
     - ``partition_col``: hive-partition column of the target; when set, only
@@ -140,6 +150,8 @@ def merge_upsert(
             raise ValueError("partition-pruned merge uses the hive layout; manifest applies to unpartitioned tables")
         if partition_col not in source.columns:
             raise ValueError(f"source is missing partition_col {partition_col!r}")
+    if precedence_col is not None and precedence_col not in source.columns:
+        raise ValueError(f"source is missing precedence_col {precedence_col!r}")
     source = dedup_keyed(source, keys, list(dedupe_order) if dedupe_order else keys, keep="last")
 
     path = Path(target_path)
@@ -227,6 +239,21 @@ def merge_upsert(
         changed = F.lit(True)
     else:
         changed = _null_safe_ne(F.col(f"t.{hash_col}"), F.col(f"s.{hash_col}"))
+    # staleness guard: a matched source row older than the stored one loses
+    # outright — gates the hash-guard branch AND always-update/new columns
+    stale = F.lit(False)
+    if precedence_col is not None:
+        if precedence_col not in target.columns:
+            raise ValueError(
+                f"target is missing precedence_col {precedence_col!r}; the "
+                f"staleness guard needs the stored value to compare against"
+            )
+        stale = (
+            F.col(f"s.{precedence_col}").isNotNull()
+            & F.col(f"t.{precedence_col}").isNotNull()
+            & (F.col(f"s.{precedence_col}") < F.col(f"t.{precedence_col}"))
+        )
+        changed = changed & ~stale
 
     preserve = set(preserve_cols)
     always = set(always_update_cols)
@@ -247,7 +274,7 @@ def merge_upsert(
         elif c in always or c in new_cols:
             # new columns are always-update: the stored hash predates them,
             # so the hash guard must not freeze them at NULL on matched rows
-            expr = F.when(s_present, s_c).otherwise(t_c)
+            expr = F.when(s_present & ~stale, s_c).otherwise(t_c)
         else:
             expr = (
                 F.when(~t_present, s_c)

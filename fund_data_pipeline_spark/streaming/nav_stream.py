@@ -64,18 +64,24 @@ def start_nav_stream(
     rewrite) before switching modes.
 
     ``errors_path``: each micro-batch's quarantined rows (the validate
-    split's failure side) land under ``errors_path/batch_id=N`` (overwrite
-    per batch, so a replayed micro-batch replaces rather than duplicates
-    its own quarantine output) — without it the batch loader's quarantine
-    accounting would silently vanish in streaming mode.
+    split's failure side) land under ``errors_path/batch_id=N``,
+    overwritten UNCONDITIONALLY per batch — even when the replay's error
+    set shrank to empty (e.g. a future-dated row that now passes the
+    wall-clock rule), so a replayed micro-batch can never leave stale rows
+    double-accounted as both loaded and quarantined. Without it the batch
+    loader's quarantine accounting would silently vanish in streaming mode.
 
     Cross-batch staleness: the hash-guarded merge updates on ANY hash
     difference, so a re-delivered OLD file drained in a later micro-batch
-    would overwrite newer rows. Each batch therefore drops rows whose
-    ``scrape_date`` is older than the stored one (keys without a stored
-    ``scrape_date`` always pass) — the cross-batch form of the batch
-    loader's keep-last-by-scrape_date dedup. The guard scan is pruned to
-    the batch's ``as_of_date`` partitions in rollup mode.
+    would overwrite newer rows. The merge therefore runs with
+    ``precedence_col="scrape_date"``: a matched row whose incoming
+    ``scrape_date`` is strictly older than the stored one keeps the target
+    row. NULL on either side passes — a row whose scrape_date failed to
+    parse merges via the hash guard exactly as the batch loader
+    (:func:`..pipelines.daily_nav.run`) would, rather than vanishing
+    without a trace. The guard lives inside the merge's own full-outer
+    join (and its partition-pruned target scan in rollup mode), so it
+    costs no second scan of the target.
     """
     raw = (
         spark.readStream.schema(schema)
@@ -95,67 +101,55 @@ def start_nav_stream(
     def load_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        from ..merge import detect_layout, read_table, touched_partition_filter
-
-        cleaned = daily_nav.clean(batch_df)
-        valid, errors = daily_nav.validate_split(cleaned)
-        if errors_path is not None and not errors.isEmpty():
-            # Idempotent quarantine (review r9): foreachBatch may replay a
-            # micro-batch whose quarantine write already landed (write
-            # succeeded, merge crashed before the checkpoint commit). A
-            # plain append would re-add the same rows; writing each batch
-            # to its own batch_id=N partition directory in overwrite mode
-            # makes the replay replace, not duplicate. Readers see batch_id
-            # as a discovered partition column on errors_path.
-            errors.write.mode("overwrite").parquet(
-                f"{errors_path}/batch_id={batch_id}"
-            )
-        batch = daily_nav.prepare_load(valid)
-        if batch.isEmpty():
-            return
-        if detect_layout(target_path) is not None:
-            # drop rows staler than what the table already holds (see doc)
-            current = read_table(spark, target_path)
-            if rollup_path is not None:
-                dates = [r[0] for r in batch.select("as_of_date").distinct().collect()]
-                current = current.filter(touched_partition_filter("as_of_date", dates))
-            stored = current.select(
-                *DAILY_NAV_KEY, F.col("scrape_date").alias("__stored_sd")
-            )
-            fresh = F.col("__stored_sd").isNull() | (
-                F.col("scrape_date").isNotNull()
-                & (F.col("scrape_date") >= F.col("__stored_sd"))
-            )
-            batch = batch.join(stored, DAILY_NAV_KEY, "left").filter(fresh).drop("__stored_sd")
-            # materialize NOW: the guarded batch lazily reads the target's
-            # current files, which the merge below replaces — a later
-            # re-evaluation (touched-dates collect, swap staging) would hit
-            # deleted files. A micro-batch is small by construction.
-            batch = batch.localCheckpoint()
-            if batch.isEmpty():
-                return
-        if rollup_path is None:
-            merge_upsert(spark, target_path, batch, DAILY_NAV_KEY)
-            return
-        from pyspark.sql import functions as F
-
         from ..merge import read_table
         from ..rollup import refresh_rollup
 
-        merge_upsert(
-            spark, target_path, batch, DAILY_NAV_KEY, partition_col="as_of_date"
-        )
-        # bounded collect: the distinct dates of one micro-batch
-        touched = [r[0] for r in batch.select("as_of_date").distinct().collect()]
-        measures = rollup_measures or {"n_quotes": F.count(F.lit(1))}
-        refresh_rollup(
-            read_table(spark, target_path),
-            rollup_path,
-            partition_col="as_of_date",
-            group_cols=list(rollup_group_cols),
-            measures=measures,
-            touched=touched,
-        )
+        # persist once: errors-write, emptiness probe, merge, and the
+        # touched-dates collect all consume this lineage — without the
+        # persist each action would re-read and re-clean every CSV in the
+        # micro-batch from disk (review r9: up to ~5x redundant I/O)
+        cleaned = daily_nav.clean(batch_df).persist()
+        try:
+            valid, errors = daily_nav.validate_split(cleaned)
+            if errors_path is not None:
+                # UNCONDITIONAL idempotent quarantine (review r9):
+                # foreachBatch may replay a micro-batch whose quarantine
+                # write already landed (write succeeded, merge crashed
+                # before the checkpoint commit). Overwriting batch_id=N
+                # even when the replay produced NO errors clears rows the
+                # replay now loads instead (validation uses wall-clock
+                # current_date, so the split can legitimately shift
+                # between attempts). Readers see batch_id as a discovered
+                # partition column on errors_path.
+                errors.write.mode("overwrite").parquet(
+                    f"{errors_path}/batch_id={batch_id}"
+                )
+            batch = daily_nav.prepare_load(valid)
+            if batch.isEmpty():
+                return
+            merge_upsert(
+                spark,
+                target_path,
+                batch,
+                DAILY_NAV_KEY,
+                precedence_col="scrape_date",
+                partition_col="as_of_date" if rollup_path is not None else None,
+            )
+            if rollup_path is None:
+                return
+            # bounded collect: the distinct dates of one micro-batch
+            touched = [r[0] for r in batch.select("as_of_date").distinct().collect()]
+            measures = rollup_measures or {"n_quotes": F.count(F.lit(1))}
+            refresh_rollup(
+                read_table(spark, target_path),
+                rollup_path,
+                partition_col="as_of_date",
+                group_cols=list(rollup_group_cols),
+                measures=measures,
+                touched=touched,
+            )
+        finally:
+            cleaned.unpersist()
 
     return (
         raw.writeStream.foreachBatch(load_batch)

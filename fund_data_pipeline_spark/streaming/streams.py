@@ -64,23 +64,28 @@ def run_to_memory(sdf: DataFrame, mode: str, shuffle_partitions: int | None = 8)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     # detach the result from the memory sink: the sink table would
     # otherwise stay registered (and pinned in driver memory) for the life
     # of the session — one leaked result set per streaming query run. The
     # eager localCheckpoint copies the rows into managed blocks that the
     # ContextCleaner releases once the returned DataFrame is unreachable.
-    out = spark.table(name).localCheckpoint()
-    spark.catalog.dropTempView(name)
-    return out
+    # dropTempView runs in a finally so a query that THROWS mid-drain
+    # (bad file, state-function error) cannot leak its partially-filled
+    # sink either (review r9); it is a no-op when start() failed before
+    # the sink was registered.
+    try:
+        try:
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if shuffle_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return spark.table(name).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(name)

@@ -749,3 +749,85 @@ def test_build_rollup_recovers_from_crashed_swap(spark, tmp_path):
     assert read_rollup(spark, str(path)).count() == 2
     assert not (tmp_path / "r.__old__").exists()
     assert not (tmp_path / "r.__staging__").exists()
+
+
+def _sd_snapshot(spark, rows):
+    """rows: (ticker, sd scrape-date string|None, value)."""
+    df = spark.createDataFrame(rows, "ticker string, sd string, value double")
+    return df.withColumn(
+        "row_hash", F.md5(F.concat_ws("|", "ticker", F.col("value").cast("string")))
+    )
+
+
+def test_merge_precedence_col_stale_source_loses(spark, tmp_path):
+    """precedence_col: a matched source row strictly older than the stored
+    one updates NOTHING (counts as unchanged), even with a differing hash,
+    under unconditional=True, and for always_update_cols (review r9 — the
+    in-merge form of the streaming cross-batch staleness guard)."""
+    path = str(tmp_path / "t")
+    merge_upsert(spark, path, _sd_snapshot(spark, [("A", "2024-01-05", 10.0)]), keys=["ticker"])
+
+    stale = _sd_snapshot(spark, [("A", "2024-01-02", 99.0)])
+    stats = merge_upsert(
+        spark, path, stale, keys=["ticker"], precedence_col="sd", collect_stats=True
+    )
+    assert (stats.inserted, stats.updated, stats.unchanged) == (0, 0, 1)
+    row = read_table(spark, path).collect()[0]
+    assert (row.sd, row.value) == ("2024-01-05", 10.0)
+
+    # unconditional + always_update_cols must not bypass the guard
+    merge_upsert(
+        spark, path, stale, keys=["ticker"], precedence_col="sd",
+        unconditional=True, always_update_cols=["value"],
+    )
+    row = read_table(spark, path).collect()[0]
+    assert (row.sd, row.value) == ("2024-01-05", 10.0)
+
+
+def test_merge_precedence_col_fresh_and_null_pass(spark, tmp_path):
+    """Equal-or-newer precedence updates; NULL on either side passes (the
+    batch loader has no freshness info for such rows and merges them via
+    the hash guard — streaming must not silently drop them)."""
+    path = str(tmp_path / "t")
+    merge_upsert(
+        spark, path,
+        _sd_snapshot(spark, [("A", "2024-01-05", 10.0), ("B", None, 20.0), ("C", "2024-01-05", 30.0)]),
+        keys=["ticker"],
+    )
+    batch = _sd_snapshot(
+        spark,
+        [
+            ("A", "2024-01-05", 11.0),  # equal precedence -> hash guard updates
+            ("B", "2024-01-01", 21.0),  # target NULL -> source wins
+            ("C", None, 31.0),          # source NULL -> passes, hash guard updates
+            ("D", "2024-01-03", 40.0),  # new key inserts regardless
+        ],
+    )
+    stats = merge_upsert(
+        spark, path, batch, keys=["ticker"], precedence_col="sd", collect_stats=True
+    )
+    assert (stats.inserted, stats.updated, stats.unchanged) == (1, 3, 0)
+    got = {r.ticker: (r.sd, r.value) for r in read_table(spark, path).collect()}
+    assert got == {
+        "A": ("2024-01-05", 11.0),
+        "B": ("2024-01-01", 21.0),
+        "C": (None, 31.0),
+        "D": ("2024-01-03", 40.0),
+    }
+
+
+def test_merge_precedence_col_missing_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_upsert(spark, path, _sd_snapshot(spark, [("A", "2024-01-05", 10.0)]), keys=["ticker"])
+    no_sd = spark.createDataFrame([("A", 1.0)], "ticker string, value double").withColumn(
+        "row_hash", F.md5(F.col("ticker"))
+    )
+    with pytest.raises(ValueError, match="source is missing precedence_col"):
+        merge_upsert(spark, path, no_sd, keys=["ticker"], precedence_col="sd")
+    bad_target = str(tmp_path / "t2")
+    merge_upsert(spark, bad_target, no_sd, keys=["ticker"])  # table without sd
+    with pytest.raises(ValueError, match="target is missing precedence_col"):
+        merge_upsert(
+            spark, bad_target, _sd_snapshot(spark, [("A", "2024-01-01", 2.0)]),
+            keys=["ticker"], precedence_col="sd",
+        )

@@ -589,3 +589,61 @@ def test_master_sync_keeps_cross_source_rows_from_combined_frame(spark, tmp_path
     sources = sorted(r.source for r in rows)
     assert sources == ["financial_times", "yahoo_finance"]  # both survive
     assert stats.inserted == 2
+
+
+def test_nav_stream_replay_clears_shrunken_quarantine(spark, tmp_path):
+    """A replayed micro-batch whose error set SHRANK (e.g. wall-clock
+    validation now passes a previously future-dated row) must clear the
+    stale quarantine rows: the per-batch_id write is unconditional
+    overwrite, not skipped-when-empty (review r9)."""
+    from fund_data_pipeline_spark.streaming.nav_stream import start_nav_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "stg_daily_nav")
+    ckpt = str(tmp_path / "ckpt")
+    errors = tmp_path / "errors"
+    header = "ticker,asset_type,source,nav_price,currency,as_of_date,scrape_date\n"
+
+    # simulate a prior attempt of batch 0 that quarantined a row (write
+    # landed, merge crashed before the checkpoint commit) — fresh
+    # checkpoint means the next drain re-runs as batch_id=0
+    stale = spark.createDataFrame(
+        [("BBB", "FUND", "yahoo_finance", None, "USD", None, None, "Future Date")],
+        "ticker string, asset_type string, source string, nav_price decimal(18,4), "
+        "currency string, as_of_date date, scrape_date date, reason string",
+    )
+    stale.write.parquet(str(errors / "batch_id=0"))
+    assert list((errors / "batch_id=0").glob("*.parquet"))
+
+    # the replay's input produces NO errors
+    (landing / "a.csv").write_text(header + "AAA,FUND,yf,101.0,USD,2024-01-04,2024-01-05\n")
+    start_nav_stream(spark, str(landing), target, ckpt, errors_path=str(errors)).awaitTermination()
+
+    # stale rows cleared: the overwrite replaced them with a zero-row file
+    assert spark.read.parquet(str(errors / "batch_id=0")).count() == 0
+    assert [r.ticker for r in spark.read.parquet(target).collect()] == ["AAA"]
+
+
+def test_nav_stream_null_scrape_date_row_still_merges(spark, tmp_path):
+    """A batch row whose scrape_date failed to parse (NULL) must merge via
+    the hash guard exactly like the batch loader would — the old external
+    staleness guard silently dropped it whenever the stored row had a
+    scrape_date (review r9)."""
+    from fund_data_pipeline_spark.streaming.nav_stream import start_nav_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "stg_daily_nav")
+    ckpt = str(tmp_path / "ckpt")
+    header = "ticker,asset_type,source,nav_price,currency,as_of_date,scrape_date\n"
+
+    (landing / "a.csv").write_text(header + "AAA,FUND,yf,101.0,USD,2024-01-04,2024-01-05\n")
+    start_nav_stream(spark, str(landing), target, ckpt).awaitTermination()
+
+    # correction file with an unparseable scrape_date -> NULL after conform
+    (landing / "fix.csv").write_text(header + "AAA,FUND,yf,102.5,USD,2024-01-04,\n")
+    start_nav_stream(spark, str(landing), target, ckpt).awaitTermination()
+
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1 and float(rows[0].nav_price) == 102.5
