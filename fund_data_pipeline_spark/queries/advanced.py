@@ -23,12 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .numeric import dec as _dec
 from .registry import register, table
-
-
-def _dec(col, prec=18, scale=2):
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({prec},{scale})")
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +161,8 @@ def price_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     seg = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no broadcast hint: customer grows with SF; AQE decides (review r9)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price"))
     )
     w = Window.partitionBy("segment").orderBy("price")
@@ -233,7 +230,7 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
     return (
-        li.join(orders, ["salt"] + [], "inner")
+        li.join(orders, ["salt"], "inner")
         .where(li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderstatus")
         .agg(
@@ -253,13 +250,20 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="As-of join: for every purchase, the latest click at-or-before its "
     "timestamp for the same user (LEFT semantics: purchases with no prior "
     "click keep NULLs). Implemented as union + per-user window LOCF — one "
-    "shuffle on user_id, no range blow-up; the scalable as-of pattern.",
+    "shuffle on user_id, no range blow-up; the scalable as-of pattern. "
+    "Ties (several clicks at the as-of instant) resolve to the greatest "
+    "click event_id on BOTH engines — an ASOF JOIN oracle would pick an "
+    "arbitrary tie survivor, so the oracle is the explicit ranked form "
+    "(review r9).",
     oracle="""
-SELECT p.event_id, p.user_id, p.ts,
-       c.ts AS click_ts, c.value AS click_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+WITH j AS (
+  SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.value AS click_value,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts)
+SELECT event_id, user_id, ts, click_ts, click_value FROM j WHERE rn = 1
 """,
 )
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +272,7 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         "user_id",
         "ts",
         F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("c_id"),
         F.col("ts").alias("c_ts"),
         F.col("value").alias("c_value"),
         F.lit(0).alias("side"),
@@ -276,14 +281,18 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         "user_id",
         "ts",
         "event_id",
+        F.lit(None).cast("long").alias("c_id"),
         F.lit(None).cast("timestamp").alias("c_ts"),
         F.lit(None).cast("double").alias("c_value"),
         F.lit(1).alias("side"),
     )
-    # side orders clicks before purchases at equal ts => inclusive (>=) as-of.
+    # side orders clicks before purchases at equal ts => inclusive (>=) as-of;
+    # c_id (the click's own event_id, NULL on purchase rows) breaks ties
+    # between equal-ts clicks so LOCF is deterministic (review r9) — without
+    # it F.last picks whichever tie the shuffle ordered last.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "c_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = clicks.unionByName(purchases).select(
@@ -366,8 +375,6 @@ FROM orders
 """,
 )
 def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     orders = table(spark, sf_dir, "orders")
     epoch_day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
     w = (

@@ -550,7 +550,8 @@ def lifecycle_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     master = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no broadcast hint: customer grows with SF; AQE decides (review r9)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.min(F.col("o_orderdate").cast("date")).alias("first_seen"),
@@ -679,8 +680,6 @@ FROM j WHERE NOT in1 AND in2
 """,
 )
 def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..lifecycle import scd2_apply
 
     orders = table(spark, sf_dir, "orders")

@@ -162,7 +162,7 @@ def event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Semi-structured extraction: pull k out of the JSON props column "
     "(get_json_object / JSON path on both engines).",
     oracle="""
-SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+SELECT event_id, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
 FROM events
 """,
 )

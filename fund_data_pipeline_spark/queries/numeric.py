@@ -19,12 +19,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def dec(col, prec: int = 18, scale: int = 2) -> Column:
+    """Shared money-column DECIMAL cast — the exact-aggregation input form
+    used across the query modules (one definition so precision can't drift)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
 def split_integer_total(total: Column, scale: int) -> Column:
     """Exact integer total (a DECIMAL(38,0) sum of value×``scale`` units,
     e.g. cents) → the DOUBLE of ``total/scale``: integer part via exact
     subtraction+division (decimal arithmetic, then one correctly-rounded
-    cast), remainder as one exact division of sub-``scale`` integers."""
-    r = total % F.lit(scale)
+    cast), remainder as one exact division of sub-``scale`` integers.
+
+    The remainder is the FLOOR-style (always non-negative) residue, not
+    Spark's sign-of-dividend ``%``: the oracle twin is a FLOOR-split, and a
+    truncation-split diverges from it by 1 ULP on NEGATIVE totals (review
+    r9 — latent while all consumers sum positive measures, but the kernel
+    must hold for signed sums like returns/deltas)."""
+    r = ((total % F.lit(scale)) + F.lit(scale)) % F.lit(scale)
     whole = ((total - r) / F.lit(scale)).cast("decimal(38,0)")
     return whole.cast("double") + r.cast("double") / F.lit(float(scale))
 

@@ -21,12 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .numeric import dec as _dec
 from .numeric import split_integer_total, split_scaled_decimal
 from .registry import register, table
-
-
-def _dec(col, prec=18, scale=2):
-    return F.col(col).cast(f"decimal({prec},{scale})") if isinstance(col, str) else col.cast(f"decimal({prec},{scale})")
 
 
 # ---------------------------------------------------------------------------
@@ -251,13 +248,24 @@ GROUP BY c_mktsegment
 )
 def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
+    # no broadcast hint: customer grows with SF (~15M rows at sf100); AQE
+    # broadcasts when the filtered build side is actually small (review r9)
     cust = table(spark, sf_dir, "customer")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    pivoted = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .pivot("o_orderstatus", ["O", "F", "P"])
         .count()
         .withColumnsRenamed({"O": "status_o", "F": "status_f", "P": "status_p"})
+    )
+    # an empty (segment, status) pivot cell is NULL in Spark but 0 under the
+    # oracle's COUNT(*) FILTER — coalesce so a sparse fixture can't diverge
+    return pivoted.select(
+        "segment",
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+            for c in ("status_o", "status_f", "status_p")
+        ],
     )
 
 
@@ -676,7 +684,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # no broadcast hint: part grows with SF (~20M rows at sf100) —
+        # forcing it through the driver is the exact scale hazard the
+        # nation_pair fix documented; AQE broadcasts when truly small
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double"))
             .cast("double")

@@ -277,3 +277,63 @@ def test_parse_path_helpers_edge_cases(spark):
 
     expected = hashlib.sha256(b"|fund|yf||").hexdigest()
     assert h.first().h == expected
+
+
+def test_split_integer_total_matches_oracle_for_signed_totals(spark):
+    """The integer-total floor-split must produce the oracle's exact bits
+    for NEGATIVE totals too: FLOOR-style non-negative remainder, not
+    Spark's sign-of-dividend %, else the two decompositions differ by
+    1 ULP around ties (review r9)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from fund_data_pipeline_spark.queries.numeric import split_integer_total
+
+    totals = [-67, 67, -1, 0, 1, -100, -9007199254740993, 9007199254740993, -133]
+    df = spark.createDataFrame([(t,) for t in totals], "t long")
+    got = {
+        r.t: r.v
+        for r in df.select(
+            "t",
+            split_integer_total(F.col("t").cast("decimal(38,0)"), 100).alias("v"),
+        ).collect()
+    }
+    for t in totals:
+        # s must be a TRUE DECIMAL like the production oracles' decimal sums
+        # (DuckDB's `/` on decimals yields DOUBLE, which would double-round)
+        s = f"{'-' if t < 0 else ''}{abs(t) // 100}.{abs(t) % 100:02d}"
+        (want,) = duckdb.sql(
+            f"SELECT CAST(FLOOR(s) AS DOUBLE) + CAST(s - FLOOR(s) AS DOUBLE) "
+            f"FROM (SELECT CAST('{s}' AS DECIMAL(38,2)) AS s)"
+        ).fetchone()
+        assert got[t].hex() == want.hex(), f"total={t}: {got[t]!r} != {want!r}"
+
+
+def test_asof_join_tie_on_click_ts_is_deterministic(spark, tmp_path):
+    """Two clicks at the exact as-of instant: both engines must pick the
+    one with the greatest event_id (review r9 — F.last over an
+    orderBy without the c_id tiebreak returned whichever tie the shuffle
+    ordered last)."""
+    import datetime as dt
+
+    from fund_data_pipeline_spark.queries.advanced import asof_last_click_before_purchase
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (100, t0, 1, "click", 5.0, "{}"),
+        (101, t0, 1, "click", 7.0, "{}"),   # same ts, greater event_id wins
+        (102, dt.datetime(2024, 1, 1, 9, 0, 0), 1, "click", 3.0, "{}"),
+        (900, t0, 1, "purchase", 1.0, "{}"),  # inclusive as-of at equal ts
+        (901, dt.datetime(2024, 1, 1, 11, 0, 0), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_id: (r.click_ts, r.click_value)
+        for r in asof_last_click_before_purchase(spark, str(tmp_path)).collect()
+    }
+    assert got[900] == (t0, 7.0)
+    assert got[901] == (None, None)  # LEFT semantics: no prior click
