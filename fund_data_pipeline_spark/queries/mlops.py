@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 from ..operators import graph, multimodal, sampling
 from ..operators.redaction import scrub_expr, scrub_pii_sql
 from .registry import register, table
-from .text import minhash_bands, minhash_bands_sql, quality_expr, quality_sql
+from .text import (
+    fingerprint_expr,
+    fingerprint_sql,
+    minhash_bands,
+    minhash_bands_sql,
+    quality_expr,
+    quality_sql,
+)
 from .vectors import _Q, EMB_DIM, N_IVF_CELLS, SEMDEDUP_TAU, semantic_dedup
 
 
@@ -512,7 +519,7 @@ drops3 AS (
 surv3 AS (SELECT * FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM drops3)),
 scored AS (
   SELECT doc_id,
-         md5(COALESCE(lang,'') || '|' || substr(text, 1, 32)) AS fingerprint,
+         {fingerprint_sql(32)} AS fingerprint,
          {quality_sql()} AS quality
   FROM surv3
 ),
@@ -592,9 +599,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv3 = surv2.join(drops3.select("doc_id"), "doc_id", "anti")
 
     # stage 4: quality-ranked fingerprint dedup (keep the best copy)
-    fingerprint = F.md5(
-        F.concat(F.coalesce(F.col("lang"), F.lit("")), F.lit("|"), F.substring("text", 1, 32))
-    )
+    fingerprint = fingerprint_expr(32)  # shared with dedup_keep_best_quality
     w = Window.partitionBy("fingerprint").orderBy(F.col("quality").desc(), "doc_id")
     drops4 = (
         surv3.select("doc_id", fingerprint.alias("fingerprint"), quality_expr().alias("quality"))

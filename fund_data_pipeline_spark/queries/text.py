@@ -20,13 +20,39 @@ from pyspark.sql import functions as F
 
 from .registry import register, table
 
-#: tiny English stopword list for the language-ID heuristic
+#: tiny English stopword list for the language-ID heuristic; the SQL form is
+#: GENERATED from the same tuple so the two engines' lists can never drift
+#: (review r9 — a hand-maintained literal desynchronizes silently)
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
-_SW_SQL = "('the', 'a', 'of', 'and', 'in', 'to', 'is')"
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 
 def _tokens(col="text"):
     return F.split(F.col(col), " ")
+
+
+def fingerprint_expr(prefix_len: int, with_length: bool = False):
+    """md5 prefix fingerprint (lang | text prefix [| length]) — the cheap
+    first-pass dedup key. ONE definition feeds doc_fingerprint,
+    doc_quality_profile, dedup_keep_best_quality, and the corpus-dedup
+    pipeline's stage 4 so the keep rule and the profiling queries can never
+    drift (review r9; same rationale as quality_expr/quality_sql)."""
+    parts = [
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.lit("|"),
+        F.substring("text", 1, prefix_len),
+    ]
+    if with_length:
+        parts += [F.lit("|"), F.length("text").cast("string")]
+    return F.md5(F.concat(*parts))
+
+
+def fingerprint_sql(prefix_len: int, with_length: bool = False) -> str:
+    """DuckDB form of :func:`fingerprint_expr` (oracle reuse)."""
+    s = f"COALESCE(lang,'') || '|' || substr(text, 1, {prefix_len})"
+    if with_length:
+        s += " || '|' || CAST(length(text) AS VARCHAR)"
+    return f"md5({s})"
 
 
 def quality_expr(col: str = "text"):
@@ -172,9 +198,9 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     doc="Deterministic document fingerprint: md5 over language, prefix and "
     "length (the cheap first-pass dedup key).",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
-       md5(COALESCE(lang,'') || '|' || substr(text, 1, 64) || '|' || CAST(length(text) AS VARCHAR)) AS fingerprint
+       {fingerprint_sql(64, with_length=True)} AS fingerprint
 FROM documents
 """,
 )
@@ -182,15 +208,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.md5(
-            F.concat(
-                F.coalesce(F.col("lang"), F.lit("")),
-                F.lit("|"),
-                F.substring("text", 1, 64),
-                F.lit("|"),
-                F.length("text").cast("string"),
-            )
-        ).alias("fingerprint"),
+        fingerprint_expr(64, with_length=True).alias("fingerprint"),
     )
 
 
@@ -215,7 +233,7 @@ FROM (
          len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
          len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
          len(regexp_extract_all(text, '\\s+')) AS n_whitespace_runs,
-         md5(COALESCE(lang,'') || '|' || substr(text, 1, 64) || '|' || CAST(length(text) AS VARCHAR)) AS fingerprint
+         {fingerprint_sql(64, with_length=True)} AS fingerprint
   FROM documents
 )
 """,
@@ -223,15 +241,7 @@ FROM (
 def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     quality = quality_expr()
-    fingerprint = F.md5(
-        F.concat(
-            F.coalesce(F.col("lang"), F.lit("")),
-            F.lit("|"),
-            F.substring("text", 1, 64),
-            F.lit("|"),
-            F.length("text").cast("string"),
-        )
-    )
+    fingerprint = fingerprint_expr(64, with_length=True)
     return docs.select(
         "doc_id",
         quality.alias("quality"),
@@ -386,17 +396,27 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
         .select("doc_id", hash_material.alias("__sh"))
         .select("doc_id", *[_minhash(i) for i in range(_N_HASH)])
     )
-    return reduce(
-        DataFrame.unionAll,
-        [
-            sig.select(
-                "doc_id",
-                F.lit(bi).alias("band"),
-                F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))).alias("band_key"),
+    # one row -> 4 band rows via explode of a 4-struct array, NOT a unionAll
+    # of 4 projections: Spark performs no common-subplan elimination across
+    # union branches, so the union form re-ran the whole signature stage
+    # (per-shingle double-md5 + 8 array_min reductions) once PER BAND —
+    # 4x the dominant cost of every band consumer (review r9). The explode
+    # evaluates the signature once and fans out 4 tiny structs, the same
+    # shape simhash_near_dup uses.
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))).alias("band_key"),
+                    )
+                    for bi, (a, b) in enumerate(_BANDS)
+                ]
             )
-            for bi, (a, b) in enumerate(_BANDS)
-        ],
-    )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def minhash_bands_sql(source: str = "documents") -> str:
@@ -510,7 +530,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
     hv = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    # all 32 per-bit vote sums in ONE aggregation (no 32-way explode)
+    # all 60 per-bit vote sums in ONE aggregation (no 60-way explode)
     bit_sums = toks.select("doc_id", hv.alias("hv")).groupBy("doc_id").agg(
         *[
             F.sum(
@@ -541,19 +561,21 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
-    a, c = bands.alias("a"), bands.alias("c")
+    # skew-bounded grid self-join (identical pair set to the naive form the
+    # oracle uses): a hot band_val (mass boilerplate sharing a 15-bit band)
+    # would otherwise put m^2/2 comparisons in ONE task, and the plain
+    # self-equi-join re-ran the 60-column vote aggregation once per side;
+    # blocked_self_join localCheckpoints the banding relation so both sides
+    # read the same materialized rows (review r9 — same fix as minhash).
+    from ..operators.similarity import blocked_self_join
+
+    joined = blocked_self_join(bands, ["band", "band_val"], "doc_id", payload_cols=["simhash"])
     pairs = (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.band_val") == F.col("c.band_val"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
+        joined.select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
+            F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sim_a"),
-            F.col("c.simhash").alias("sim_b"),
+            F.col("b.simhash").alias("sim_b"),
         )
         .distinct()
     )
@@ -638,9 +660,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; the mitigation is a document-frequency cap on the benchmark
     side before joining, which this fixture's 1/97 split doesn't need."""
     docs = table(spark, sf_dir, "documents")
-    toks = _tokens()
-    shingles = _shingles()
-    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    sh = docs.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle"))
     train = sh.filter(F.col("doc_id") % 97 != 0).select(
         F.col("doc_id").alias("train_doc_id"), "shingle"
     )
@@ -945,7 +965,12 @@ JOIN (SELECT * FROM bands WHERE doc_id % 7 = 0) b
 )
 def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    bands = minhash_bands(docs)
+    # materialize the banding relation ONCE: the broadcast build side and
+    # the probe scan would otherwise each re-execute the full shingle+md5
+    # signature stage (review r9 — the trap banded_pairs_skew_bounded
+    # documents). In production the corpus index side is a precomputed
+    # table; the checkpoint stands in for that here.
+    bands = minhash_bands(docs).localCheckpoint(eager=True)
     batch = bands.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("new_doc_id"), "band", "band_key"
     )
@@ -1085,7 +1110,7 @@ def record_linkage_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH scored AS (
   SELECT doc_id,
-         md5(COALESCE(lang,'') || '|' || substr(text, 1, 32)) AS fingerprint,
+         {fingerprint_sql(32)} AS fingerprint,
          {quality_sql()} AS quality
   FROM documents
 ), ranked AS (
@@ -1104,15 +1129,8 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     quality = quality_expr()
-    fingerprint = F.md5(
-        F.concat(
-            F.coalesce(F.col("lang"), F.lit("")),
-            F.lit("|"),
-            F.substring("text", 1, 32),
-        )
-    )
     scored = docs.select(
-        "doc_id", fingerprint.alias("fingerprint"), quality.alias("quality")
+        "doc_id", fingerprint_expr(32).alias("fingerprint"), quality.alias("quality")
     )
     w = Window.partitionBy("fingerprint").orderBy(F.col("quality").desc(), "doc_id")
     return (

@@ -73,26 +73,29 @@ def _bucket_sql(qe: str = "qe", n_bits: int = N_LSH_BITS) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def _plane_term(qe, j: int):
-    # single-arg lambda factory: transform() inspects lambda arity, so the
-    # plane index must be captured by closure, not by a default argument
-    # (a second parameter would receive the array index instead).
-    def term(i):
-        return F.when(
-            ((i * _LSH_A + j * _LSH_B) % _LSH_MOD) < _LSH_T, F.element_at(qe, i)
-        ).otherwise(-F.element_at(qe, i))
-
-    return term
-
-
 def _bucket_col(qe, n_bits: int = N_LSH_BITS):
     """Hyperplane-sign bucket of a quantized ``array<long>`` column: bit j is
-    set iff the exact integer projection onto plane j is positive."""
+    set iff the exact integer projection onto plane j is positive.
+
+    The ±1 matrix is pure integer arithmetic, so each plane's sign pattern
+    is PRECOMPUTED in Python and enters the plan as a literal array; the
+    projection is one ``zip_with`` multiply-accumulate per plane — linear
+    array kernels. The previous form indexed the embedding element-by-
+    element via non-foldable ``element_at`` over ``sequence(1, 64)``
+    (8 planes x 64 bounds-checked lookups per row): measured ~20 s for the
+    multi-probe ANN query at sf0.1 vs sub-second for this shape — the same
+    element_at trap the shingle kernel documents (review r9)."""
     qe = F.col(qe) if isinstance(qe, str) else qe
     bucket = F.lit(0).cast("long")
     for j in range(n_bits):
+        signs = F.array(
+            *[
+                F.lit(1 if ((i * _LSH_A + j * _LSH_B) % _LSH_MOD) < _LSH_T else -1).cast("long")
+                for i in range(1, EMB_DIM + 1)
+            ]
+        )
         proj = F.aggregate(
-            F.transform(F.sequence(F.lit(1), F.lit(EMB_DIM)), _plane_term(qe, j)),
+            F.zip_with(qe, signs, lambda x, s: x * s),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
@@ -103,7 +106,11 @@ def _bucket_col(qe, n_bits: int = N_LSH_BITS):
 
 
 def _quant(col):
-    return F.transform(col if not isinstance(col, str) else F.col(col), lambda x: F.round(x * 1e6).try_cast("long"))
+    # hard cast, matching the oracles' CAST: a non-finite / out-of-range
+    # component (corrupt upstream batch) must fail LOUDLY under ANSI mode
+    # on both engines — try_cast would silently null the dot/norm and drop
+    # the row from top-k / near-dup output with no error (review r9)
+    return F.transform(col if not isinstance(col, str) else F.col(col), lambda x: F.round(x * 1e6).cast("long"))
 
 
 def _dot(a, b):
@@ -138,7 +145,14 @@ LIMIT 20
 )
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(_quant("embedding").alias("qe"))
+    # qnorm is computed in the ONE-ROW broadcast projection, not once per
+    # candidate row — it costs the same array aggregate as the real dot
+    # product and is identical on every row (review r9)
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(_quant("embedding").alias("qe"))
+        .select("qe", _dot(F.col("qe"), F.col("qe")).alias("qnorm"))
+    )
     cand = emb.filter(F.col("vec_id") != _QUERY_VEC_ID).select(
         "vec_id", "label", _quant("embedding").alias("qe2")
     )
@@ -146,7 +160,7 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         _dot(F.col("qe"), F.col("qe2")).alias("dot"),
-        _dot(F.col("qe"), F.col("qe")).alias("qnorm"),
+        "qnorm",
         _dot(F.col("qe2"), F.col("qe2")).alias("enorm"),
     )
     cosine = F.col("dot").cast("double") / (
@@ -243,9 +257,11 @@ def ann_bucketed_topk(
     q = b.filter(F.col("vec_id") == query_vec_id).select(
         F.col("qe").alias("query_qe"), F.col("bucket").alias("query_bucket")
     )
-    # multi-probe: the query's own bucket + every bucket one bit-flip away
+    # multi-probe: the query's own bucket + every bucket one bit-flip away.
+    # qnorm rides on the tiny broadcast rows, not per candidate (review r9)
     probes = q.select(
         "query_qe",
+        _dot(F.col("query_qe"), F.col("query_qe")).alias("qnorm"),
         F.explode(
             F.array(
                 F.col("query_bucket"),
@@ -263,7 +279,7 @@ def ann_bucketed_topk(
             "vec_id",
             "label",
             _dot(F.col("query_qe"), F.col("qe")).alias("dot"),
-            _dot(F.col("query_qe"), F.col("query_qe")).alias("qnorm"),
+            "qnorm",
             _dot(F.col("qe"), F.col("qe")).alias("enorm"),
         )
     )
@@ -352,8 +368,10 @@ def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import topk_cosine
 
     emb = table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()["embedding"]
-    return topk_cosine(emb, qvec, k=20, exclude_vec_id=_QUERY_VEC_ID)
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
+    if qrow is None:  # clear error instead of NoneType subscript (review r9)
+        raise ValueError(f"query vector vec_id={_QUERY_VEC_ID} not found in {sf_dir}/embeddings")
+    return topk_cosine(emb, qrow["embedding"], k=20, exclude_vec_id=_QUERY_VEC_ID)
 
 
 #: IVF defaults for the registered query (oracle generated at these values)
@@ -477,6 +495,8 @@ def ivf_topk(
         .select(F.slice(F.array_sort(dist_arr), 1, nprobe).alias("probes"), "qe")
         .first()
     )
+    if qrow is None:  # clear error instead of NoneType subscript (review r9)
+        raise ValueError(f"query vector vec_id={query_vec_id} not found in {sf_dir}/embeddings")
     probe_cells = [int(r["cid"]) for r in qrow["probes"]]
     query_qe = F.array(*[F.lit(int(v)) for v in qrow["qe"]]).cast("array<bigint>")
     # exact Python integer math: the query norm is one constant, not a
@@ -771,8 +791,16 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _quant("embedding").alias("qe")
     )
     def coord(j: int):
+        # literal ±1 sign array + zip_with, same kernel as _bucket_col
+        # (element_at-over-sequence is ~8x slower; see _bucket_col doc)
+        signs = F.array(
+            *[
+                F.lit(1 if ((i * _LSH_A + j * _LSH_B) % _LSH_MOD) < _LSH_T else -1).cast("long")
+                for i in range(1, EMB_DIM + 1)
+            ]
+        )
         return F.aggregate(
-            F.transform(F.sequence(F.lit(1), F.lit(EMB_DIM)), _plane_term(F.col("qe"), j)),
+            F.zip_with(F.col("qe"), signs, lambda x, s: x * s),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
