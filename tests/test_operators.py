@@ -1062,3 +1062,44 @@ def test_scrub_pii_rejects_engine_divergent_tokens(spark):
         scrub_expr("text", bad)
     with pytest.raises(ValueError, match="interpret differently"):
         scrub_pii_sql("text", bad)
+
+
+def test_decoder_seam_is_codec_agnostic(spark):
+    """The codec seam (review r9 / VERDICT item 7): injecting a real decoder
+    callable changes ONLY the decoded values — the Arrow batching path,
+    output schema, and row contract are identical to the stub's. The codecs
+    are defined INSIDE the test so cloudpickle ships them by value (a
+    module-level test function would pickle by reference to a module the
+    workers can't import) — the same constraint a user's real codec wrapper
+    has, documented on the seam."""
+
+    def _fake_image_codec(payload: bytes):
+        # a "real" codec stand-in: derives stats from the payload LENGTH so
+        # the result provably differs from the md5-based stub
+        return len(payload), len(payload) * 2, float(len(payload) % 7), f"{len(payload):016d}"
+
+    def _fake_audio_codec(payload: bytes):
+        return 48000, len(payload), 0.5, 0.0
+
+    media = _media(spark, 5)
+
+    out = multimodal.extract_image_features(media, decoder=_fake_image_codec)
+    rows = {r.media_id: r for r in out.collect()}
+    assert out.columns == ["media_id", "width", "height", "n_bytes", "mean_luma", "phash"]
+    assert len(rows) == 5
+    # the injected codec's values came through the Arrow path verbatim
+    assert rows["m0"].width == 100 and rows["m0"].height == 200
+    assert rows["m1"].width == 137 and rows["m1"].phash == f"{137:016d}"
+    # and differ from the stub's md5-derived fakes
+    stub = {r.media_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert stub["m0"].width != rows["m0"].width or stub["m0"].phash != rows["m0"].phash
+
+    audio = multimodal.extract_audio_features(media, decoder=_fake_audio_codec)
+    arow = audio.filter(F.col("media_id") == "m2").first()
+    assert (arow.sample_rate, arow.duration_ms, arow.rms, arow.clip_frac) == (48000, 174, 0.5, 0.0)
+
+    resized = multimodal.resize_images(
+        media, 8, 8, resizer=lambda p, w, h: p[: w * h]
+    ).collect()
+    assert all(len(r.payload) <= 64 for r in resized)
+    assert {r.width for r in resized} == {8}
