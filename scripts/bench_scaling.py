@@ -37,6 +37,9 @@ SF_DIRS = {
     0.001: "/root/testdata/sf0.001",
     0.01: "/root/testdata/sf0.01",
     0.1: "/root/testdata/sf0.1",
+    # third decade: locally generated (scripts/gen_sf1.py — key-remapped
+    # 10x sf0.1 with shingle-safe document copies); skipped if absent
+    1.0: str(Path(__file__).resolve().parents[1] / ".localdata" / "sf1"),
 }
 
 
@@ -48,11 +51,47 @@ SF_DIRS = {
 EXTRA_QUERIES = ["calendar_gap_fill", "minhash_lsh_candidates"]
 
 
+def _gap_fill_locf_capped(spark, sf_dir):
+    """calendar_gap_fill's production form: the same densify+LOCF over the
+    same daily input, span capped at the trailing 90 days with carry-in
+    (operators.timeseries.gap_fill_locf(last_n_days=90)). Timed here so the
+    claim 'the capped form is constant in history length' has measured
+    exponents next to the unbounded query's near-linear ones."""
+    from pyspark.sql import functions as F
+
+    from fund_data_pipeline_spark.operators.timeseries import gap_fill_locf
+    from fund_data_pipeline_spark.queries.registry import table
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("dt"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("custkey", "dt")
+        .agg(F.sum("price").alias("day_revenue"))
+    )
+    filled = gap_fill_locf(daily, ["custkey"], "dt", "day_revenue", last_n_days=90)
+    return filled.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("carried").cast("double").alias("carried_revenue"),
+    )
+
+
+#: non-catalog extras timed alongside EXTRA_QUERIES: name -> (spark, sf_dir)
+EXTRA_FNS = {"gap_fill_locf_capped_90d": _gap_fill_locf_capped}
+
+
 def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench_scaling")
     headline = [n for n, s in Q.QUERIES.items() if s.headline]
-    names = headline + [n for n in EXTRA_QUERIES if n in Q.QUERIES]
+    names = headline + [n for n in EXTRA_QUERIES if n in Q.QUERIES] + list(EXTRA_FNS)
+
+    def plan(name, sf_dir):
+        fn = EXTRA_FNS.get(name)
+        return fn(spark, sf_dir) if fn else Q.QUERIES[name].spark(spark, sf_dir)
 
     sfs = [sf for sf, d in sorted(SF_DIRS.items()) if Path(d).exists()]
     per_query: dict[str, dict[float, float]] = {n: {} for n in names}
@@ -61,7 +100,7 @@ def main() -> None:
         sf_dir = SF_DIRS[sf]
         for name in names:  # warmup: steady-state, not codegen cost
             try:
-                Q.QUERIES[name].spark(spark, sf_dir).collect()
+                plan(name, sf_dir).collect()
             except Exception as e:
                 print(f"scaling: warmup {name}@{sf} failed: {e}", file=sys.stderr)
         total = 0.0
@@ -72,7 +111,7 @@ def main() -> None:
                 # a query failing mid-measurement loses its own timing, not
                 # every measurement the harness already took across SFs
                 try:
-                    Q.QUERIES[name].spark(spark, sf_dir).collect()
+                    plan(name, sf_dir).collect()
                 except Exception as e:
                     print(f"scaling: timed {name}@{sf} failed: {e}", file=sys.stderr)
                     runs = []
