@@ -116,7 +116,7 @@ _OUT_OF_WINDOW_WHY = {
     "dedup_keep_best_quality": "driver-green r8; keyed-dedup family in-window via dedup_keep_last + exact_dedup (headline)",
     "pii_redaction": "driver-green r8; regexp-chain family in-window via string_compose_format + conform_master_list",
     "corpus_dedup_pipeline": "driver-green r8; dedup-pipeline stages in-window via exact_dedup + incremental_near_dup + semantic_dedup_cells",
-    "event_type_summary": "driver-green r1+r2+r4+r8; grouped-agg family in-window via group_count_breakdown + pricing_summary (headline)",
+    "event_type_summary": "driver-green r2+r4+r8; grouped-agg family in-window via group_count_breakdown + pricing_summary (headline)",
     "json_props_extraction": "driver-green r1+r2+r3+r4+r8; expression family in-window via string_compose_format + date_parsing_and_arithmetic",
     "language_id_heuristic": "driver-green r1+r2+r3+r4+r8; text family in-window via text_statistics (headline) + doc_fingerprint",
     "doc_quality_profile": "driver-green r2+r3+r4+r8; text-quality family in-window via text_statistics (headline) + doc_fingerprint",
@@ -126,14 +126,14 @@ _OUT_OF_WINDOW_WHY = {
     "train_val_test_split": "driver-green r2+r3+r4+r8; md5-bucket split family in-window via stratified_hash_sample (same kernel)",
     "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8; ANN family in-window via embedding_lsh_buckets + embedding_ivf_topk",
     "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8; vector near-dup family in-window via embedding_lsh_buckets + semantic_dedup_cells",
-    "cube_order_stats": "driver-green r1+r2+r3+r4+r5+r8; multi-level agg family in-window via group_count_breakdown + pricing_summary (headline)",
+    "cube_order_stats": "driver-green r2+r3+r4+r5+r8; multi-level agg family in-window via group_count_breakdown + pricing_summary (headline)",
     "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8; pivot family in-window via group_count_breakdown (same grouped-agg kernel)",
     "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8; reshape/stack family in-window via union_mixed_schemas (column-union kernel)",
     "buyer_set_ops": "driver-green r2+r3+r4+r5+r8; set-ops family in-window via active_customers_semi + customers_without_orders (semi/anti forms)",
     "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5+r8; range-join family in-window via asof_last_click_before_purchase (headline)",
-    "multimodal_binary_meta": "driver-green r5+r6+r8; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
-    "streaming_stateful_user_stats": "driver-green r5+r6+r8; stateful-streaming family in-window via streaming_dedup_users + streaming_session_counts",
-    "pii_scrub_stats": "driver-green r5+r6+r8; regexp-chain family in-window via string_compose_format + conform_master_list",
+    "multimodal_binary_meta": "driver-green r6+r8; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
+    "streaming_stateful_user_stats": "driver-green r6+r8; stateful-streaming family in-window via streaming_dedup_users + streaming_session_counts",
+    "pii_scrub_stats": "driver-green r6+r8; regexp-chain family in-window via string_compose_format + conform_master_list",
     "image_decode_features": "driver-green r6+r8; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
     "doc_chunking": "driver-green r6+r8; chunking family in-window via boilerplate_scrub + token_vocabulary",
     "sequence_packing": "driver-green r6+r8; packing family in-window via token_vocabulary + boilerplate_scrub",
@@ -159,17 +159,17 @@ _OUT_OF_WINDOW_WHY = {
     "priority_orders_exists": "driver-green r1+r7; semi-join family in-window via active_customers_semi",
     "price_quartiles_by_segment": "driver-green r1+r7; ranking-window family in-window via ntile_quartiles + top_orders_per_customer",
     "salted_join_revenue": "driver-green r1+r7; skew family — plan pinned by tests/test_plans.py; blocked/salted kernels in-window via semantic_dedup_cells + record_linkage_fuzzy",
-    "nation_pair_revenue": "driver-green r1+r2+r7; multi-join agg family in-window via regional_supplier_volume (headline)",
+    "nation_pair_revenue": "driver-green r2+r7; multi-join agg family in-window via regional_supplier_volume (headline)",
     "promo_revenue_share": "driver-green r1+r2+r7; conditional-agg family in-window via pricing_summary (headline)",
     "top_supplier_revenue": "driver-green r1+r2+r7; top-k agg family in-window via top_unshipped_orders (headline)",
     "small_quantity_revenue": "driver-green r1+r2+r7; filtered-agg family in-window via pricing_summary (headline)",
     "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7; outer-join counting family in-window via customers_without_orders + group_count_breakdown",
     "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7; blocked shingle-join family in-window via incremental_near_dup + record_linkage_fuzzy",
-    "order_price_lead_lag": "driver-green r1+r3+r4+r7; lead-lag window family in-window via rolling_30d_revenue + locf_last_valid_value (keyed windows)",
-    "sliding_window_stats": "driver-green r1+r3+r4+r7; sliding-window family in-window via tumbling_window_stats (headline)",
+    "order_price_lead_lag": "driver-green r3+r4+r7; lead-lag window family in-window via rolling_30d_revenue + locf_last_valid_value (keyed windows)",
+    "sliding_window_stats": "driver-green r3+r4+r7; sliding-window family in-window via tumbling_window_stats (headline)",
     "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7; conform family in-window via conform_master_list + string_compose_format",
     "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7; keyed-dedup family in-window via exact_dedup (headline) + dedup_keep_last",
-    "sessionization": "driver-green r1+r2+r3+r4+r7; session-window family in-window via streaming_session_counts + streaming_click_purchase_join",
+    "sessionization": "driver-green r3+r4+r7; session-window family in-window via streaming_session_counts + streaming_click_purchase_join",
     # ---- single-green r7, staying out this rotation (family reps in) ----
     "audio_quality_gate": "driver-green r7; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
     "characteristic_terms": "driver-green r7; tf-idf family in-window via token_vocabulary (same tokenize+df kernel)",

