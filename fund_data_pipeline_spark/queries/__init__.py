@@ -107,6 +107,12 @@ _CHECKED_FIRST = [
 #: that checked the query itself; "family in-window via X" names its
 #: representative in the CURRENT (r9) window.
 _OUT_OF_WINDOW_WHY = {
+    # ---- new in round 9 (post-rotation): never driver-checked; verified
+    # by scripts/verify_local.py at sf0.001/0.01/0.1 and gated every round
+    # by tests/test_catalog_oracle.py; first window slots in r10 ----
+    "bm25_doc_search": "new r9, local-oracle verified; retrieval scoring family — term-stat kernels in-window via token_vocabulary + text_statistics (headline)",
+    "unigram_likelihood_quality": "new r9, local-oracle verified; LM-quality family in-window via quality_score-adjacent doc_fingerprint + text_statistics (headline)",
+    "ngram_novelty": "new r9, local-oracle verified; shingle-index family in-window via incremental_near_dup + token_vocabulary",
     # ---- rotated out in round 9: latest driver row is r8 (fresh) ----
     "winsorized_price_stats": "driver-green r8; robust-stats family in-window via daily_order_anomaly + price_quantity_stats",
     "changelog_compact": "driver-green r8; SCD2/CDC family in-window via scd2_priority_history + latest_order_per_customer",

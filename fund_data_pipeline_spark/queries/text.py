@@ -1145,3 +1145,206 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") > 1)
         .select("doc_id", "fingerprint", "kept_id", "quality", "kept_quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval / language-model scoring (round 9): every formula below is
+# EXACT-RATIONAL by construction — ln() is NOT bit-identical across engines
+# (measured r9: Java Math.log vs DuckDB libm differ by 1 ULP on ~3.5% of the
+# idf/probability domain), so the classic log-idf and log-prob forms would
+# flap the value hash. Rational idf and mean-likelihood keep every
+# intermediate an exact integer until one final (or fixed-order) double op.
+# ---------------------------------------------------------------------------
+
+#: BM25 constants (literal doubles, identical text in both engines)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "table", "join")  # fixture-vocabulary query
+
+
+@register(
+    "bm25_doc_search",
+    doc="Full-text top-10 search: BM25-shaped ranking of documents against "
+    f"a fixed {len(_BM25_TERMS)}-term query, with RATIONAL idf "
+    "(N - df + 1)/(df + 1) instead of the textbook log-idf (ln is not "
+    "bit-identical across engines; the rational form preserves the same "
+    "ordering monotonicity in df). Per-term tf comes from a map-side "
+    "array filter (no explode/shuffle over the corpus); the three global "
+    "stats (N, total_dl, df per term) are one aggregate row broadcast "
+    "back. Per-term scores add in FIXED column order so the float sum is "
+    "engine-identical. At 100 TB: one scan + one 1-row broadcast — the "
+    "inverted-index-free scoring pass you run before building an index.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         {", ".join(f"len(list_filter(string_split(text, ' '), t -> t = '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+  FROM documents
+), g AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl,
+         {", ".join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+  FROM d
+), scored AS (
+  SELECT d.doc_id, d.dl,
+    {" + ".join(
+        f"((CAST(g.n_docs - g.df{i} + 1 AS DOUBLE) / CAST(g.df{i} + 1 AS DOUBLE)) * "
+        f"((CAST(d.tf{i} AS DOUBLE) * ({_BM25_K1} + 1.0)) / "
+        f"(CAST(d.tf{i} AS DOUBLE) + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B} * (CAST(d.dl AS DOUBLE) / (CAST(g.total_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))))"
+        for i in range(len(_BM25_TERMS))
+    )} AS score
+  FROM d CROSS JOIN g
+)
+SELECT doc_id, dl, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 10
+""",
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    def tf_expr(term: str):
+        # single-arg closure: filter() inspects lambda arity, so the term
+        # must be captured by closure, not a default argument (a second
+        # parameter would receive the array index — same trap as _minhash)
+        return F.size(F.filter(toks, lambda x: x == term))
+
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_expr(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int):
+        idf = (F.col("n_docs") - F.col(f"df{i}") + 1).cast("double") / (
+            F.col(f"df{i}") + 1
+        ).cast("double")
+        tf = F.col(f"tf{i}").cast("double")
+        avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+        norm = tf + F.lit(_BM25_K1) * (
+            F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        return idf * ((tf * F.lit(_BM25_K1 + 1.0)) / norm)
+
+    # fixed-order sum: term0 + term1 + term2 — float addition order is part
+    # of the cross-engine contract
+    score = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i)
+    return (
+        d.crossJoin(F.broadcast(g))
+        .select("doc_id", "dl", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "unigram_likelihood_quality",
+    doc="Perplexity-proxy quality score with EXACT arithmetic: each "
+    "document's mean token likelihood under the corpus unigram LM with "
+    "add-one smoothing — sum_t tf_d(t)*(count(t)+1) is an exact integer, "
+    "divided once by n_d*(total+V). The log-prob form would need ln() "
+    "(not bit-identical across engines); the arithmetic mean preserves "
+    "the quality ordering signal (rare-token-heavy docs score low). The "
+    "LM relation is vocabulary-sized and broadcasts; one tf shuffle.",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), lm AS (
+  SELECT token, COUNT(*) AS ct FROM tok GROUP BY token
+), g AS (
+  SELECT COUNT(*) AS total, COUNT(DISTINCT token) AS v FROM tok
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * (lm.ct + 1)) AS BIGINT) AS likelihood_numer,
+       CAST(SUM(tf.tf * (lm.ct + 1)) AS DOUBLE)
+         / (CAST(SUM(tf.tf) AS DOUBLE) * CAST(g.total + g.v AS DOUBLE)) AS mean_token_likelihood
+FROM tf JOIN lm USING (token) CROSS JOIN g
+GROUP BY tf.doc_id, g.total, g.v
+""",
+)
+def unigram_likelihood_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("ct"))
+    g = tok.agg(
+        F.count(F.lit(1)).alias("total"), F.countDistinct("token").alias("v")
+    )
+    numer = F.sum(F.col("tf") * (F.col("ct") + 1))
+    return (
+        tf.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id", "total", "v")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            numer.cast("long").alias("likelihood_numer"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "likelihood_numer",
+            (
+                F.col("likelihood_numer").cast("double")
+                / (
+                    F.col("n_tokens").cast("double")
+                    * (F.col("total") + F.col("v")).cast("double")
+                )
+            ).alias("mean_token_likelihood"),
+        )
+    )
+
+
+@register(
+    "ngram_novelty",
+    doc="Per-document n-gram novelty: the fraction of a document's DISTINCT "
+    "token 3-grams first seen in THIS document (global first-occurrence = "
+    "min doc_id per shingle) — the incremental-crawl freshness metric that "
+    "tells you how much new content each document adds to the corpus. "
+    "Exact integer counts, one shingle shuffle; at 100 TB the "
+    "first-occurrence relation is the same index the decontamination and "
+    "LSH passes maintain.",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_shingle_sql()})) AS shingle FROM documents
+), first_seen AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_seen.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first_seen.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty_frac
+FROM sh JOIN first_seen USING (shingle)
+GROUP BY sh.doc_id
+""",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle"))
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty_frac"),
+        )
+    )

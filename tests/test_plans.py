@@ -240,7 +240,15 @@ def test_scd2_history_no_cartesian(spark, sf_dir):
 #: crossJoins a literally-1-row broadcast relation (scalar total / probe
 #: vector), which executes as O(n) — not a pair blowup. Anything NEW that
 #: shows up here must be justified or fixed.
-_ONE_ROW_BNLJ_OK = {"conversion_funnel", "embedding_topk_cosine", "key_skew_profile"}
+_ONE_ROW_BNLJ_OK = {
+    "conversion_funnel",
+    "embedding_topk_cosine",
+    "key_skew_profile",
+    # r9: both crossJoin ONE aggregate row of global stats (N/total_dl/df,
+    # total/V) broadcast back over the scan — O(n), not a pair blowup
+    "bm25_doc_search",
+    "unigram_likelihood_quality",
+}
 
 
 def test_whole_catalog_plan_hygiene(spark, sf_dir):
