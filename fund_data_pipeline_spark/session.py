@@ -120,7 +120,6 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None
     NTZ->TIMESTAMP normalization of events.ts would reinterpret wall-clock
     time in whatever zone the harness session happened to carry.
     """
-    normalize_session(spark)
     names = tables or (
         "region",
         "nation",
@@ -133,11 +132,14 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None
         "documents",
         "embeddings",
     )
+    # single read path: queries.registry.table owns the parquet read + the
+    # events-ts normalization (review r9 — a second copy here would have to
+    # evolve in lockstep); function-local import, registry imports session
+    from .queries.registry import table as read_fixture_table
+
     out = {}
     for name in names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events":
-            df = normalize_event_ts(df)
+        df = read_fixture_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

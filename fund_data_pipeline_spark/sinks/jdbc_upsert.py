@@ -142,6 +142,7 @@ def write_upsert(
     skip_update: Sequence[str] = DEFAULT_SKIP_UPDATE,
     dialect: str = "postgresql",
     batch_size: int = 1000,
+    constraint: str | None = None,
 ) -> None:
     """Upsert ``df`` into ``table`` through per-partition DBAPI connections.
 
@@ -150,9 +151,17 @@ def write_upsert(
     it is shipped by pickle, so close over connection strings, not live
     handles. Rows go in ``executemany`` batches of ``batch_size`` (the
     reference's chunksize=1000), one commit per partition.
+
+    ``constraint``: postgres-only — emit ``ON CONFLICT ON CONSTRAINT <name>``
+    instead of the column-list conflict target (the reference targets its
+    staging constraints BY NAME, db_connector.py:380-419; see
+    ``REFERENCE_CONSTRAINTS``). Without it, a deployment whose unique
+    constraint differs from ``keys`` fails at runtime on every partition
+    (review r9: this form was previously reachable only via
+    :func:`upsert_sql`, never from the executor sink).
     """
     cols = list(df.columns)
-    sql = upsert_sql(table, cols, keys, hash_col, skip_update, dialect)
+    sql = upsert_sql(table, cols, keys, hash_col, skip_update, dialect, constraint=constraint)
 
     def write_partition(rows) -> None:
         conn = connection_factory()

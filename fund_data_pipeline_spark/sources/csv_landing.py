@@ -13,7 +13,9 @@ zone is a single job with partition-sized tasks, not a driver-side loop.
 - S3  glob-pattern scan:           glob in the path
 - S4  path-date inference:         regexp over input_file_name()
 - S5  BOM-tolerant encoding:       Spark handles UTF-8 BOM natively
-- S6  fault-tolerant read:         PERMISSIVE + _corrupt_record column
+- S6  fault-tolerant read:         PERMISSIVE (malformed fields -> NULL;
+      pass ``schema`` including a ``_corrupt_record`` string column to
+      capture the raw malformed line for quarantine)
 - S7  filename filter:             pathGlobFilter / filter on input_file_name()
 """
 
@@ -34,6 +36,7 @@ def read_landing_csvs(
     path_glob: str | None = "*.csv",
     exclude_name_parts: Sequence[str] = ("error", "log"),
     with_provenance: bool = True,
+    schema: str | None = None,
 ) -> DataFrame:
     """S1/S3/S5/S6/S7: one permissive scan over all landing dirs.
 
@@ -42,20 +45,37 @@ def read_landing_csvs(
     BASENAME of ``input_file_name()`` — evaluated at the scan, no
     driver-side listing. Basename, not full path: a landing root whose
     path merely contains 'log' (``/data/fund_catalog/``, ``.../backlog/``)
-    must not silently drop the entire feed.
+    must not silently drop the entire feed. Parts match whole
+    ``.``/``_``/``-``-delimited basename TOKENS, case-insensitively
+    (review r9): ``error_log.csv`` is excluded by the default, but a real
+    ticker file ``GLOG_history.csv`` or ``LOGI_history.csv`` is NOT —
+    substring matching silently dropped such tickers, and an uppercase
+    part never matched the lowercased basename at all.
+
+    ``schema``: optional explicit DDL schema. Header-inferred reads NULL
+    malformed fields under PERMISSIVE; to CAPTURE the raw malformed line,
+    include a ``_corrupt_record STRING`` column in the schema — the
+    corrupt-record channel only exists with an explicit schema (the same
+    contract as :func:`read_landing_jsonl`, review r9).
     """
     reader = (
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")
         .option("recursiveFileLookup", str(recursive).lower())
     )
+    if schema is not None:
+        reader = reader.schema(schema).option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     df = reader.csv(list(paths))
     df = df.withColumn("origin_file", F.input_file_name())
-    basename = F.lower(F.element_at(F.split(F.col("origin_file"), "/"), -1))
-    for part in exclude_name_parts:
-        df = df.filter(~basename.contains(part))
+    if exclude_name_parts:
+        basename = F.lower(F.element_at(F.split(F.col("origin_file"), "/"), -1))
+        name_tokens = F.split(basename, r"[._\-]")
+        parts = F.array(*[F.lit(p.lower()) for p in exclude_name_parts])
+        df = df.filter(~F.arrays_overlap(name_tokens, parts))
     if not with_provenance:
         df = df.drop("origin_file")
     return df
@@ -67,14 +87,20 @@ def read_per_entity_csvs(
     ticker_from_stem: bool = True,
     infer_asset_type: bool = True,
     infer_date: bool = False,
+    exclude_name_parts: Sequence[str] = ("error", "log"),
 ) -> DataFrame:
     """S2/S4: one scan over per-ticker files, metadata from the path.
 
     Replaces the reference's rglob loop (00_price_history_cleaner.py:36-64):
     ticker = filename stem before '_', asset_type = 'ETF' if the path
     contains 'etf', as_of_date = the YYYY-MM-DD directory component.
+    (The reference rglobs ALL *.csv and skips files per-file on parse
+    failure; the name filter here is the distributed stand-in for that
+    skip, and it matches whole basename tokens so a real ticker like
+    GLOG/LOGI can never be silently dropped — review r9. Override
+    ``exclude_name_parts`` per call for trees with other sentinel names.)
     """
-    df = read_landing_csvs(spark, [root])
+    df = read_landing_csvs(spark, [root], exclude_name_parts=exclude_name_parts)
     if ticker_from_stem:
         df = df.withColumn("ticker", F.upper(filename_stem_ticker(F.col("origin_file"))))
     if infer_asset_type:
@@ -111,7 +137,12 @@ def read_landing_jsonl(
 def union_conformed(dfs: Sequence[DataFrame]) -> DataFrame:
     """U1: UNION ALL of heterogeneous sources, by name, missing cols -> NULL."""
     it = iter(dfs)
-    out = next(it)
+    try:
+        out = next(it)
+    except StopIteration:
+        # a bare StopIteration would be swallowed/PEP-479-converted inside
+        # generators (review r9); an empty landing scan should fail loudly
+        raise ValueError("union_conformed: no dataframes to union") from None
     for df in it:
         out = out.unionByName(df, allowMissingColumns=True)
     return out

@@ -25,5 +25,8 @@ def active_entities(master: DataFrame, source: str | None = None, asset_type: st
 def resume_anti_join(targets: DataFrame, done: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """S10/U2: the still-to-process set = targets MINUS done, as a left-anti
     join on the key (never a driver-side Python set)."""
-    keys = keys or ["ticker"]
+    if keys is None:  # `keys or` would silently remap an explicit [] to the
+        keys = ["ticker"]  # ticker grain (review r9) — fail loudly instead
+    if not keys:
+        raise ValueError("resume_anti_join: keys must be non-empty")
     return targets.join(done.select(*keys).dropDuplicates(keys), keys, "left_anti")

@@ -647,3 +647,45 @@ def test_nav_stream_null_scrape_date_row_still_merges(spark, tmp_path):
 
     rows = spark.read.parquet(target).collect()
     assert len(rows) == 1 and float(rows[0].nav_price) == 102.5
+
+
+def test_landing_scan_review_fixes(spark, tmp_path):
+    """Review r9 source-layer fixes: per-entity scans must not drop tickers
+    whose filename contains 'log'; exclusion parts match case-insensitively;
+    an explicit schema enables the _corrupt_record channel; empty unions and
+    empty resume keys fail loudly."""
+    import pytest
+
+    from fund_data_pipeline_spark.sources.csv_landing import (
+        read_landing_csvs,
+        read_per_entity_csvs,
+        union_conformed,
+    )
+    from fund_data_pipeline_spark.sources.registry import resume_anti_join
+
+    root = tmp_path / "per_entity"
+    root.mkdir()
+    (root / "GLOG_history.csv").write_text("date,close\n2024-01-02,10.5\n")
+    (root / "AAA_history.csv").write_text("date,close\n2024-01-02,11.5\n")
+    got = read_per_entity_csvs(spark, str(root), infer_asset_type=False)
+    assert {r.ticker for r in got.collect()} == {"GLOG", "AAA"}  # GLOG kept
+    only_a = read_per_entity_csvs(
+        spark, str(root), infer_asset_type=False, exclude_name_parts=("GLOG",)
+    )
+    assert {r.ticker for r in only_a.collect()} == {"AAA"}  # opt-in + case-insensitive
+
+    # explicit schema: malformed row lands in _corrupt_record, not NULL-padded
+    bad = tmp_path / "landing"
+    bad.mkdir()
+    (bad / "feed.csv").write_text("ticker,price\nAAA,1.5\nBBB,notanumber\n")
+    df = read_landing_csvs(
+        spark, [str(bad)], schema="ticker string, price double, _corrupt_record string"
+    )
+    rows = {r.ticker: (r.price, r._corrupt_record) for r in df.collect()}
+    assert rows["AAA"] == (1.5, None)
+    assert rows["BBB"][0] is None and "notanumber" in rows["BBB"][1]
+
+    with pytest.raises(ValueError, match="no dataframes to union"):
+        union_conformed([])
+    with pytest.raises(ValueError, match="keys must be non-empty"):
+        resume_anti_join(df, df, keys=[])
