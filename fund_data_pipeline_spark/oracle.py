@@ -123,7 +123,7 @@ def canon(v) -> str:
         return f"dt:{v.isoformat()}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, bytes):
+    if isinstance(v, (bytes, bytearray)):
         return f"bytes:{v.hex()}"
     return f"{type(v).__name__}:{v}"
 

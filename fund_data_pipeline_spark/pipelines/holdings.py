@@ -74,16 +74,20 @@ def clean_allocations(df: DataFrame, allocation_type: str) -> DataFrame:
 
 def run(
     spark: SparkSession,
-    holdings_raw: DataFrame,
+    holdings_raw: DataFrame | None,
     allocations_raw: dict[str, DataFrame],
     warehouse: str,
 ) -> dict[str, merge.MergeStats]:
-    """Holdings + N allocation kinds, each one hash-guarded merge (H8)."""
+    """Holdings + N allocation kinds, each one hash-guarded merge (H8).
+
+    ``holdings_raw`` may be ``None`` (holdings feed delivered nothing) —
+    the allocation feeds are independent and still load (review r9)."""
     stats: dict[str, merge.MergeStats] = {}
-    stats["stg_fund_holdings"] = merge.merge_upsert(
-        spark, f"{warehouse}/stg_fund_holdings", clean_holdings(holdings_raw),
-        FUND_HOLDINGS_KEY, collect_stats=True,
-    )
+    if holdings_raw is not None:
+        stats["stg_fund_holdings"] = merge.merge_upsert(
+            spark, f"{warehouse}/stg_fund_holdings", clean_holdings(holdings_raw),
+            FUND_HOLDINGS_KEY, collect_stats=True,
+        )
     alloc_batches = [clean_allocations(df, kind) for kind, df in allocations_raw.items()]
     if alloc_batches:
         batch = alloc_batches[0]

@@ -54,6 +54,9 @@ class StageResult:
 @dataclass
 class RunReport:
     stages: list[StageResult] = field(default_factory=list)
+    #: elapsed wall-clock of the whole run (set by run_all); summing stage
+    #: durations would overstate it whenever a concurrent group overlaps
+    wall_sec: float | None = None
 
     @property
     def ok(self) -> bool:
@@ -75,7 +78,13 @@ class RunReport:
         lines = ["== pipeline run summary =="]
         for st in self.stages:
             detail = "; ".join(
-                f"{t}: +{m.inserted} ~{m.updated} ={m.unchanged}"
+                # MergeStats(-1,...) is the collect_stats=False sentinel —
+                # print it as such, not as negative row counts (review r9)
+                (
+                    f"{t}: +{m.inserted} ~{m.updated} ={m.unchanged}"
+                    if m.inserted >= 0
+                    else f"{t}: counts not collected"
+                )
                 for t, m in st.tables.items()
             )
             extra = "; ".join(f"{k}={v}" for k, v in st.side_counts.items())
@@ -89,10 +98,15 @@ class RunReport:
         n_failed = sum(s.status == "failed" for s in self.stages)
         n_skipped = sum(s.status == "skipped" for s in self.stages)
         tot = self.totals()
-        wall = sum(s.duration_sec for s in self.stages)
+        # true elapsed time when run_all recorded it; the stage-duration sum
+        # overstates wall whenever a concurrent group overlaps (review r9)
+        if self.wall_sec is not None:
+            wall_txt = f"{self.wall_sec:.1f}s"
+        else:
+            wall_txt = f"{sum(s.duration_sec for s in self.stages):.1f}s stage time"
         lines.append(
             f"TOTAL: {n_ok} ok, {n_failed} failed, {n_skipped} skipped in "
-            f"{wall:.1f}s; inserted {tot.inserted}, updated {tot.updated}, "
+            f"{wall_txt}; inserted {tot.inserted}, updated {tot.updated}, "
             f"unchanged {tot.unchanged}"
         )
         return lines
@@ -167,8 +181,10 @@ def run_all(
     but it does abort everything after the group. With ``fail_stop=False``
     later stages still run.
     """
+    import time
     from concurrent.futures import ThreadPoolExecutor
 
+    t_run0 = time.perf_counter()
     report = RunReport()
     aborted_by: str | None = None
     for entry in stages:
@@ -196,6 +212,7 @@ def run_all(
             failed = next((r.name for r in results if r.status == "failed"), None)
             if failed is not None:
                 aborted_by = failed
+    report.wall_sec = time.perf_counter() - t_run0
     return report
 
 
@@ -210,7 +227,7 @@ def default_stages(
     warehouse: str,
     today: Column | None = None,
     nav_reprocess: Callable | None = None,
-) -> list[Stage]:
+) -> list[Stage | list[Stage]]:
     """The reference's four-module chain as stages over a landing layout::
 
         <landing_root>/master_list/   scrape CSVs for the security master
@@ -224,14 +241,19 @@ def default_stages(
     nothing must not abort the run. ``nav_reprocess`` enables the NAV
     repair pass (G2) right after the daily load.
     """
-    from ..sources.csv_landing import read_landing_csvs
+    from ..sources.csv_landing import name_excluded, read_landing_csvs
     from . import daily_nav, holdings, master_sync, static_details
 
     root = Path(landing_root)
 
     def _has(sub: str) -> bool:
+        # must mirror the scan's token exclusion: a dir holding ONLY
+        # error_log.csv delivered nothing — counting it here would send an
+        # empty frame into the stage and crash it (review r9)
         d = root / sub
-        return d.is_dir() and any(d.rglob("*.csv"))
+        return d.is_dir() and any(
+            not name_excluded(p.name) for p in d.rglob("*.csv")
+        )
 
     def _master():
         if not _has("master_list"):
@@ -266,15 +288,22 @@ def default_stages(
         return static_details.run(spark, raw, warehouse)
 
     def _holdings():
-        if not _has("holdings"):
-            return None
-        hraw = read_landing_csvs(spark, [str(root / "holdings")])
+        # holdings and allocations are INDEPENDENT feeds: an empty holdings
+        # dir must not silently drop allocation CSVs that did land
+        # (review r9 — the allocations scan was gated behind _has("holdings"))
+        hraw = (
+            read_landing_csvs(spark, [str(root / "holdings")])
+            if _has("holdings")
+            else None
+        )
         alloc: dict = {}
         alloc_root = root / "allocations"
         if alloc_root.is_dir():
             for kind_dir in sorted(p for p in alloc_root.iterdir() if p.is_dir()):
-                if any(kind_dir.rglob("*.csv")):
+                if any(not name_excluded(p.name) for p in kind_dir.rglob("*.csv")):
                     alloc[kind_dir.name] = read_landing_csvs(spark, [str(kind_dir)])
+        if hraw is None and not alloc:
+            return None
         return holdings.run(spark, hraw, alloc, warehouse)
 
     # static_details and holdings own disjoint tables and only depend on the

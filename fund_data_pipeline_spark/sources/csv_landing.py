@@ -21,12 +21,29 @@ zone is a single job with partition-sized tasks, not a driver-side loop.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..parse import asset_type_from_path, filename_stem_ticker, path_date
+
+
+#: default sentinel-name tokens skipped by the landing scans
+DEFAULT_EXCLUDE_NAME_PARTS = ("error", "log")
+
+
+def name_excluded(basename: str, parts: Sequence[str] = DEFAULT_EXCLUDE_NAME_PARTS) -> bool:
+    """Python twin of the scan-level token filter: True iff any ``.``/``_``/
+    ``-``-delimited token of ``basename`` equals one of ``parts``
+    (case-insensitive). Driver-side callers that pre-check a landing dir
+    (e.g. the orchestrator's feed-presence gate) MUST use this so their
+    verdict matches what the distributed scan will actually read — a gate
+    that counts files the scan then filters out turns an empty feed into a
+    crashed stage (review r9)."""
+    wanted = {p.lower() for p in parts}
+    return any(t in wanted for t in re.split(r"[._\-]", basename.lower()))
 
 
 def read_landing_csvs(

@@ -154,3 +154,57 @@ def test_parallel_group_runs_concurrently_and_fail_stops_after():
     assert by_name["boom"].status == "failed" and "kaput" in by_name["boom"].error
     assert by_name["after"].status == "skipped"
     assert "boom failed" in by_name["after"].error
+
+
+def test_sentinel_only_feed_is_a_noop_not_a_crash(spark, tmp_path):
+    """A feed dir holding ONLY error_log.csv delivered nothing: the presence
+    gate must mirror the scan's token exclusion, or the stage reads an empty
+    frame with the sentinel's header and crashes (review r9)."""
+    landing = tmp_path / "landing"
+    (landing / "daily_nav").mkdir(parents=True)
+    (landing / "daily_nav" / "error_log.csv").write_text(
+        "ticker,error_message\nAAA,timeout\n"
+    )
+    report = run_pipeline(spark, str(landing), str(tmp_path / "wh"))
+    assert report.ok
+    nav = next(s for s in report.stages if s.name == "daily_nav")
+    assert nav.status == "ok" and not nav.tables  # no-op, not failed
+
+
+def test_allocations_load_without_holdings_feed(spark, tmp_path):
+    """Allocations and holdings are independent feeds: allocation CSVs must
+    load even when the holdings dir is empty (review r9 — the allocations
+    scan was gated behind the holdings presence check)."""
+    landing = tmp_path / "landing"
+    (landing / "allocations" / "sector").mkdir(parents=True)
+    (landing / "allocations" / "sector" / "a.csv").write_text(
+        "ticker,asset_type,source,item_name,value_net,as_of_date\n"
+        "VTSAX,FUND,ft,Technology,45.5%,2024-03-01\n"
+    )
+    report = run_pipeline(spark, str(landing), str(tmp_path / "wh"))
+    assert report.ok
+    hold = next(s for s in report.stages if s.name == "holdings")
+    assert "stg_allocations" in hold.tables
+    assert hold.tables["stg_allocations"].inserted == 1
+    assert "stg_fund_holdings" not in hold.tables
+    assert spark.read.parquet(str(tmp_path / "wh" / "stg_allocations")).count() == 1
+
+
+def test_summary_reports_wall_time_and_uncollected_counts():
+    """summary_lines: the -1 MergeStats sentinel prints as 'counts not
+    collected', and TOTAL uses run_all's recorded wall time (stage-duration
+    sum overstates concurrent groups) — review r9."""
+    import time
+
+    from fund_data_pipeline_spark.merge import MergeStats
+
+    def slow_ok():
+        time.sleep(0.3)
+        return MergeStats(-1, -1, -1)
+
+    report = orchestrator.run_all([[("a", slow_ok), ("b", slow_ok)]])
+    text = "\n".join(report.summary_lines())
+    assert "counts not collected" in text and "+-1" not in text
+    assert report.wall_sec is not None
+    # two 0.3s stages ran concurrently: wall must be well under their sum
+    assert report.wall_sec < sum(s.duration_sec for s in report.stages)
