@@ -612,3 +612,66 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(stages, "doc_id", "left").select(
         "doc_id", "drop_stage", F.col("drop_stage").isNull().alias("keep")
     )
+
+
+@register(
+    "corpus_mix_drift",
+    doc="Dataset-mixture drift monitor: per (source, lang), the source's "
+    "language share vs the corpus-wide share, with the absolute deviation "
+    "and an exact-integer chi-square-style contribution numerator — the "
+    "distribution-shift check a curation pipeline runs per ingest batch "
+    "(a source whose language mix drifts from the corpus baseline needs "
+    "rebalancing or investigation). Every rate is one double division of "
+    "exact integer counts (no ln/float-sum ordering anywhere), so both "
+    "engines emit identical bits; two hash aggregates plus one "
+    "vocabulary-sized broadcast join.",
+    oracle="""
+WITH sl AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+), s AS (
+  SELECT source, SUM(n) AS n_source FROM sl GROUP BY source
+), l AS (
+  SELECT lang, SUM(n) AS n_lang FROM sl GROUP BY lang
+), g AS (
+  SELECT COUNT(*) AS n_total FROM documents
+)
+SELECT sl.source, sl.lang,
+       CAST(sl.n AS BIGINT) AS n,
+       CAST(sl.n AS DOUBLE) / CAST(s.n_source AS DOUBLE) AS source_share,
+       CAST(l.n_lang AS DOUBLE) / CAST(g.n_total AS DOUBLE) AS corpus_share,
+       abs(CAST(sl.n AS DOUBLE) / CAST(s.n_source AS DOUBLE)
+           - CAST(l.n_lang AS DOUBLE) / CAST(g.n_total AS DOUBLE)) AS abs_drift,
+       CAST(sl.n * g.n_total - l.n_lang * s.n_source AS BIGINT) AS drift_numer
+FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN g
+""",
+)
+def corpus_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expected count of (source, lang) under independence is
+    n_source*n_lang/n_total; ``drift_numer`` = n*n_total - n_lang*n_source
+    is the exact-integer numerator of (observed - expected)*n_total — zero
+    iff the source's mix matches the corpus exactly, sign shows direction.
+    At 100 TB all three stat relations are tiny (|sources| x |langs|) and
+    broadcast; the only corpus-sized work is the first hash aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    s = sl.groupBy("source").agg(F.sum("n").alias("n_source"))
+    lang = sl.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    g = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    source_share = F.col("n").cast("double") / F.col("n_source").cast("double")
+    corpus_share = F.col("n_lang").cast("double") / F.col("n_total").cast("double")
+    return (
+        sl.join(F.broadcast(s), "source")
+        .join(F.broadcast(lang), "lang")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            source_share.alias("source_share"),
+            corpus_share.alias("corpus_share"),
+            F.abs(source_share - corpus_share).alias("abs_drift"),
+            (F.col("n") * F.col("n_total") - F.col("n_lang") * F.col("n_source"))
+            .cast("long")
+            .alias("drift_numer"),
+        )
+    )
