@@ -244,10 +244,11 @@ _ONE_ROW_BNLJ_OK = {
     "conversion_funnel",
     "embedding_topk_cosine",
     "key_skew_profile",
-    # r9: both crossJoin ONE aggregate row of global stats (N/total_dl/df,
-    # total/V) broadcast back over the scan — O(n), not a pair blowup
+    # r9: each crossJoins ONE aggregate row of global stats (N/total_dl/df,
+    # total/V, n_total) broadcast back over the scan — O(n), not a pair blowup
     "bm25_doc_search",
     "unigram_likelihood_quality",
+    "corpus_mix_drift",
 }
 
 
