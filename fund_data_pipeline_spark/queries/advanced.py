@@ -268,13 +268,18 @@ SELECT event_id, user_id, ts, click_ts, click_value FROM j WHERE rn = 1
 )
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # the click's (ts, value) travel as ONE struct: two independent
+    # F.last(ignorenulls) calls could take ts and value from DIFFERENT click
+    # rows when a click's value is NULL (review r9) — the oracle's ranked
+    # form returns both fields from the single rn=1 row, so must we.
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts",
         F.lit(None).cast("long").alias("event_id"),
         F.col("event_id").alias("c_id"),
-        F.col("ts").alias("c_ts"),
-        F.col("value").alias("c_value"),
+        F.struct(
+            F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+        ).alias("c"),
         F.lit(0).alias("side"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -282,8 +287,7 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         "ts",
         "event_id",
         F.lit(None).cast("long").alias("c_id"),
-        F.lit(None).cast("timestamp").alias("c_ts"),
-        F.lit(None).cast("double").alias("c_value"),
+        F.lit(None).cast("struct<click_ts:timestamp,click_value:double>").alias("c"),
         F.lit(1).alias("side"),
     )
     # side orders clicks before purchases at equal ts => inclusive (>=) as-of;
@@ -296,15 +300,18 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = clicks.unionByName(purchases).select(
+        "event_id",
         "user_id",
         "ts",
-        "event_id",
         "side",
-        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
-        F.last("c_value", ignorenulls=True).over(w).alias("click_value"),
+        F.last("c", ignorenulls=True).over(w).alias("__c"),
     )
     return merged.filter(F.col("side") == 1).select(
-        "event_id", "user_id", "ts", "click_ts", "click_value"
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("__c.click_ts").alias("click_ts"),
+        F.col("__c.click_value").alias("click_value"),
     )
 
 

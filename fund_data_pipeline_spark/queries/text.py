@@ -1207,11 +1207,15 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parameter would receive the array index — same trap as _minhash)
         return F.size(F.filter(toks, lambda x: x == term))
 
+    # materialize the narrow per-doc stats ONCE: the global-stats aggregate
+    # and the final scoring scan are two consumers of this subplan, and
+    # without the checkpoint each would re-tokenize the full corpus
+    # (review r9 — the same re-execution trap as incremental_near_dup)
     d = docs.select(
         "doc_id",
         F.size(toks).alias("dl"),
         *[tf_expr(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
-    )
+    ).localCheckpoint(eager=True)
     g = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
@@ -1276,10 +1280,14 @@ GROUP BY tf.doc_id, g.total, g.v
 def unigram_likelihood_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("ct"))
-    g = tok.agg(
-        F.count(F.lit(1)).alias("total"), F.countDistinct("token").alias("v")
+    # ONE corpus tokenization: lm and the global totals both derive from the
+    # checkpointed tf relation instead of re-exploding the corpus per
+    # consumer (review r9); sum(tf) == token occurrences, so the derived
+    # values are identical to the oracle's direct aggregates
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=True)
+    lm = tf.groupBy("token").agg(F.sum("tf").alias("ct"))
+    g = lm.agg(
+        F.sum("ct").alias("total"), F.count(F.lit(1)).alias("v")
     )
     numer = F.sum(F.col("tf") * (F.col("ct") + 1))
     return (

@@ -51,7 +51,7 @@ def read_landing_csvs(
     paths: Sequence[str],
     recursive: bool = True,
     path_glob: str | None = "*.csv",
-    exclude_name_parts: Sequence[str] = ("error", "log"),
+    exclude_name_parts: Sequence[str] = DEFAULT_EXCLUDE_NAME_PARTS,
     with_provenance: bool = True,
     schema: str | None = None,
 ) -> DataFrame:
@@ -104,7 +104,7 @@ def read_per_entity_csvs(
     ticker_from_stem: bool = True,
     infer_asset_type: bool = True,
     infer_date: bool = False,
-    exclude_name_parts: Sequence[str] = ("error", "log"),
+    exclude_name_parts: Sequence[str] = DEFAULT_EXCLUDE_NAME_PARTS,
 ) -> DataFrame:
     """S2/S4: one scan over per-ticker files, metadata from the path.
 

@@ -33,7 +33,9 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 PKG = "fund_data_pipeline_spark"
-CITATION = re.compile(r"`([\w/.]+\.py)::([\w.]+)`")
+# the optional parenthesized suffix covers parameterized citations like
+# `dedup.py::dedup_keyed(keep="first")` — previously skipped silently
+CITATION = re.compile(r"`([\w/.]+\.py)::([\w.]+)(?:\([^`]*\))?`")
 
 
 def iter_package_modules() -> list[str]:

@@ -319,12 +319,19 @@ def test_asof_join_tie_on_click_ts_is_deterministic(spark, tmp_path):
     from fund_data_pipeline_spark.queries.advanced import asof_last_click_before_purchase
 
     t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t11 = dt.datetime(2024, 1, 1, 11, 0, 0)
     rows = [
         (100, t0, 1, "click", 5.0, "{}"),
         (101, t0, 1, "click", 7.0, "{}"),   # same ts, greater event_id wins
         (102, dt.datetime(2024, 1, 1, 9, 0, 0), 1, "click", 3.0, "{}"),
         (900, t0, 1, "purchase", 1.0, "{}"),  # inclusive as-of at equal ts
-        (901, dt.datetime(2024, 1, 1, 11, 0, 0), 2, "purchase", 1.0, "{}"),
+        (901, t11, 2, "purchase", 1.0, "{}"),
+        # user 3: the LATEST click has a NULL value — ts and value must both
+        # come from that single row (review r9: independent last(ignorenulls)
+        # calls mixed fields from different rows)
+        (103, dt.datetime(2024, 1, 1, 9, 0, 0), 3, "click", 4.0, "{}"),
+        (104, t0, 3, "click", None, "{}"),
+        (902, t11, 3, "purchase", 1.0, "{}"),
     ]
     df = spark.createDataFrame(
         rows,
@@ -337,6 +344,7 @@ def test_asof_join_tie_on_click_ts_is_deterministic(spark, tmp_path):
     }
     assert got[900] == (t0, 7.0)
     assert got[901] == (None, None)  # LEFT semantics: no prior click
+    assert got[902] == (t0, None)  # same-row invariant: NULL value rides along
 
 
 def test_integrity_check_script():
