@@ -251,3 +251,41 @@ def test_flatten_hierarchy_matches_recursive_model(_spark, parents):
         for r in flatten_hierarchy(edges_df, nodes=nodes_df).collect()
     }
     assert got == expect
+
+
+@given(
+    target=st.lists(st.tuples(KEYS, VALS, VALS, VALS), max_size=6).map(
+        lambda rows: list({k: (k, v, None if h is None else str(h), p) for k, v, h, p in rows}.values())
+    ),
+    source=st.lists(st.tuples(KEYS, VALS, VALS, VALS), max_size=6).map(
+        lambda rows: list({k: (k, v, None if h is None else str(h), p) for k, v, h, p in rows}.values())
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_precedence_matches_dict_model(_spark, tmp_path_factory, target, source):
+    """precedence_col model (review r9): a matched source row updates iff
+    the hash differs AND NOT (both precedence values non-null and source's
+    is strictly older); inserts always land; NULL precedence on either
+    side defers to the hash guard."""
+    import uuid
+
+    from fund_data_pipeline_spark.merge import merge_upsert
+
+    spark = _spark
+    schema = "k int, v int, row_hash string, prec int"
+    path = str(tmp_path_factory.mktemp("prec") / uuid.uuid4().hex)
+    merge_upsert(spark, path, spark.createDataFrame(target, schema), ["k"])
+    merge_upsert(
+        spark, path, spark.createDataFrame(source, schema), ["k"], precedence_col="prec"
+    )
+
+    got = {r.k: (r.v, r.row_hash, r.prec) for r in spark.read.parquet(path).collect()}
+    model = {k: (v, h, p) for k, v, h, p in target}
+    for k, v, h, p in source:
+        if k not in model:
+            model[k] = (v, h, p)
+        else:
+            stale = p is not None and model[k][2] is not None and p < model[k][2]
+            if model[k][1] != h and not stale:
+                model[k] = (v, h, p)
+    assert got == model
