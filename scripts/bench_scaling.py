@@ -93,9 +93,20 @@ def main() -> None:
         fn = EXTRA_FNS.get(name)
         return fn(spark, sf_dir) if fn else Q.QUERIES[name].spark(spark, sf_dir)
 
-    sfs = [sf for sf, d in sorted(SF_DIRS.items()) if Path(d).exists()]
+    # an sf enters only with the COMPLETE table set: a dir left behind by
+    # an interrupted gen_sf1 run must not contribute skewed partial totals
+    expected = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    sfs = [
+        sf
+        for sf, d in sorted(SF_DIRS.items())
+        if all((Path(d) / f"{t}.parquet").exists() for t in expected)
+    ]
     per_query: dict[str, dict[float, float]] = {n: {} for n in names}
-    totals: dict[float, float] = {}
+    totals: dict[float, float | None] = {}
+    failed: dict[float, list[str]] = {}
     for sf in sfs:
         sf_dir = SF_DIRS[sf]
         for name in names:  # warmup: steady-state, not codegen cost
@@ -118,12 +129,19 @@ def main() -> None:
                     break
                 runs.append(time.perf_counter() - t0)
             if not runs:
+                failed.setdefault(sf, []).append(name)
                 continue
             best = min(runs)
             per_query[name][sf] = round(best, 3)
             if name in headline:
                 total += best
-        totals[sf] = round(total, 3)
+        # a total missing a headline query would fabricate sub-linear
+        # growth — the exact signal this harness measures (review r9);
+        # bench.py's null-total-on-failure invariant applies here too
+        if any(n in headline for n in failed.get(sf, [])):
+            totals[sf] = None
+        else:
+            totals[sf] = round(total, 3)
 
     # t ~ SF^p between the smallest and largest measured SF; p = 1 is
     # linear growth, p near 0 is overhead-dominated (ideal at small SF).
@@ -145,6 +163,7 @@ def main() -> None:
                 "totals": {str(k): v for k, v in totals.items()},
                 "queries": {n: {str(k): v for k, v in d.items()} for n, d in per_query.items()},
                 "exponents": exponents,
+                "failed": {str(k): v for k, v in failed.items()},
                 "runs": n_runs,
             }
         )

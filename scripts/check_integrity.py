@@ -11,13 +11,16 @@ script files, so the equivalent checks are:
 2. every ``module.py::symbol`` citation in COVERAGE.md resolves — the
    operator-inventory map the judge reads cannot drift from the code;
 3. every ``tests/xx.py::test_fn`` citation names a real test function;
-4. the driver contract holds: ``__spark_entry__.queries()`` /
-   ``oracle_sql()`` keys line up, and every registered query carries a
-   callable plan builder.
+4. the driver contract holds: ``__spark_entry__.queries()`` exposes the
+   whole registry, every entry is callable, and any oracle-less
+   (rows-only) queries are listed for visibility.
 
 Run: ``python scripts/check_integrity.py`` — prints one line per failure,
-exits non-zero on any. No SparkSession is started (pure import/AST work),
-so this is cheap enough for CI and for a pre-flight orchestrator hook.
+exits non-zero on any. Every check appends to one error list, and package
+exceptions (including the registry's own window-guard RuntimeError) are
+REPORTED, never allowed to crash the report (review r9). No SparkSession
+is started (pure import/AST work), so this is cheap enough for CI and for
+a pre-flight orchestrator hook.
 """
 
 from __future__ import annotations
@@ -38,20 +41,31 @@ PKG = "fund_data_pipeline_spark"
 CITATION = re.compile(r"`([\w/.]+\.py)::([\w.]+)(?:\([^`]*\))?`")
 
 
-def iter_package_modules() -> list[str]:
-    pkg = importlib.import_module(PKG)
+def check_imports(errors: list[str]) -> list[str]:
+    """Import every package module; returns the module names walked.
+
+    ``walk_packages`` without ``onerror`` PROPAGATES non-ImportError
+    exceptions (e.g. the registry's window-guard RuntimeError), which
+    would crash the report before a single FAIL line — route every
+    walk-time exception into ``errors`` instead (review r9)."""
+    try:
+        pkg = importlib.import_module(PKG)
+    except Exception as e:  # noqa: BLE001 - report, never crash the report
+        errors.append(f"package import failed: {PKG}: {e!r}")
+        return []
     names = [PKG]
-    for m in pkgutil.walk_packages(pkg.__path__, prefix=f"{PKG}."):
+    for m in pkgutil.walk_packages(
+        pkg.__path__,
+        prefix=f"{PKG}.",
+        onerror=lambda name: errors.append(f"package walk failed at: {name}"),
+    ):
         names.append(m.name)
-    return names
-
-
-def check_imports(errors: list[str]) -> None:
-    for name in iter_package_modules():
+    for name in names:
         try:
             importlib.import_module(name)
-        except Exception as e:  # noqa: BLE001 - report every failure kind
+        except Exception as e:  # noqa: BLE001
             errors.append(f"import failed: {name}: {e!r}")
+    return names
 
 
 def _test_defines(path: Path, fn: str) -> bool:
@@ -93,34 +107,47 @@ def check_coverage_citations(errors: list[str]) -> int:
     return n
 
 
-def check_driver_contract(errors: list[str]) -> None:
-    sys.path.insert(0, str(REPO))
-    import __spark_entry__ as entry
+def check_driver_contract(errors: list[str]) -> list[str]:
+    """Returns the names of rows-only (oracle-less) queries for visibility.
 
-    queries = entry.queries()
-    oracles = entry.oracle_sql()
+    Wrapped so a broken entry module reports instead of discarding every
+    error the earlier checks accumulated (review r9)."""
+    try:
+        import __spark_entry__ as entry
+
+        queries = entry.queries()
+        oracles = entry.oracle_sql()
+        from fund_data_pipeline_spark.queries import QUERIES
+    except Exception as e:  # noqa: BLE001
+        errors.append(f"driver entry import failed: {e!r}")
+        return []
+    if set(queries) != set(QUERIES):
+        errors.append(
+            "queries() keys diverge from the registry: "
+            f"{sorted(set(queries) ^ set(QUERIES))}"
+        )
     for name, fn in queries.items():
         if not callable(fn):
             errors.append(f"queries()[{name!r}] is not callable")
-    extra = set(oracles) - set(queries)
-    if extra:
-        errors.append(f"oracle_sql() keys missing from queries(): {sorted(extra)}")
-    from fund_data_pipeline_spark.queries import QUERIES
-
     for name, spec in QUERIES.items():
         if not callable(spec.spark):
             errors.append(f"registry entry {name!r} has no callable plan builder")
+    # rows-only entries are ALLOWED by the driver contract (weaker check);
+    # list them so a query silently losing its oracle is visible here
+    return sorted(set(queries) - set(oracles))
 
 
 def main() -> int:
     errors: list[str] = []
-    check_imports(errors)
+    modules = check_imports(errors)
     n_cites = check_coverage_citations(errors)
-    check_driver_contract(errors)
+    rows_only = check_driver_contract(errors)
     for e in errors:
         print(f"FAIL {e}")
+    if rows_only:
+        print(f"note: rows-only (oracle-less) queries: {rows_only}")
     print(
-        f"{len(errors)} failures; checked {len(iter_package_modules())} modules, "
+        f"{len(errors)} failures; checked {len(modules)} modules, "
         f"{n_cites} COVERAGE citations, driver contract"
     )
     return 1 if errors else 0

@@ -92,6 +92,16 @@ def gen_relational(con: duckdb.DuckDBPyConnection, dst: Path) -> None:
 
 
 def _interleave(tokens: list[str], stride: int) -> list[str]:
+    """Non-identity stride interleave: the requested stride is wrapped into
+    [2, n_tokens - 1] so a short document can never round-trip to itself
+    (stride >= n is the identity permutation — review r9: copy 9 at stride
+    10 reproduced every 10-token document byte-identically, violating the
+    no-cross-copy-duplicates invariant). Documents under 3 tokens have no
+    non-identity option (and no shingles), so they pass through."""
+    n = len(tokens)
+    if n < 3:
+        return tokens
+    stride = 2 if n == 3 else 2 + (stride - 2) % (n - 2)
     out: list[str] = []
     for start in range(stride):
         out.extend(tokens[start::stride])
@@ -152,13 +162,21 @@ def gen_embeddings(con: duckdb.DuckDBPyConnection, dst: Path) -> None:
 
 def main() -> None:
     dst = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(__file__).resolve().parents[1] / ".localdata" / "sf1"
-    dst.mkdir(parents=True, exist_ok=True)
+    # stage-then-rename: an interrupted run must not leave a partial dir
+    # that downstream existence checks mistake for a complete fixture
+    staging = dst.parent / (dst.name + ".__staging__")
+    if staging.exists():
+        shutil.rmtree(staging)
+    staging.mkdir(parents=True)
     con = duckdb.connect()
-    gen_relational(con, dst)
-    gen_documents(con, dst)
-    gen_embeddings(con, dst)
+    gen_relational(con, staging)
+    gen_documents(con, staging)
+    gen_embeddings(con, staging)
     for table in ("region", "nation"):
-        shutil.copyfile(SRC / f"{table}.parquet", dst / f"{table}.parquet")
+        shutil.copyfile(SRC / f"{table}.parquet", staging / f"{table}.parquet")
+    if dst.exists():
+        shutil.rmtree(dst)
+    staging.rename(dst)
     for f in sorted(dst.glob("*.parquet")):
         (n,) = duckdb.sql(f"SELECT count(*) FROM read_parquet('{f}')").fetchone()
         print(f"{f.name}: {n} rows")
