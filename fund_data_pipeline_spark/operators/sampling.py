@@ -121,6 +121,150 @@ def shuffled_shards(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+    thr_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: keep rates DERIVED from the
+    corpus itself so the sampled stratum sizes follow ``n_l ** alpha``
+    (the multinomial alpha/temperature sampling used to rebalance
+    language mixtures in multilingual-corpus construction — alpha=1
+    keeps the natural distribution, alpha=0 equalizes strata, 0.5 is
+    the canonical compromise).
+
+    Derivation: target size per stratum is proportional to
+    ``n_l ** alpha``, so the keep RATE is ``C * n_l ** (alpha-1)``;
+    normalizing so the rarest stratum keeps 100% gives
+    ``rate_l = (n_min / n_l) ** (1 - alpha)``. The membership decision is
+    the same md5 bucket as :func:`deterministic_sample` (reproducible,
+    partition-stable, co-sampled across tables when unsalted).
+
+    Cross-engine exactness: the bucket thresholds pass through float math
+    once — ``floor(N_BUCKETS * (n_min/n_l) ** (1-alpha))``. For the
+    default ``alpha=0.5`` that exponent is computed with ``sqrt``, which
+    IEEE 754 requires to be correctly rounded, so Spark and any IEEE
+    oracle engine produce bit-identical thresholds from the same counts.
+    Other alphas go through ``pow``, which libm does NOT guarantee to the
+    half-ulp — fine in production, but pin alpha=0.5 when a bit-exact
+    cross-engine replay matters.
+
+    Scale: one corpus aggregate (map-side partial count per stratum — the
+    stat relation is |strata|-sized), one broadcast join of the derived
+    thresholds, one map-side filter. No corpus-sized shuffle. NULL
+    strata form their own stratum (null-safe threshold join), so dirty
+    rows are sampled consistently instead of vanishing.
+
+    ``thr_col`` optionally exposes each row's bucket threshold (useful
+    for auditing the derived rates; also what the catalog oracle pins).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    strat = f"__ts_{stratum_col}"
+    # |strata|-sized; checkpointed so the min() and the threshold projection
+    # both read it instead of re-aggregating the corpus twice
+    counts = (
+        df.groupBy(F.col(stratum_col).alias(strat))
+        .agg(F.count(F.lit(1)).alias("__ts_n"))
+        .localCheckpoint(eager=True)
+    )
+    n_min = counts.agg(F.min("__ts_n").alias("__ts_n_min"))
+    ratio = F.col("__ts_n_min").cast("double") / F.col("__ts_n").cast("double")
+    exponent = 1.0 - alpha
+    if exponent == 0.5:
+        rate = F.sqrt(ratio)
+    elif exponent == 0.0:
+        rate = F.lit(1.0)
+    else:
+        rate = F.pow(ratio, F.lit(exponent))
+    thresholds = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(strat, F.floor(F.lit(N_BUCKETS) * rate).cast("long").alias("__ts_thr"))
+    )
+    kept = (
+        df.join(
+            F.broadcast(thresholds),
+            F.col(stratum_col).eqNullSafe(F.col(strat)),
+            "inner",
+        )
+        .filter(hash_bucket(key, salt=salt) < F.col("__ts_thr"))
+        .drop(strat)
+    )
+    if thr_col is None:
+        return kept.drop("__ts_thr")
+    return kept.withColumnRenamed("__ts_thr", thr_col)
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    stratum_cols: Sequence[str],
+    cap: int,
+    order_by: Sequence[Column],
+    tie_key: str,
+) -> DataFrame:
+    """Frequency cap: keep at most ``cap`` rows per stratum, preferring
+    rows by ``order_by`` (ties broken by the unique ``tie_key`` so the
+    kept set is deterministic). The per-domain / per-(domain, language)
+    document cap every crawl-curation pipeline applies so one hot domain
+    cannot dominate the training mixture.
+
+    Scale: the naive form — one ROW_NUMBER window over the whole corpus —
+    shuffles 100 TB to rank rows in strata that are under the cap anyway
+    (with a Zipfian domain distribution, almost all of them). Instead:
+    count rows per stratum (map-side partial agg, |strata|-sized result),
+    broadcast the OVER-cap stratum set, and split the corpus map-side:
+    under-cap rows pass through untouched (no shuffle), only rows of
+    over-cap strata — bounded by |over-cap strata| * their sizes, the
+    actual offenders — shuffle into the rank window; Catalyst further
+    inserts a partial WindowGroupLimit below that exchange, so at most
+    ``cap`` rows per stratum per map partition are shuffled at all. Three scans of the
+    source instead of one full-corpus shuffle: scans parallelize and
+    prune; a 100 TB exchange does not. The over-cap stratum set is
+    |strata|-bounded; if a corpus ever has too many over-cap strata to
+    broadcast, drop the broadcast hint and the same plan runs as a
+    shuffle join on the (tiny) stratum keys.
+
+    NULL stratum values form one stratum (null-safe membership test +
+    window partitioning), matching ``ROW_NUMBER() OVER (PARTITION BY
+    ...)`` semantics in SQL engines — dirty rows are capped, not dropped.
+    """
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql import Window
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    if not stratum_cols:
+        raise ValueError("stratum_cols must be non-empty")
+    clash = {"__cap_rn"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns clash with internal names: {sorted(clash)}")
+    renamed = [f"__cap_{c}" for c in stratum_cols]
+    over = (
+        df.groupBy(*[F.col(c).alias(r) for c, r in zip(stratum_cols, renamed)])
+        .agg(F.count(F.lit(1)).alias("__cap_n"))
+        .filter(F.col("__cap_n") > cap)
+        .select(*renamed)
+        .localCheckpoint(eager=True)
+    )
+    membership = reduce(
+        and_, [F.col(c).eqNullSafe(F.col(r)) for c, r in zip(stratum_cols, renamed)]
+    )
+    under_rows = df.join(F.broadcast(over), membership, "left_anti")
+    w = Window.partitionBy(*stratum_cols).orderBy(*order_by, F.col(tie_key))
+    capped = (
+        df.join(F.broadcast(over), membership, "left_semi")
+        .withColumn("__cap_rn", F.row_number().over(w))
+        .filter(F.col("__cap_rn") <= cap)
+        .drop("__cap_rn")
+    )
+    return under_rows.unionByName(capped)
+
+
 def mixture_sample(
     df: DataFrame,
     key: str,

@@ -114,6 +114,8 @@ _OUT_OF_WINDOW_WHY = {
     "unigram_likelihood_quality": "new r9, local-oracle verified; LM-quality family in-window via quality_score-adjacent doc_fingerprint + text_statistics (headline)",
     "ngram_novelty": "new r9, local-oracle verified; shingle-index family in-window via incremental_near_dup + token_vocabulary",
     "corpus_mix_drift": "new r9, local-oracle verified; mixture-monitor family — grouped-share kernels in-window via group_count_breakdown + text_statistics (headline)",
+    "temperature_rebalance_mixture": "new r9, local-oracle verified; mixture-sampling family — md5-bucket membership in-window via stratified_hash_sample (same kernel, fixed-rate form)",
+    "source_frequency_cap": "new r9, local-oracle verified; keyed top-N family — rank-and-filter kernel in-window via top_orders_per_customer + dedup_keep_last",
     # ---- rotated out in round 9: latest driver row is r8 (fresh) ----
     "winsorized_price_stats": "driver-green r8; robust-stats family in-window via daily_order_anomaly + price_quantity_stats",
     "changelog_compact": "driver-green r8; SCD2/CDC family in-window via scd2_priority_history + latest_order_per_customer",

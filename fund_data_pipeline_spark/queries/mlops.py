@@ -675,3 +675,72 @@ def corpus_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drift_numer"),
         )
     )
+
+
+@register(
+    "temperature_rebalance_mixture",
+    doc="Temperature-scaled (alpha=0.5) mixture sampling (operators."
+    "sampling.temperature_sample): keep rates DERIVED from the corpus so "
+    "sampled language sizes follow n_l**0.5 — the multinomial alpha-"
+    "sampling used to rebalance multilingual corpora, vs the FIXED rates "
+    "of language_rebalance_mixture. Thresholds are floor(buckets * "
+    "sqrt(n_min/n_l)); sqrt is IEEE-correctly-rounded in both engines so "
+    "the derived thresholds (exposed as thr and oracle-pinned) are bit-"
+    "identical — pow() would not be, which is why alpha is 0.5 here. One "
+    "|langs|-sized aggregate, one broadcast join, one map-side filter; "
+    "salted bucket ('temp') so composing with the unsalted fixed-rate "
+    "mixture stays independent.",
+    oracle=f"""
+WITH c AS (
+  SELECT lang AS s_lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+), m AS (
+  SELECT MIN(n_l) AS n_min FROM c
+), t AS (
+  SELECT s_lang,
+         CAST(FLOOR({sampling.N_BUCKETS} * SQRT(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE))) AS BIGINT) AS thr
+  FROM c CROSS JOIN m
+)
+SELECT d.doc_id, d.lang, t.thr
+FROM documents d JOIN t ON d.lang IS NOT DISTINCT FROM t.s_lang
+WHERE CAST(concat('0x', substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % {sampling.N_BUCKETS} < t.thr
+""",
+)
+def temperature_rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mixed = sampling.temperature_sample(
+        docs, "doc_id", "lang", alpha=0.5, salt="temp", thr_col="thr"
+    )
+    return mixed.select("doc_id", "lang", "thr")
+
+
+@register(
+    "source_frequency_cap",
+    doc="Per-(source, lang) frequency cap (operators.sampling."
+    "cap_per_stratum): keep at most 8 documents per cell, preferring "
+    "longer documents (n_chars DESC, doc_id tie-break) — the domain-cap "
+    "curation op that stops one hot domain dominating the mixture. The "
+    "implementation counts strata map-side, broadcasts only the OVER-cap "
+    "stratum set, passes under-cap rows through with NO shuffle, and "
+    "ranks only the offenders — vs the naive full-corpus ROW_NUMBER "
+    "shuffle; the oracle is that naive window, so the split-path result "
+    "is pinned to the single-window semantics exactly.",
+    oracle="""
+SELECT doc_id, source, lang, n_chars FROM (
+  SELECT doc_id, source, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 8
+""",
+)
+def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    capped = sampling.cap_per_stratum(
+        docs,
+        ["source", "lang"],
+        cap=8,
+        order_by=[F.col("n_chars").desc_nulls_last()],
+        tie_key="doc_id",
+    )
+    return capped.select("doc_id", "source", "lang", "n_chars")

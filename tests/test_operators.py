@@ -1103,3 +1103,77 @@ def test_decoder_seam_is_codec_agnostic(spark):
     ).collect()
     assert all(len(r.payload) <= 64 for r in resized)
     assert {r.width for r in resized} == {8}
+
+
+def test_temperature_sample_thresholds_rates_and_nulls(spark):
+    from fund_data_pipeline_spark.operators.sampling import temperature_sample
+
+    # strata: en 1600, zh 400, NULL 100 -> n_min = 100; alpha=0.5 keep
+    # rates are sqrt(n_min/n_l): en 0.25, zh 0.5, NULL 1.0
+    rows = [(i, "en") for i in range(1600)]
+    rows += [(10_000 + i, "zh") for i in range(400)]
+    rows += [(20_000 + i, None) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    out = temperature_sample(df, "doc_id", "lang", alpha=0.5, thr_col="thr")
+    thr = {r["lang"]: r["thr"] for r in out.select("lang", "thr").distinct().collect()}
+    assert thr == {"en": 2500, "zh": 5000, None: 10_000}
+
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts[None] == 100                   # rarest stratum kept whole
+    assert 0.19 <= counts["en"] / 1600 <= 0.31   # ~25%
+    assert 0.40 <= counts["zh"] / 400 <= 0.60    # ~50%
+
+    # deterministic: identical survivor set on a re-run
+    again = temperature_sample(df, "doc_id", "lang", alpha=0.5, thr_col="thr")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+    # alpha=1 is the natural distribution: every row survives
+    natural = temperature_sample(df, "doc_id", "lang", alpha=1.0)
+    assert natural.count() == df.count()
+    assert "thr" not in natural.columns and not any(c.startswith("__ts_") for c in natural.columns)
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "doc_id", "lang", alpha=1.5)
+
+
+def test_cap_per_stratum_matches_naive_window_and_keeps_null_strata(spark):
+    from fund_data_pipeline_spark.operators.sampling import cap_per_stratum
+
+    # strata sizes: a=10 (over), b=3 (under), NULL=6 (over); cap=4
+    rows = [("a", i, i % 5) for i in range(10)]
+    rows += [("b", 100 + i, 9) for i in range(3)]
+    rows += [(None, 200 + i, 7 - i) for i in range(6)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, score long")
+
+    out = cap_per_stratum(df, ["src"], cap=4, order_by=[F.col("score").desc_nulls_last()], tie_key="doc_id")
+    norm = lambda t: (t[0] is not None, t[0] or "", t[1])  # noqa: E731
+    kept = sorted(((r.src, r.doc_id) for r in out.collect()), key=norm)
+
+    # naive single-window reference computed in Python
+    import itertools
+
+    expect = []
+    keyed = sorted(rows, key=lambda r: (r[0] is not None, r[0] or "", -r[2], r[1]))
+    for src, grp in itertools.groupby(keyed, key=lambda r: r[0]):
+        expect += [(src, r[1]) for r in list(grp)[:4]]
+    assert kept == sorted(expect, key=norm)
+
+    by_src = {}
+    for s, d in kept:
+        by_src.setdefault(s, []).append(d)
+    assert len(by_src[None]) == 4        # NULL stratum capped, not dropped
+    assert len(by_src["b"]) == 3         # under-cap stratum passes through whole
+    assert len(by_src["a"]) == 4
+    # ties in score (a-stratum scores repeat) break by doc_id: lowest ids win
+    assert by_src["a"] == [4, 9, 3, 8] or sorted(by_src["a"]) == [3, 4, 8, 9]
+
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_stratum(df, ["src"], cap=0, order_by=[F.col("score")], tie_key="doc_id")
+    with pytest.raises(ValueError, match="stratum_cols"):
+        cap_per_stratum(df, [], cap=1, order_by=[F.col("score")], tie_key="doc_id")
+    with pytest.raises(ValueError, match="clash"):
+        cap_per_stratum(
+            df.withColumn("__cap_rn", F.lit(1)), ["src"], cap=1,
+            order_by=[F.col("score")], tie_key="doc_id",
+        )

@@ -249,6 +249,9 @@ _ONE_ROW_BNLJ_OK = {
     "bm25_doc_search",
     "unigram_likelihood_quality",
     "corpus_mix_drift",
+    # r9: crossJoins the ONE-row min(stratum count) aggregate into the
+    # |strata|-sized threshold relation before the broadcast equi-join
+    "temperature_rebalance_mixture",
 }
 
 
