@@ -140,8 +140,12 @@ def temperature_sample(
     ``n_l ** alpha``, so the keep RATE is ``C * n_l ** (alpha-1)``;
     normalizing so the rarest stratum keeps 100% gives
     ``rate_l = (n_min / n_l) ** (1 - alpha)``. The membership decision is
-    the same md5 bucket as :func:`deterministic_sample` (reproducible,
-    partition-stable, co-sampled across tables when unsalted).
+    the same md5 bucket as :func:`deterministic_sample` — reproducible and
+    partition-stable. Unlike the fixed-rate samplers, thresholds here are
+    corpus-derived, so two different tables do NOT co-sample in general;
+    what does hold (unsalted) is nesting — a key kept under the lower of
+    two thresholds is kept under the higher — and bucket alignment with
+    every other unsalted hash decision on the same key.
 
     Cross-engine exactness: the bucket thresholds pass through float math
     once — ``floor(N_BUCKETS * (n_min/n_l) ** (1-alpha))``. For the
