@@ -168,6 +168,9 @@ def temperature_sample(
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     strat = f"__ts_{stratum_col}"
+    clash = ({strat, "__ts_thr"} | ({thr_col} if thr_col else set())) & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns clash with internal/output names: {sorted(clash)}")
     # |strata|-sized; checkpointed so the min() and the threshold projection
     # both read it instead of re-aggregating the corpus twice
     counts = (

@@ -1177,3 +1177,13 @@ def test_cap_per_stratum_matches_naive_window_and_keeps_null_strata(spark):
             df.withColumn("__cap_rn", F.lit(1)), ["src"], cap=1,
             order_by=[F.col("score")], tie_key="doc_id",
         )
+
+
+def test_temperature_sample_reserved_column_guard(spark):
+    from fund_data_pipeline_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="clash"):
+        temperature_sample(df.withColumn("__ts_lang", F.lit(1)), "doc_id", "lang")
+    with pytest.raises(ValueError, match="clash"):
+        temperature_sample(df.withColumn("rate", F.lit(1)), "doc_id", "lang", thr_col="rate")
