@@ -168,7 +168,12 @@ def temperature_sample(
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     strat = f"__ts_{stratum_col}"
-    clash = ({strat, "__ts_thr"} | ({thr_col} if thr_col else set())) & set(df.columns)
+    internal = {"__ts_n", "__ts_n_min", "__ts_thr"}
+    if strat in internal:  # stratum_col named 'n' / 'n_min' / 'thr'
+        raise ValueError(
+            f"stratum column {stratum_col!r} collides with an internal alias; rename it"
+        )
+    clash = ({strat} | internal | ({thr_col} if thr_col else set())) & set(df.columns)
     if clash:
         raise ValueError(f"input columns clash with internal/output names: {sorted(clash)}")
     # |strata|-sized; checkpointed so the min() and the threshold projection
@@ -247,10 +252,16 @@ def cap_per_stratum(
         raise ValueError(f"cap must be positive, got {cap}")
     if not stratum_cols:
         raise ValueError("stratum_cols must be non-empty")
-    clash = {"__cap_rn"} & set(df.columns)
+    renamed = [f"__cap_{c}" for c in stratum_cols]
+    internal = {"__cap_rn", "__cap_n"}
+    bad = [c for c, r in zip(stratum_cols, renamed) if r in internal]
+    if bad:  # a stratum column named 'rn' / 'n'
+        raise ValueError(
+            f"stratum columns collide with internal aliases: {bad}; rename them"
+        )
+    clash = (internal | set(renamed)) & set(df.columns)
     if clash:
         raise ValueError(f"input columns clash with internal names: {sorted(clash)}")
-    renamed = [f"__cap_{c}" for c in stratum_cols]
     over = (
         df.groupBy(*[F.col(c).alias(r) for c, r in zip(stratum_cols, renamed)])
         .agg(F.count(F.lit(1)).alias("__cap_n"))

@@ -1141,7 +1141,9 @@ def test_cap_per_stratum_matches_naive_window_and_keeps_null_strata(spark):
     from fund_data_pipeline_spark.operators.sampling import cap_per_stratum
 
     # strata sizes: a=10 (over), b=3 (under), NULL=6 (over); cap=4
-    rows = [("a", i, i % 5) for i in range(10)]
+    # every a-row ties on score so the tie-break DIRECTION decides the
+    # kept set: doc_id ASC must win (a desc regression keeps 6..9 instead)
+    rows = [("a", i, 9) for i in range(10)]
     rows += [("b", 100 + i, 9) for i in range(3)]
     rows += [(None, 200 + i, 7 - i) for i in range(6)]
     df = spark.createDataFrame(rows, "src string, doc_id long, score long")
@@ -1164,9 +1166,8 @@ def test_cap_per_stratum_matches_naive_window_and_keeps_null_strata(spark):
         by_src.setdefault(s, []).append(d)
     assert len(by_src[None]) == 4        # NULL stratum capped, not dropped
     assert len(by_src["b"]) == 3         # under-cap stratum passes through whole
-    assert len(by_src["a"]) == 4
-    # ties in score (a-stratum scores repeat) break by doc_id: lowest ids win
-    assert by_src["a"] == [4, 9, 3, 8] or sorted(by_src["a"]) == [3, 4, 8, 9]
+    # all-tied scores break by doc_id ASC: the four LOWEST ids survive
+    assert sorted(by_src["a"]) == [0, 1, 2, 3]
 
     with pytest.raises(ValueError, match="cap"):
         cap_per_stratum(df, ["src"], cap=0, order_by=[F.col("score")], tie_key="doc_id")
@@ -1175,6 +1176,18 @@ def test_cap_per_stratum_matches_naive_window_and_keeps_null_strata(spark):
     with pytest.raises(ValueError, match="clash"):
         cap_per_stratum(
             df.withColumn("__cap_rn", F.lit(1)), ["src"], cap=1,
+            order_by=[F.col("score")], tie_key="doc_id",
+        )
+    # internal-alias collisions raise the intended ValueError, not an
+    # analyzer AMBIGUOUS_REFERENCE (review r9)
+    with pytest.raises(ValueError, match="clash"):
+        cap_per_stratum(
+            df.withColumn("__cap_src", F.lit(1)), ["src"], cap=1,
+            order_by=[F.col("score")], tie_key="doc_id",
+        )
+    with pytest.raises(ValueError, match="internal aliases"):
+        cap_per_stratum(
+            df.withColumnRenamed("src", "n"), ["n"], cap=1,
             order_by=[F.col("score")], tie_key="doc_id",
         )
 
@@ -1187,3 +1200,9 @@ def test_temperature_sample_reserved_column_guard(spark):
         temperature_sample(df.withColumn("__ts_lang", F.lit(1)), "doc_id", "lang")
     with pytest.raises(ValueError, match="clash"):
         temperature_sample(df.withColumn("rate", F.lit(1)), "doc_id", "lang", thr_col="rate")
+    # a stratum column named 'n'/'n_min' would alias onto the internal
+    # count columns — intended ValueError, not AMBIGUOUS_REFERENCE (review r9)
+    with pytest.raises(ValueError, match="internal alias"):
+        temperature_sample(df.withColumnRenamed("lang", "n"), "doc_id", "n")
+    with pytest.raises(ValueError, match="clash"):
+        temperature_sample(df.withColumn("__ts_n", F.lit(1)), "doc_id", "lang")
