@@ -1356,3 +1356,100 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty_frac"),
         )
     )
+
+
+# Exact duplicated-SPAN dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): remove repeated fixed-length token windows
+# across the whole corpus, keeping only the globally-first occurrence. The
+# whole-doc dedup family (exact_dedup / minhash / simhash) misses boilerplate
+# that repeats INSIDE otherwise-distinct documents; span dedup catches it.
+_SPAN_W = 15  # tokens per span (stride == width: non-overlapping windows)
+
+
+@register(
+    "duplicated_span_dedup",
+    doc="Exact substring-level dedup over non-overlapping 15-token spans "
+    "(Lee et al. 2022 form): a span occurring at multiple (doc, offset) "
+    "positions keeps only its globally-first occurrence (min doc_id, then "
+    "min offset); every other copy is cut and the doc reassembled. Per doc: "
+    "span counts and the md5 of the cleaned text (NULL when every span was "
+    "a later copy — e.g. an exact-duplicate doc loses its whole body). "
+    "Scale: spans shuffle once on their md5 (map-side combinable groupBy "
+    "for the canonical key, AQE-skew-safe join back); never all-pairs.",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, g AS start_idx,
+         array_to_string(t[g : g + {_SPAN_W - 1}], ' ') AS span,
+         doc_id * 1000000 + g AS rank_key
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t), {_SPAN_W})) AS g)
+),
+canon AS (
+  SELECT md5(span) AS span_hash, MIN(rank_key) AS canon_key
+  FROM occ GROUP BY md5(span)
+),
+marked AS (
+  SELECT o.doc_id, o.start_idx, o.span, o.rank_key = c.canon_key AS keep
+  FROM occ o JOIN canon c ON md5(o.span) = c.span_hash
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+       md5(string_agg(span, ' ' ORDER BY start_idx) FILTER (WHERE keep)) AS cleaned_md5
+FROM marked GROUP BY doc_id
+""",
+)
+def duplicated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span removal.
+
+    Reference has only whole-row dedup (``02_history_hasher.py`` hash
+    guards); this is the training-corpus extension. The canonical
+    occurrence of a span is the minimum (doc_id, start_idx) encoded as
+    ``doc_id * 1e6 + start_idx`` (token offsets are < 1e6 by construction:
+    the fixtures' documents are KB-scale, and at 100 TB a pre-chunking pass
+    bounds doc length long before this operator). Occurrences join their
+    canonical key on md5(span) — 128-bit collisions are negligible and the
+    oracle uses the identical key, so semantics match bit-for-bit. The
+    groupBy side is map-side combinable (span-hash cardinality ~= distinct
+    spans); the join back re-shuffles occurrences on the same key, so a
+    pathologically hot span (corpus-wide boilerplate) is bounded by AQE's
+    skew-join split rather than a single straggler window partition —
+    deliberately groupBy+join, not min() OVER (PARTITION BY span)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    w = _SPAN_W
+    spans = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / w).cast("int")),
+        lambda i: F.struct(
+            (i * w + 1).cast("long").alias("start_idx"),
+            F.array_join(F.slice(toks, i * w + 1, w), " ").alias("span"),
+        ),
+    )
+    occ = (
+        docs.select("doc_id", F.explode(spans).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.start_idx").alias("start_idx"),
+            F.col("s.span").alias("span"),
+        )
+        .withColumn("rank_key", F.col("doc_id") * 1000000 + F.col("start_idx"))
+        .withColumn("span_hash", F.md5("span"))
+    )
+    canon = occ.groupBy("span_hash").agg(F.min("rank_key").alias("canon_key"))
+    marked = occ.join(canon, "span_hash").withColumn(
+        "keep", F.col("rank_key") == F.col("canon_key")
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("start_idx", "span")))
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        kept_sorted.alias("kept"),
+    )
+    cleaned = F.when(
+        F.size("kept") > 0,
+        F.md5(F.array_join(F.transform(F.col("kept"), lambda s: s["span"]), " ")),
+    )
+    return agg.select("doc_id", "n_spans", "n_removed", cleaned.alias("cleaned_md5"))

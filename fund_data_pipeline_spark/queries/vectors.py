@@ -818,3 +818,107 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("p", 1).alias("c0"),
         F.element_at("p", 2).alias("c1"),
     )
+
+
+@register(
+    "embedding_int8_quantization",
+    doc="Scalar int8 (0..255) quantization against per-dimension corpus "
+    "min/max, in exact micro-unit integer math: per-vector code range, an "
+    "index-weighted code checksum, and the max absolute reconstruction "
+    "error vs bin centers. The storage-compression step before ANN "
+    "shipping (4 bytes -> 1 byte per component).",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label, {_Q} AS qe FROM embeddings
+),
+dims AS (
+  SELECT i, MIN(qe[i]) AS mn, MAX(qe[i]) AS mx
+  FROM q, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i)
+  GROUP BY i
+),
+coded AS (
+  SELECT vec_id, label, i, qe[i] - mn AS a, mx - mn AS r,
+         CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor((qe[i] - mn) * 255 / (mx - mn)) AS BIGINT)
+         END AS code
+  FROM q, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i)
+  JOIN dims USING (i)
+)
+SELECT vec_id, label,
+       CAST(COUNT(*) AS BIGINT) AS n_dims,
+       MIN(code) AS code_min,
+       MAX(code) AS code_max,
+       CAST(SUM(code * i) AS BIGINT) AS code_checksum,
+       CAST(MAX(abs(a * 510 - (2 * code + 1) * r)) AS DOUBLE) / 510000000.0
+         AS recon_max_err
+FROM coded
+GROUP BY vec_id, label
+""",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus min/max scalar quantization, no driver-side state.
+
+    Per-dimension stats come from posexplode -> groupBy(pos) (64 groups,
+    map-side partial combine: the shuffle is 64 rows per task regardless of
+    corpus size), folded back into two ordered literal-free arrays on ONE
+    row and broadcast via a scalar cross join — the same bounded pattern as
+    the topk query vector. All arithmetic is micro-unit integer
+    (``round(x*1e6)`` longs, the module's standard canonicalization):
+    ``(qe-mn)*255`` <= ~5e9 is exactly representable in double, so the
+    ``floor(a/r)`` double division is bit-identical on both engines
+    (IEEE-correctly-rounded ops only — no libm). The reconstruction error
+    is kept scaled-integer (x510) until one final exact division.
+    Extension beyond the reference (no vector surface there); quantization
+    per Jegou et al. product-quantization preliminaries."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _quant("embedding").alias("qe")
+    )
+    stats = (
+        emb.select(F.posexplode("qe").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mn", "mx"))).alias("s"))
+        .select(
+            F.transform("s", lambda x: x["mn"]).alias("mins"),
+            F.transform("s", lambda x: x["mx"]).alias("maxs"),
+        )
+    )
+    with_stats = emb.crossJoin(F.broadcast(stats))
+    # cells: struct(a = qe-mn, r = mx-mn) per dimension, then codes/errors
+    cells = F.zip_with(
+        F.zip_with(F.col("qe"), F.col("mins"), lambda x, mn: x - mn),
+        F.zip_with(F.col("maxs"), F.col("mins"), lambda a, b: a - b),
+        lambda a, r: F.struct(a.alias("a"), r.alias("r")),
+    )
+    codes = F.transform(
+        F.col("cells"),
+        lambda c: F.when(c["r"] == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(c["a"] * 255 / c["r"])
+        ),
+    )
+    errs = F.zip_with(
+        F.col("cells"),
+        F.col("codes"),
+        lambda c, q: F.abs(c["a"] * 510 - (2 * q + 1) * c["r"]),
+    )
+    checksum = F.aggregate(
+        F.transform(F.col("codes"), lambda q, i: q * (i + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        with_stats.select("vec_id", "label", cells.alias("cells"))
+        .select("vec_id", "label", "cells", codes.alias("codes"))
+        .select(
+            "vec_id",
+            "label",
+            F.size("codes").cast("long").alias("n_dims"),
+            F.array_min("codes").alias("code_min"),
+            F.array_max("codes").alias("code_max"),
+            checksum.alias("code_checksum"),
+            (F.array_max(errs).cast("double") / F.lit(510000000.0)).alias(
+                "recon_max_err"
+            ),
+        )
+    )

@@ -252,6 +252,9 @@ _ONE_ROW_BNLJ_OK = {
     # r9: crossJoins the ONE-row min(stratum count) aggregate into the
     # |strata|-sized threshold relation before the broadcast equi-join
     "temperature_rebalance_mixture",
+    # r9: crossJoins the ONE-row per-dimension min/max stats arrays (64
+    # structs folded into a single row) back over the embedding scan — O(n)
+    "embedding_int8_quantization",
 }
 
 
