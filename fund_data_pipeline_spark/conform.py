@@ -42,6 +42,12 @@ DEFAULT_RENAMES = {
     "adj. close": "adj_close",
     "adj close": "adj_close",
     "div_yield": "dividend_yield",
+    # policy-file tier synonyms (03_detail_sync/00_static_data_cleaner.py:257-264)
+    "div_growth_1y": "dividend_growth_1y",
+    "div_growth_3y": "dividend_growth_3y",
+    "div_growth_5y": "dividend_growth_5y",
+    "div_growth_10y": "dividend_growth_10y",
+    "div_consecutive_years": "dividend_consecutive_years",
 }
 
 

@@ -36,17 +36,37 @@ def dedup_keyed(
     """
     if not order_by:
         raise ValueError("order_by must be non-empty for deterministic dedup")
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    if keep == "last":
-        cols = [c.desc() for c in cols]
-    elif keep != "first":
+    if keep not in ("first", "last"):
         raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*cols)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # internal-column clash guard, same contract as merge_upsert/diff_frames:
+    # silently overwriting a real __rn/__cnt column would filter user rows on
+    # the replacement and then drop the user's column without any error
+    clash = {"__rn", "__cnt"} & set(df.columns)
+    if clash:
+        raise ValueError(f"column names reserved by dedup_keyed: {sorted(clash)}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    pk = [F.col(k) for k in keys]
+    if keep == "last" and all(isinstance(c, str) for c in order_by):
+        # fast path (the merge engine's): reverse the ordering, take row 1
+        w = Window.partitionBy(*pk).orderBy(*[F.col(c).desc() for c in order_by])
+        pred = F.col("__rn") == 1
+        out = df.withColumn("__rn", F.row_number().over(w))
+    elif keep == "last":
+        # Column entries may already BE sort orders (F.col('x').desc());
+        # calling .desc() on one nests SortOrder(SortOrder(..)) and fails
+        # analysis. Keep the caller's ordering untouched and take the LAST
+        # row instead: rn == partition count. Same exchange + sort; the
+        # count runs as a second window pass over the sorted partition.
+        w = Window.partitionBy(*pk).orderBy(*cols)
+        out = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy(*pk))
+        )
+        pred = F.col("__rn") == F.col("__cnt")
+    else:
+        w = Window.partitionBy(*pk).orderBy(*cols)
+        pred = F.col("__rn") == 1
+        out = df.withColumn("__rn", F.row_number().over(w))
+    return out.filter(pred).drop("__rn", "__cnt")
 
 
 def dedup_any(df: DataFrame, keys: Sequence[str]) -> DataFrame:

@@ -20,9 +20,45 @@ RETENTION_DAYS = 60  # retention_cleaner.py:16
 _DT_DIR = re.compile(r"^dt=(\d{4}-\d{2}-\d{2})$")
 
 
+def _heal_dotted_backup(p: Path) -> None:
+    """Entry heal for the dot-prefixed in-hive-root swap (snapshot/compact):
+    a ``.{name}.__old__`` sibling with no live dir means the previous swap
+    crashed between its renames — the backup IS the table; restore it. A
+    backup alongside a live dir is a post-swap leftover; discard it."""
+    backup = p.with_name("." + p.name + ".__old__")
+    if backup.exists() and not p.exists():
+        backup.rename(p)
+    elif backup.exists():
+        shutil.rmtree(backup)
+
+
 def snapshot(df, root: str, dt: str) -> None:
-    """K6/K7: write an immutable dated snapshot partition."""
-    df.write.mode("overwrite").parquet(f"{root}/dt={dt}")
+    """K6/K7: write an immutable dated snapshot partition.
+
+    Staged-then-swap like every other destructive write (review r9: this
+    was the one naive overwrite left — Spark's overwrite deletes the
+    existing partition BEFORE the job commits, so a crashed re-run would
+    destroy the previous good snapshot and could leave an empty directory
+    that reads as a valid empty partition). Staging/backup siblings are
+    dot-prefixed because they live inside a hive root, where a visible
+    ``dt=...__snap__`` sibling would be parsed as a real partition; the
+    partition dir name goes through :func:`merge.hive_partition_dir` so an
+    escaped-charset ``dt`` lands where partition discovery will read it."""
+    from .merge import hive_partition_dir
+
+    p = Path(root) / hive_partition_dir("dt", dt)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    backup = p.with_name("." + p.name + ".__old__")
+    staging = p.with_name("." + p.name + ".__snap__")
+    _heal_dotted_backup(p)
+    if staging.exists():
+        shutil.rmtree(staging)
+    df.write.mode("overwrite").parquet(str(staging))
+    if p.exists():
+        p.rename(backup)
+    staging.rename(p)
+    if backup.exists():
+        shutil.rmtree(backup)
 
 
 def purge_expired_partitions(root: str, today: date | None = None, retention_days: int = RETENTION_DAYS) -> list[str]:
@@ -76,12 +112,7 @@ def compact_partition(
     # would be parsed by partition discovery as a real partition (corrupt
     # reads of in-flight staging data or of the crash leftover)
     backup = p.with_name("." + p.name + ".__old__")
-    if backup.exists() and not p.exists():
-        # a previous compaction crashed between the two renames: the backup
-        # IS the table. Restore it and carry on.
-        backup.rename(p)
-    elif backup.exists():
-        _shutil.rmtree(backup)  # stale leftover from a crash after the swap
+    _heal_dotted_backup(p)
     if not p.exists():
         raise FileNotFoundError(
             f"compact_partition target does not exist and no crash backup was "
@@ -94,9 +125,15 @@ def compact_partition(
             f"hive-partitioned root: {path} (compact each dt= child instead)"
         )
 
-    df = spark.read.parquet(path)
+    # mergeSchema: the one caller that DESTROYS its input must not sample a
+    # single footer — an append/streaming leaf legitimately accretes files
+    # of different widths (the exact case this compactor exists for), and a
+    # narrow-footer sample would silently drop the evolved column from the
+    # rewrite before the originals are rmtree'd (review r9; read_table
+    # auto-merges for the same reason, merge.py read path likewise)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     total = sum(f.stat().st_size for f in p.rglob("*.parquet"))
-    n = max(1, int(total / target_bytes_per_file) + (1 if total % target_bytes_per_file else 0))
+    n = max(1, -(-total // target_bytes_per_file))  # exact ceil-div (no float)
     staging = p.with_name("." + p.name + ".__compact__")
     if staging.exists():
         _shutil.rmtree(staging)

@@ -69,6 +69,14 @@ class MergeStats:
     updated: int
     unchanged: int
     deleted_by_retention: int = 0
+    #: Partition values this merge touched (partition-pruned merges only).
+    #: The merge already collects them for its isin prune, so callers that
+    #: need them next (rollup refresh, compaction targeting) read them here
+    #: instead of re-running the distinct+collect the merge just did. None
+    #: when the merge is unpartitioned OR the batch exceeded _ISIN_PRUNE_MAX
+    #: (the backfill path deliberately never collects an unbounded list —
+    #: recompute downstream if genuinely needed).
+    touched_partitions: list | None = None
 
 
 def _null_safe_ne(left: Column, right: Column) -> Column:
@@ -159,6 +167,19 @@ def merge_upsert(
     if not exists:
         stats = MergeStats(inserted=source.count() if collect_stats else -1, updated=0, unchanged=0)
         _write_table(source, path, layout, partition_col, history)
+        if partition_col is not None:
+            # same capped collect as the merge path below, so the create
+            # batch reports its touched partitions too (a streaming loader's
+            # FIRST micro-batch must not be the one case the field is absent)
+            created = [
+                r[0]
+                for r in source.select(partition_col)
+                .distinct()
+                .limit(_ISIN_PRUNE_MAX + 1)
+                .collect()
+            ]
+            if len(created) <= _ISIN_PRUNE_MAX:
+                stats.touched_partitions = created
         return stats
 
     if partition_col is not None:
@@ -213,8 +234,10 @@ def merge_upsert(
                 )
                 .withColumn(partition_col, F.col(partition_col).cast(src_dtype))
             )
+        touched_out = touched if len(touched) <= _ISIN_PRUNE_MAX else None
     else:
         target = read_table(spark, str(path))
+        touched_out = None
     out_cols = target.columns
     new_cols = [c for c in source.columns if c not in out_cols]
     if allow_new_columns:
@@ -292,7 +315,7 @@ def merge_upsert(
     )
     result = joined.select(*merged_cols, action.alias("__action"))
 
-    stats = MergeStats(-1, -1, -1)
+    stats = MergeStats(-1, -1, -1, touched_partitions=touched_out)
     if collect_stats:
         # persist across the stats pass AND the write: without it the
         # dominant full-outer shuffle runs twice per merge, and a
@@ -305,6 +328,7 @@ def merge_upsert(
                 inserted=counts.get("insert", 0),
                 updated=counts.get("update", 0),
                 unchanged=counts.get("unchanged", 0) + counts.get("keep", 0),
+                touched_partitions=touched_out,
             )
             _write_table(result.drop("__action"), path, layout, partition_col, history)
         finally:
@@ -521,25 +545,45 @@ def _write_table(
         _atomic_write(df, path)
 
 
-def _atomic_write(df: DataFrame, path: Path) -> None:
+def _atomic_write(df: DataFrame, path: Path, partition_by: str | None = None) -> None:
     """Write-temp-then-swap: the table directory is replaced via rename.
 
     POSIX fast path only — the two renames are not atomic as a unit and an
     object store copies on rename; use ``layout="manifest"`` there. A crash
-    between the renames is self-healed on the next call (backup restored)."""
+    between the renames is self-healed on the next call (backup restored).
+
+    ``partition_by`` writes the staging directory hive-partitioned (the
+    rollup full build) — ONE swap discipline for flat and partitioned full
+    rewrites, so crash-heal fixes can never apply to one and not the other."""
     staging = path.with_name(path.name + ".__staging__")
     backup = path.with_name(path.name + ".__old__")
-    if backup.exists() and not path.exists():
-        backup.rename(path)  # previous swap crashed mid-way: backup IS the table
-    elif backup.exists():
-        shutil.rmtree(backup)
+    heal_backup_swap(path)
     if staging.exists():
         shutil.rmtree(staging)
-    df.write.mode("overwrite").parquet(str(staging))
+    writer = df.write.mode("overwrite")
+    if partition_by is not None:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(str(staging))
     if path.exists():
         path.rename(backup)
     staging.rename(path)
     if backup.exists():
+        shutil.rmtree(backup)
+
+
+def heal_backup_swap(path: Path) -> None:
+    """Entry-point crash heal shared by every rename-swap writer AND by
+    readers/refreshers that touch a swap-managed table before writing: a
+    ``<name>.__old__`` sibling with no live ``<name>`` means the previous
+    swap crashed between its two renames — the backup IS the table, so
+    restore it; a backup alongside a live table is a stale leftover from a
+    crash after the swap and is discarded. Without this, an incremental
+    refresher (rollup) that mkdir-creates the missing live path would
+    resurrect a PARTIAL table while the intact backup sits ignored."""
+    backup = path.with_name(path.name + ".__old__")
+    if backup.exists() and not path.exists():
+        backup.rename(path)
+    elif backup.exists():
         shutil.rmtree(backup)
 
 

@@ -37,12 +37,47 @@ from ..schemas import (
     FUND_RISK_KEY,
 )
 
-#: percent-string columns rescaled to fractions (00_static_data_cleaner.py:104-107)
-PERCENT_SCALE_COLS = ("expense_ratio", "initial_charge", "exit_charge", "ongoing_charge")
-#: DECIMAL(5,2) metrics with the /100 overflow repair (00_static_data_cleaner.py:108-115)
-OVERFLOW_REPAIR_COLS = ("std_dev_3y", "returns_ytd", "returns_1y", "returns_3y", "returns_5y")
-#: metrics nulled outside |x|<1000 (bulk_import_from_hashed.py:193-216)
-OUTLIER_NULL_COLS = ("risk_rating", "morningstar_rating", *OVERFLOW_REPAIR_COLS)
+_TIERS = ("1y", "3y", "5y", "10y")
+_LIPPER = ("3y", "5y", "10y", "overall")
+#: percent-parsed AND /100-rescaled to fractions
+#: (00_static_data_cleaner.py:185, bulk_import_from_hashed.py:203-206)
+PERCENT_SCALE_COLS = ("expense_ratio", "initial_charge", "exit_charge")
+#: DECIMAL(5,2) metrics with the /100 magnitude-overflow repair when
+#: |x| > 999.99 (00_static_data_cleaner.py:111-117: standard_dev tiers on
+#: the risk file, total_return_ytd/1y on the policy file)
+OVERFLOW_REPAIR_COLS = (
+    *[f"standard_dev_{t}" for t in _TIERS],
+    "total_return_ytd",
+    "total_return_1y",
+)
+#: every risk metric except moving_avg_200, and every policy metric, is
+#: nulled outside |x| < 1000 (bulk_import_from_hashed.py:193-216)
+RISK_METRIC_COLS = (
+    *[f"sharpe_ratio_{t}" for t in _TIERS],
+    *[f"beta_{t}" for t in _TIERS],
+    *[f"alpha_{t}" for t in _TIERS],
+    *[f"standard_dev_{t}" for t in _TIERS],
+    *[f"r_squared_{t}" for t in _TIERS],
+    "rsi_daily",
+    "morningstar_rating",
+    *[f"lipper_total_return_{t}" for t in _LIPPER],
+    *[f"lipper_consistent_return_{t}" for t in _LIPPER],
+    *[f"lipper_preservation_{t}" for t in _LIPPER],
+    *[f"lipper_expense_{t}" for t in _LIPPER],
+)
+POLICY_METRIC_COLS = (
+    "dividend_yield",
+    *[f"dividend_growth_{t}" for t in _TIERS],
+    "dividend_consecutive_years",
+    "payout_ratio",
+    "total_return_ytd",
+    "total_return_1y",
+    "pe_ratio",
+)
+OUTLIER_NULL_COLS = tuple(dict.fromkeys((*RISK_METRIC_COLS, *POLICY_METRIC_COLS)))
+#: plain percent-parse, no rescale (fees file percent_cols minus the
+#: rescaled trio — 00_static_data_cleaner.py:178-184)
+PERCENT_PARSE_COLS = ("top_10_hold_pct", "holdings_turnover")
 
 
 def clean(df: DataFrame) -> DataFrame:
@@ -69,15 +104,22 @@ def clean(df: DataFrame) -> DataFrame:
             col = conform.map_values(
                 conform.lower_trim(conform.null_sentinels_to_null(c)), conform.SOURCE_MAP
             )
-        elif c == "aum":
+        elif c in ("assets_aum", "aum"):
+            # '842.33m USD' magnitude parse (bulk_import_from_hashed.py:155-176)
             col = parse.parse_magnitude(c)
-        elif c in PERCENT_SCALE_COLS or c == "dividend_yield":
+        elif c in PERCENT_SCALE_COLS:
             col = parse.percent_rescale(parse.parse_percent(c))
         elif c in OVERFLOW_REPAIR_COLS:
+            # /100 repair first (cleaner:111-117), then the |x|<1000 null
+            # (bulk:193-216) — a 150000 input becomes 1500, still nulled
             col = parse.outlier_to_null(parse.magnitude_overflow_repair(parse.parse_percent(c)))
-        elif c in ("risk_rating", "morningstar_rating"):
+        elif c in OUTLIER_NULL_COLS:
             col = parse.outlier_to_null(parse.parse_percent(c))
-        elif c in ("holdings_count", "total_shares", "min_initial_investment", "min_additional_investment"):
+        elif c in PERCENT_PARSE_COLS or c == "moving_avg_200":
+            # moving_avg_200 is the ONE risk metric exempt from the outlier
+            # null (bulk:214-216 — a 200-day MA legitimately exceeds 1000)
+            col = parse.parse_percent(c)
+        elif c in ("holdings_count", "shares_out"):
             col = parse.parse_thousands(c).cast("double")
         elif c in ("inception_date", "as_of_date"):
             col = parse.parse_date_coerce(c)

@@ -18,22 +18,27 @@ recomputes a touched partition from the base rows, never merges partial
 states. A partition whose base rows all disappeared is dropped from the
 rollup (its directory is removed), which plain keyed upsert cannot express.
 
-Daily flow: ``merge_upsert(base, batch, partition_col=dt)`` returns/knows
-the touched partition values; pass the same values to
+Daily flow: ``merge_upsert(base, batch, partition_col=dt)`` returns the
+touched partition values on ``MergeStats.touched_partitions`` (it collects
+them for its own isin prune anyway); pass exactly those to
 :func:`refresh_rollup`. Cost per day = one pruned scan of the touched base
 partitions, independent of table history length.
 """
 
 from __future__ import annotations
 
-import shutil
 from collections.abc import Mapping, Sequence
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .merge import swap_partitions_dropping_absent, touched_partition_filter
+from .merge import (
+    _atomic_write,
+    heal_backup_swap,
+    swap_partitions_dropping_absent,
+    touched_partition_filter,
+)
 
 
 def rollup_frame(
@@ -66,27 +71,17 @@ def build_rollup(
     delete-then-write would destroy the previous good rollup on a crash
     mid-build and could leave a partial table that READS as valid (a hive
     root silently missing an arbitrary subset of partitions). A crashed
-    build is self-healed on the next call (backup restored)."""
+    build is self-healed on the next call (backup restored) — the swap and
+    heal are ``merge._atomic_write``'s, not a local copy (review r9: the
+    duplicated dance had already drifted once)."""
     out = rollup_frame(base, partition_col, group_cols, measures)
-    path = Path(rollup_path)
-    staging = path.with_name(path.name + ".__staging__")
-    backup = path.with_name(path.name + ".__old__")
-    if backup.exists() and not path.exists():
-        backup.rename(path)  # previous swap crashed mid-way: backup IS the table
-    elif backup.exists():
-        shutil.rmtree(backup)
-    if staging.exists():
-        shutil.rmtree(staging)
     # one task per partition: rollup partitions are aggregate-sized (small),
     # so fan-out to tasks x partitions files would be pure scan overhead
-    out.repartition(F.col(partition_col)).write.partitionBy(partition_col).parquet(
-        str(staging)
+    _atomic_write(
+        out.repartition(F.col(partition_col)),
+        Path(rollup_path),
+        partition_by=partition_col,
     )
-    if path.exists():
-        path.rename(backup)
-    staging.rename(path)
-    if backup.exists():
-        shutil.rmtree(backup)
 
 
 def refresh_rollup(
@@ -110,6 +105,14 @@ def refresh_rollup(
     touched = list(touched)
     if not touched:
         return
+    # crash heal FIRST (review r9): if the last full build died between its
+    # two renames, only `<rollup>.__old__` (the intact previous table)
+    # exists — the partition swap below would otherwise mkdir a fresh empty
+    # root and swap in only this batch's partitions, a rollup that READS as
+    # valid but silently misses every other partition, while the next build
+    # rmtree's the ignored backup. Restore-or-discard exactly like the
+    # write paths do on entry.
+    heal_backup_swap(Path(rollup_path))
     # hive layouts read the partition column back as STRING (this engine
     # pins partitionColumnTypeInference off), while callers often hold the
     # source-side values (e.g. DATEs). Coerce the literals to the column's

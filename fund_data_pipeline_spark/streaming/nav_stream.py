@@ -127,7 +127,7 @@ def start_nav_stream(
             batch = daily_nav.prepare_load(valid)
             if batch.isEmpty():
                 return
-            merge_upsert(
+            stats = merge_upsert(
                 spark,
                 target_path,
                 batch,
@@ -137,8 +137,13 @@ def start_nav_stream(
             )
             if rollup_path is None:
                 return
-            # bounded collect: the distinct dates of one micro-batch
-            touched = [r[0] for r in batch.select("as_of_date").distinct().collect()]
+            # the merge already collected the batch's distinct dates for its
+            # partition prune and reports them on the stats (review r9: this
+            # used to re-run the same distinct+collect); the None fallback is
+            # a backfill batch beyond the merge's isin cap
+            touched = stats.touched_partitions
+            if touched is None:
+                touched = [r[0] for r in batch.select("as_of_date").distinct().collect()]
             measures = rollup_measures or {"n_quotes": F.count(F.lit(1))}
             refresh_rollup(
                 read_table(spark, target_path),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -402,3 +403,31 @@ def test_out_of_window_citations_match_correctness_records():
             if r not in green.get(q, set()):
                 bad.append((q, r, sorted(green.get(q, set()))))
     assert not bad, f"citations naming non-green rounds: {bad}"
+
+
+def test_dedup_keyed_rejects_reserved_columns(spark):
+    """An input already carrying __rn would be silently overwritten,
+    filtered on the replacement, and dropped (review r9) — refuse loudly,
+    same contract as merge_upsert/diff_frames."""
+    df = spark.createDataFrame([("A", 1, 2)], ["k", "__rn", "v"])
+    with pytest.raises(ValueError, match="reserved by dedup_keyed"):
+        dedup.dedup_keyed(df, ["k"], ["v"], keep="first")
+
+
+def test_dedup_keyed_keep_last_accepts_sort_order_columns(spark):
+    """keep='last' with a Column that is already a SortOrder
+    (F.col(...).desc()) used to nest SortOrder(SortOrder(..)) and fail
+    analysis (review r9); now the caller's ordering is honored and the
+    LAST row under it is kept."""
+    df = spark.createDataFrame(
+        [("A", "f1", 1.0), ("A", "f3", 3.0), ("A", "f2", 2.0), ("B", "f1", 9.0)],
+        ["k", "origin_file", "v"],
+    )
+    # descending order -> last row is the SMALLEST origin_file
+    out = dedup.dedup_keyed(df, ["k"], [F.col("origin_file").desc()], keep="last")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {"A": 1.0, "B": 9.0}
+    assert set(out.columns) == {"k", "origin_file", "v"}
+    # bare Column under keep='last' matches the string fast path
+    out2 = dedup.dedup_keyed(df, ["k"], [F.col("origin_file")], keep="last")
+    assert {r.k: r.v for r in out2.collect()} == {"A": 3.0, "B": 9.0}

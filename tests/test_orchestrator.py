@@ -23,8 +23,8 @@ def _write_landing(root):
     )
     (root / "fund_details").mkdir()
     (root / "fund_details" / "details.csv").write_text(
-        "Symbol,asset_type,source,Fund Name,aum,expense_ratio,initial_charge,"
-        "holdings_count,returns_1y,std_dev_3y,as_of_date\n"
+        "Symbol,asset_type,source,Fund Name,assets_aum,expense_ratio,initial_charge,"
+        "holdings_count,total_return_1y,standard_dev_3y,as_of_date\n"
         'vtsax,FUND,yf,Vanguard,842.33m USD,0.04%,45,"1,234",150.5,2550.0,2024-03-01\n'
     )
     (root / "holdings").mkdir()

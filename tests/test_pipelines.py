@@ -209,24 +209,29 @@ def test_static_details_parsers_and_four_tables(spark, tmp_path):
     raw = spark.createDataFrame(
         [
             ("vtsax", "FUND", "yf", "Vanguard", "842.33m USD", "0.04%", "45", "1,234",
-             "150.5", "2550.0", "2024-03-01"),
+             "150.5", "2550.0", "12,345", "2500.0", "9999", "2024-03-01"),
         ],
-        ["Symbol", "asset_type", "source", "Fund Name", "aum", "expense_ratio",
-         "initial_charge", "holdings_count", "returns_1y", "std_dev_3y", "as_of_date"],
+        ["Symbol", "asset_type", "source", "Fund Name", "assets_aum", "expense_ratio",
+         "initial_charge", "holdings_count", "total_return_1y", "standard_dev_3y",
+         "shares_out", "moving_avg_200", "sharpe_ratio_3y", "as_of_date"],
     )
     stats = static_details.run(spark, raw, str(tmp_path))
     assert set(stats) == {"stg_fund_info", "stg_fund_fees", "stg_fund_risk", "stg_fund_policy"}
     assert all(s.inserted == 1 for s in stats.values())
 
     info = spark.read.parquet(str(tmp_path / "stg_fund_info")).first()
-    assert float(info.aum) == pytest.approx(842_330_000.0)  # X6 magnitude
+    assert float(info.shares_out) == pytest.approx(12_345.0)  # X5 thousands
     fees = spark.read.parquet(str(tmp_path / "stg_fund_fees")).first()
+    assert float(fees.assets_aum) == pytest.approx(842_330_000.0)  # X6 magnitude
     assert float(fees.expense_ratio) == pytest.approx(0.04)  # X4, <=1 passthrough
     assert float(fees.initial_charge) == pytest.approx(0.45)  # X7 /100 rescale
     assert fees.holdings_count == 1234  # X5 thousands
     risk = spark.read.parquet(str(tmp_path / "stg_fund_risk")).first()
-    assert float(risk.returns_1y) == pytest.approx(150.5)  # under overflow limit
-    assert float(risk.std_dev_3y) == pytest.approx(25.50)  # X8 /100 repair
+    assert float(risk.standard_dev_3y) == pytest.approx(25.50)  # X8 /100 repair
+    assert float(risk.moving_avg_200) == pytest.approx(2500.0)  # exempt from outlier null
+    assert risk.sharpe_ratio_3y is None  # F9 |x|<1000 null
+    policy = spark.read.parquet(str(tmp_path / "stg_fund_policy")).first()
+    assert float(policy.total_return_1y) == pytest.approx(150.5)  # under overflow limit
 
     # re-run: all four merges elide (H6 + H8)
     stats2 = static_details.run(spark, raw, str(tmp_path))
@@ -689,3 +694,80 @@ def test_landing_scan_review_fixes(spark, tmp_path):
         union_conformed([])
     with pytest.raises(ValueError, match="keys must be non-empty"):
         resume_anti_join(df, df, keys=[])
+
+
+def test_compact_partition_merges_mixed_width_schemas(spark, tmp_path):
+    """The compactor destroys its input, so it must footer-merge (review
+    r9): an append leaf holding old narrow files and new wide ones would
+    otherwise lose the evolved column permanently if the sampled footer
+    was a narrow one."""
+    from fund_data_pipeline_spark import maintenance
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, extra double"
+    ).write.mode("append").parquet(path)
+
+    maintenance.compact_partition(spark, path)
+    out = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(out.columns) == {"id", "v", "extra"}
+    got = {r.id: r.extra for r in out.collect()}
+    assert got == {1: None, 2: 9.5}
+
+
+def test_snapshot_staged_swap_and_crash_heal(spark, tmp_path):
+    """snapshot() is staging-then-swap (review r9): a re-run overwrites
+    without ever deleting the live partition before the new data is fully
+    written, and a crash that left only the dotted backup is healed."""
+    from fund_data_pipeline_spark import maintenance
+
+    root = str(tmp_path / "snaps")
+    maintenance.snapshot(spark.range(5), root, "2024-03-01")
+    p = tmp_path / "snaps" / "dt=2024-03-01"
+    assert spark.read.parquet(str(p)).count() == 5
+
+    # re-run with new content: replaced, no residue
+    maintenance.snapshot(spark.range(7), root, "2024-03-01")
+    assert spark.read.parquet(str(p)).count() == 7
+    assert not list((tmp_path / "snaps").glob(".dt=*"))
+
+    # crash between the renames: only the dotted backup remains
+    p.rename(tmp_path / "snaps" / ".dt=2024-03-01.__old__")
+    maintenance.snapshot(spark.range(3), root, "2024-03-02")  # unrelated write heals nothing here
+    # the crashed partition is restored on ITS next write
+    maintenance.snapshot(spark.range(9), root, "2024-03-01")
+    assert spark.read.parquet(str(p)).count() == 9
+    assert not list((tmp_path / "snaps").glob(".dt=*"))
+    # escaped dt values land where partition discovery reads them
+    maintenance.snapshot(spark.range(2), root, "2024:03")
+    assert (tmp_path / "snaps" / "dt=2024%3A03").is_dir()
+
+
+def test_merge_stats_reports_touched_partitions(spark, tmp_path):
+    """Partition-pruned merges report the partition values they collected
+    for their own prune (review r9) — create path and merge path both, so
+    a rollup refresh never re-runs the distinct+collect."""
+    from pyspark.sql import functions as F
+
+    from fund_data_pipeline_spark.merge import merge_upsert
+
+    path = str(tmp_path / "t")
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "ticker string, dt string, value double")
+        return df.withColumn("row_hash", F.md5(F.concat_ws("|", "ticker", "dt")))
+
+    s1 = merge_upsert(
+        spark, path, batch([("A", "2024-01", 1.0), ("B", "2024-02", 2.0)]),
+        keys=["ticker", "dt"], partition_col="dt",
+    )
+    assert sorted(s1.touched_partitions) == ["2024-01", "2024-02"]
+    s2 = merge_upsert(
+        spark, path, batch([("C", "2024-02", 3.0)]),
+        keys=["ticker", "dt"], partition_col="dt", collect_stats=True,
+    )
+    assert s2.touched_partitions == ["2024-02"] and s2.inserted == 1
+    # unpartitioned merges don't collect partition values
+    s3 = merge_upsert(spark, str(tmp_path / "flat"), batch([("A", "x", 1.0)]), keys=["ticker"])
+    assert s3.touched_partitions is None

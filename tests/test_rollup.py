@@ -364,3 +364,38 @@ def test_delete_keys_wide_erasure_switches_to_semi_join_prune(spark, tmp_path, m
     left = spark.read.parquet(str(p))
     assert left.filter(F.col("user_id") == "u1").count() == 0
     assert left.count() == 12
+
+
+def test_refresh_heals_crashed_build_before_swapping(spark, tmp_path):
+    """A build that crashed between its two renames leaves only
+    ``<rollup>.__old__``. A refresh arriving next must restore that full
+    backup FIRST (review r9) — swapping into a freshly-mkdir'd root would
+    publish a rollup holding only the refreshed partition."""
+    base_path = tmp_path / "base"
+    rollup_path = tmp_path / "rollup"
+    base = _base_rows(spark).withColumn(
+        "row_hash", F.md5(F.concat_ws("|", "ticker", "dt", F.col("value").cast("string")))
+    )
+    merge_upsert(
+        spark, str(base_path), base, keys=["ticker", "dt", "value"], partition_col="dt"
+    )
+    base_df = spark.read.parquet(str(base_path))
+    build_rollup(
+        base_df, str(rollup_path), partition_col="dt", group_cols=["ticker"], measures=_measures()
+    )
+    # simulate the crash: live dir gone, intact backup left behind
+    rollup_path.rename(tmp_path / "rollup.__old__")
+
+    refresh_rollup(
+        base_df,
+        str(rollup_path),
+        partition_col="dt",
+        group_cols=["ticker"],
+        measures=_measures(),
+        touched=["2024-02"],
+    )
+    # full table back (all three months), not just the refreshed partition
+    expect = rollup_frame(base_df, "dt", ["ticker"], _measures())
+    got = read_rollup(spark, str(rollup_path)).select(*expect.columns)
+    assert _sorted(got) == _sorted(expect)
+    assert not (tmp_path / "rollup.__old__").exists()
