@@ -48,7 +48,15 @@ SF_DIRS = {
 #: linear in customers x avg-span by construction; minhash re-reads its
 #: localCheckpoint). Timed and reported per-query, NOT summed into the
 #: headline totals (those stay comparable round-over-round).
-EXTRA_QUERIES = ["calendar_gap_fill", "minhash_lsh_candidates"]
+EXTRA_QUERIES = [
+    "calendar_gap_fill",
+    "minhash_lsh_candidates",
+    # late-r9 additions with non-trivial shuffles: span dedup shuffles one
+    # row per 15-token window on md5(span); quantization posexplodes for
+    # the 64-group per-dim stats then rescans with the broadcast row
+    "duplicated_span_dedup",
+    "embedding_int8_quantization",
+]
 
 
 def _gap_fill_locf_capped(spark, sf_dir):
