@@ -1161,21 +1161,11 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TERMS = ("spark", "table", "join")  # fixture-vocabulary query
 
-
-@register(
-    "bm25_doc_search",
-    doc="Full-text top-10 search: BM25-shaped ranking of documents against "
-    f"a fixed {len(_BM25_TERMS)}-term query, with RATIONAL idf "
-    "(N - df + 1)/(df + 1) instead of the textbook log-idf (ln is not "
-    "bit-identical across engines; the rational form preserves the same "
-    "ordering monotonicity in df). Per-term tf comes from a map-side "
-    "array filter (no explode/shuffle over the corpus); the three global "
-    "stats (N, total_dl, df per term) are one aggregate row broadcast "
-    "back. Per-term scores add in FIXED column order so the float sum is "
-    "engine-identical. At 100 TB: one scan + one 1-row broadcast — the "
-    "inverted-index-free scoring pass you run before building an index.",
-    oracle=f"""
-WITH d AS (
+#: Shared oracle fragment (the CTE bodies after ``WITH``): the full-corpus
+#: BM25 relation ``scored(doc_id, dl, score)``. bm25_doc_search tops it
+#: directly; vectors.hybrid_bm25_cosine_rerank builds its lexical candidate
+#: stage from the SAME text so the two oracles can never drift.
+_BM25_SCORED_SQL = f"""d AS (
   SELECT doc_id, len(string_split(text, ' ')) AS dl,
          {", ".join(f"len(list_filter(string_split(text, ' '), t -> t = '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
   FROM documents
@@ -1192,15 +1182,19 @@ WITH d AS (
         for i in range(len(_BM25_TERMS))
     )} AS score
   FROM d CROSS JOIN g
-)
-SELECT doc_id, dl, score FROM scored
-ORDER BY score DESC, doc_id
-LIMIT 10
-""",
-)
-def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+)"""
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus BM25 relation ``(doc_id, dl, score)`` — the shared
+    lexical stage behind :func:`bm25_doc_search` (top-10 directly) and the
+    hybrid re-ranker in ``queries.vectors`` (top-20 candidate feed). One
+    definition so the score expression — including its cross-engine float
+    contract (fixed-order term sum, rational idf) — cannot drift between
+    the two consumers."""
     docs = table(spark, sf_dir, "documents")
     toks = _tokens()
+
     def tf_expr(term: str):
         # single-arg closure: filter() inspects lambda arity, so the term
         # must be captured by closure, not a default argument (a second
@@ -1241,9 +1235,31 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = term_score(0)
     for i in range(1, len(_BM25_TERMS)):
         score = score + term_score(i)
+    return d.crossJoin(F.broadcast(g)).select("doc_id", "dl", score.alias("score"))
+
+
+@register(
+    "bm25_doc_search",
+    doc="Full-text top-10 search: BM25-shaped ranking of documents against "
+    f"a fixed {len(_BM25_TERMS)}-term query, with RATIONAL idf "
+    "(N - df + 1)/(df + 1) instead of the textbook log-idf (ln is not "
+    "bit-identical across engines; the rational form preserves the same "
+    "ordering monotonicity in df). Per-term tf comes from a map-side "
+    "array filter (no explode/shuffle over the corpus); the three global "
+    "stats (N, total_dl, df per term) are one aggregate row broadcast "
+    "back. Per-term scores add in FIXED column order so the float sum is "
+    "engine-identical. At 100 TB: one scan + one 1-row broadcast — the "
+    "inverted-index-free scoring pass you run before building an index.",
+    oracle=f"""
+WITH {_BM25_SCORED_SQL}
+SELECT doc_id, dl, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 10
+""",
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        d.crossJoin(F.broadcast(g))
-        .select("doc_id", "dl", score.alias("score"))
+        bm25_scores(spark, sf_dir)
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(10)
     )

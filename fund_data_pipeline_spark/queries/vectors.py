@@ -17,6 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .registry import QUERIES, register, table
 
@@ -921,4 +922,139 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recon_max_err"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: lexical (BM25) candidate generation + vector re-ranking,
+# fused with reciprocal-rank fusion. The standard two-stage RAG retrieval
+# shape (sparse recall, dense precision) — Cormack et al. 2009 RRF.
+# --------------------------------------------------------------------------
+_RRF_K = 60  # the canonical RRF damping constant
+_HYBRID_CAND = 20  # lexical candidates fed to the dense re-ranker
+
+
+def _hybrid_oracle() -> str:
+    from .text import _BM25_SCORED_SQL
+
+    return f"""
+WITH {_BM25_SCORED_SQL},
+cand AS (
+  SELECT doc_id, score, lex_rank FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+    FROM scored
+  ) WHERE lex_rank <= {_HYBRID_CAND}
+), emb AS (
+  SELECT vec_id, {_Q} AS qe FROM embeddings
+), qv AS (
+  SELECT qe AS q, list_sum(list_transform(qe, x -> x * x)) AS qnorm
+  FROM emb WHERE vec_id = {_QUERY_VEC_ID}
+), cosed AS (
+  SELECT c.doc_id, c.score, c.lex_rank,
+         CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> qv.q[i] * e.qe[i])) AS DOUBLE)
+           / (sqrt(CAST(qv.qnorm AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(e.qe, x -> x * x)) AS DOUBLE))) AS cosine
+  FROM cand c LEFT JOIN emb e ON e.vec_id = c.doc_id CROSS JOIN qv
+), ranked AS (
+  SELECT doc_id, score, lex_rank, cosine,
+         row_number() OVER (ORDER BY cosine DESC NULLS LAST, doc_id) AS cos_rank
+  FROM cosed
+)
+SELECT doc_id,
+       score AS bm25_score,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       cosine,
+       CAST(cos_rank AS BIGINT) AS cos_rank,
+       CAST(1 AS DOUBLE) / ({_RRF_K} + lex_rank)
+         + CAST(1 AS DOUBLE) / ({_RRF_K} + cos_rank) AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "hybrid_bm25_cosine_rerank",
+    doc="Two-stage hybrid retrieval: BM25 top-20 lexical candidates "
+    "(shared scorer with bm25_doc_search), re-ranked by exact-integer "
+    "quantized cosine against the fixed query vector, fused with "
+    "reciprocal-rank fusion 1/(60+r_lex) + 1/(60+r_cos). Candidates "
+    "missing an embedding (live branch at sf0.1: 5000 docs, 2000 "
+    "vectors) keep NULL cosine and rank last (explicit NULLS LAST both "
+    "engines), competing on lexical rank alone. At 100 TB: stage 1 is "
+    "one corpus scan + a 1-row stats broadcast into "
+    "TakeOrderedAndProject; stage 2 touches the embedding store once "
+    "via a broadcast semi-join on the 20 candidate ids (bucket-pruned "
+    "to a point lookup when the store is id-bucketed); every rank/RRF "
+    "op runs on <= 20 rows.",
+    oracle=_hybrid_oracle(),
+)
+def hybrid_bm25_cosine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-recall + dense-precision retrieval with RRF fusion.
+
+    Extension beyond the reference (no retrieval surface there; nearest
+    analog is the ticker lookup join in ``01_master_sync``). Cross-engine
+    float contract: BM25 doubles are bit-identical (rational idf,
+    fixed-order term sum — see ``text.bm25_scores``), cosine is one double
+    division over exact integer dot/norms (``_quant`` micro-units), and the
+    RRF score is two correctly-rounded divisions added in fixed order, so
+    ranks — row_number over bit-identical keys with doc_id tiebreaks — are
+    deterministic on both engines."""
+    from .text import bm25_scores
+
+    lex_w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    cand = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_HYBRID_CAND)
+        .select("doc_id", "score", F.row_number().over(lex_w).alias("lex_rank"))
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant("embedding").alias("qe2")
+    )
+    q = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("qe2").alias("q"))
+        .select("q", _dot(F.col("q"), F.col("q")).alias("qnorm"))
+    )
+    # fetch ONLY the candidate embeddings: semi-join against the broadcast
+    # 20-id set, so the embedding store is scanned exactly once and the
+    # result (<= 20 rows) is pinned before feeding two consumers below
+    fetched = emb.join(
+        F.broadcast(cand.select("doc_id")),
+        emb["vec_id"] == F.col("doc_id"),
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    enorm = _dot(F.col("qe2"), F.col("qe2"))
+    cosine = _dot(F.col("q"), F.col("qe2")).cast("double") / (
+        F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(enorm.cast("double"))
+    )
+    scored = (
+        cand.join(F.broadcast(fetched), cand["doc_id"] == fetched["vec_id"], "left")
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", "score", "lex_rank", cosine.alias("cosine"))
+    )
+    cos_w = Window.orderBy(F.col("cosine").desc_nulls_last(), F.col("doc_id"))
+    rrf = (F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank"))) + (
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("cos_rank"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "score",
+            "lex_rank",
+            "cosine",
+            F.row_number().over(cos_w).alias("cos_rank"),
+        )
+        .select(
+            "doc_id",
+            F.col("score").alias("bm25_score"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            "cosine",
+            F.col("cos_rank").cast("long").alias("cos_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(10)
     )

@@ -125,3 +125,39 @@ def test_null_text_and_irregular_whitespace_parity(spark, sf_dir, tmp_path):
             assert not problems, f"{name}: " + "; ".join(problems)
     finally:
         con.close()
+
+
+def test_hybrid_rerank_missing_embedding_parity(spark, sf_dir, tmp_path):
+    """The sf0.001 fixture embeds every doc, so the standard gate never
+    exercises the hybrid re-ranker's missing-embedding branch (live at
+    sf0.1: 5000 docs vs 2000 vectors). Shrink embedding coverage to
+    vec_id < 100 and require (a) cross-engine parity on the full output,
+    (b) that NULL-cosine candidates actually reach the fused top-10, and
+    (c) that they rank strictly after every embedded candidate."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from fund_data_pipeline_spark.oracle import TABLES
+
+    custom = tmp_path / "sfh"
+    custom.mkdir()
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{sf_dir}/{t}.parquet", custom / f"{t}.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < 100) "
+        f"TO '{custom}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    con = duckdb_connect(str(custom))
+    try:
+        spec = Q.QUERIES["hybrid_bm25_cosine_rerank"]
+        problems, _ = compare_query(spark, con, spec, str(custom))
+        assert not problems, "; ".join(problems)
+        pdf = spec.spark(spark, str(custom)).toPandas()
+        assert pdf["cosine"].isna().any(), "NULL branch never fired"
+        nulls = pdf.sort_values("cos_rank")["cosine"].isna().to_numpy().astype(int)
+        assert (np.diff(nulls) >= 0).all(), "a NULL cosine outranked a real one"
+    finally:
+        con.close()

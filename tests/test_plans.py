@@ -255,6 +255,10 @@ _ONE_ROW_BNLJ_OK = {
     # r9: crossJoins the ONE-row per-dimension min/max stats arrays (64
     # structs folded into a single row) back over the embedding scan — O(n)
     "embedding_int8_quantization",
+    # r9: two one-row broadcasts — the BM25 global-stats row over the doc
+    # scan (same as bm25_doc_search) and the query-vector row over the
+    # <= 20-row candidate relation
+    "hybrid_bm25_cosine_rerank",
 }
 
 
