@@ -72,6 +72,78 @@ def chunk_by_tokens(
     )
 
 
+def chunk_content_defined(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: boundaries picked by token content, not
+    position (the rsync/Gear/CDC family, at token granularity).
+
+    A chunk ends after any token whose md5 bucket satisfies
+    ``bucket % divisor == 0`` (expected chunk length = ``divisor``
+    tokens), plus the document end. Because a boundary depends only on
+    the token itself, an insertion near the top of a document shifts the
+    ONE chunk it lands in — every later chunk keeps its exact text and
+    hash, which is what makes CDC chunks dedup-stable across document
+    revisions (fixed-width windows re-align everything downstream of an
+    edit; compare :func:`chunk_by_tokens`).
+
+    Output matches :func:`chunk_by_tokens`: ``*id_cols, chunk_idx,
+    n_tokens, chunk_text``; empty/whitespace-only docs produce no rows.
+
+    Scale (100 TB): map-side only — the boundary flags, span assembly and
+    slicing are linear array kernels per document (no per-index
+    ``element_at`` lookups, no window, no shuffle); output inherits the
+    input partitioning exactly like the fixed-width chunker. Production
+    CDC adds min/max span bounds; this form keeps the pure hash rule the
+    oracle can replay.
+    """
+    if divisor <= 1:
+        raise ValueError("divisor must be > 1 (expected chunk length)")
+    ids = list(id_cols)
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        *ids, tokens.alias("__tokens")
+    )
+    n = F.size("__tokens")
+    # one linear pass marks every token's (1-based pos, is-boundary) —
+    # NOT sequence+element_at, which is per-access bounds-checked
+    marked = F.transform(
+        F.col("__tokens"),
+        lambda t, i: F.struct(
+            (i + 1).alias("pos"),
+            (
+                (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % divisor)
+                == 0
+            ).alias("b"),
+        ),
+    )
+    # interior boundary positions (a boundary on the last token is the
+    # document end anyway; keeping it would emit an empty phantom span)
+    bpos = F.transform(
+        F.filter(marked, lambda s: s["b"] & (s["pos"] < n)), lambda s: s["pos"]
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(bpos, F.array(n))
+    spans = F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+    rows = base.select(
+        *ids, "__tokens", F.posexplode(spans).alias("chunk_idx", "__span")
+    )
+    chunk = F.slice(
+        F.col("__tokens"),
+        F.col("__span.s"),
+        F.col("__span.e") - F.col("__span.s") + 1,
+    )
+    return rows.select(
+        *ids,
+        "chunk_idx",
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def scrub_boilerplate_segments(
     df: DataFrame,
     text_col: str = "text",

@@ -710,6 +710,64 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "content_defined_chunking",
+    doc="Content-defined chunking (rsync/Gear family at token granularity): "
+    "a chunk ends after any token whose md5 bucket % 16 == 0, so an edit "
+    "shifts only the chunk it lands in and every later chunk keeps its "
+    "exact hash — the dedup-stable alternative to fixed-width windows "
+    "(doc_chunking re-aligns everything after an insertion). Map-side "
+    "only: boundary flags, span assembly and slicing are linear array "
+    "kernels; no shuffle, no window, no per-index element_at.",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+), m AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_filter(range(1, len(toks)),
+           i -> CAST(concat('0x', substr(md5(toks[i]), 1, 8)) AS BIGINT) % 16 = 0
+         ) AS bpos
+  FROM t
+), sp AS (
+  SELECT doc_id, toks,
+         list_prepend(CAST(1 AS BIGINT), list_transform(bpos, i -> i + 1)) AS starts,
+         list_append(bpos, n) AS ends
+  FROM m
+), e AS (
+  SELECT doc_id, toks, starts, ends, unnest(range(1, len(starts) + 1)) AS k
+  FROM sp
+)
+SELECT doc_id,
+       CAST(k - 1 AS BIGINT) AS chunk_idx,
+       CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, starts[k], ends[k]), ' ')) AS chunk_hash
+FROM e
+""",
+)
+def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC chunk rows over ``documents`` (operators.chunking.
+    chunk_content_defined, divisor 16 ~= 16-token expected chunks).
+
+    Extension beyond the reference (its ingestion is row-shaped CSV; no
+    document chunking surface). The md5-bucket boundary rule is the
+    package's standard cross-engine hash idiom (same as the samplers), so
+    chunk membership — and therefore every chunk hash — is bit-identical
+    on both engines; the oracle replays spans via interior boundary
+    positions exactly as the operator assembles them."""
+    from ..operators.chunking import chunk_content_defined
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_content_defined(docs, divisor=16)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
 #: shared chunking CTE for the packing oracle (identical token windows to
 #: doc_chunking, with source carried through for the pack grouping)
 _CHUNK_CTE = r"""

@@ -433,6 +433,63 @@ def test_chunk_by_tokens_overlap_and_boundaries(spark):
         chunk_by_tokens(docs, chunk_size=4, stride=5)
 
 
+def test_chunk_content_defined_model_and_edit_stability(spark):
+    """CDC chunking vs an exact Python model (same md5-bucket boundary
+    rule), plus the property that justifies CDC over fixed windows: a
+    prefix edit changes only chunks up to the first shared boundary —
+    every later chunk hash is identical between the two revisions."""
+    import hashlib
+
+    from fund_data_pipeline_spark.operators.chunking import chunk_content_defined
+
+    def is_boundary(tok: str, divisor: int = 16) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % divisor == 0
+
+    def model(tokens: list[str], divisor: int = 16) -> list[str]:
+        chunks, cur = [], []
+        for i, t in enumerate(tokens):
+            cur.append(t)
+            if i < len(tokens) - 1 and is_boundary(t, divisor):
+                chunks.append(" ".join(cur))
+                cur = []
+        chunks.append(" ".join(cur))
+        return chunks
+
+    base = [f"w{i * 37 % 211}" for i in range(300)]
+    edited = ["INS0", "INS1"] + base  # prefix insertion
+    docs = spark.createDataFrame(
+        # doc 4 is SPACE-whitespace-only: dropped (trim() strips spaces;
+        # tab/newline-only docs pass the filter identically on both
+        # engines — pinned by the catalog parity gate, same contract as
+        # chunk_by_tokens)
+        [(1, " ".join(base)), (2, " ".join(edited)), (3, "solo"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_content_defined(docs, divisor=16)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    # exact model parity, in order, for both revisions
+    for doc_id, toks in ((1, base), (2, edited)):
+        want = model(toks)
+        texts = [got[doc_id][i].chunk_text for i in range(len(got[doc_id]))]
+        assert texts == want, f"doc {doc_id} diverged from the model"
+        assert all(
+            got[doc_id][i].n_tokens == len(w.split(" ")) for i, w in enumerate(want)
+        )
+    # single-token doc -> one chunk even if that token is a boundary
+    assert len(got[3]) == 1 and got[3][0].chunk_text == "solo"
+    # whitespace-only doc dropped
+    assert 4 not in got
+    # edit stability: all chunks after the first boundary are shared
+    c1 = [got[1][i].chunk_text for i in range(len(got[1]))]
+    c2 = [got[2][i].chunk_text for i in range(len(got[2]))]
+    assert len(c1) > 3, "fixture produced too few chunks to be meaningful"
+    assert c1[1:] == c2[len(c2) - len(c1) + 1 :], (
+        "a prefix edit must not re-align downstream chunk boundaries"
+    )
+
+
 def test_mixture_sample_rates_and_determinism(spark):
     from fund_data_pipeline_spark.operators.sampling import mixture_sample
 
