@@ -903,6 +903,75 @@ def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_pair_stats",
+    doc="BPE tokenizer-training statistic: corpus frequency of every "
+    "adjacent character pair, weighted by word frequency — the count that "
+    "selects each merge in byte-pair-encoding training (Sennrich et al. "
+    "2016). The ONLY corpus-sized shuffle is the word-frequency groupBy "
+    "(map-side combinable, vocabulary-sized output); pair explosion and "
+    "the pair aggregate run on the vocabulary relation, so 100x corpus "
+    "growth with a stable vocabulary adds zero pair-stage work. Top-50 "
+    "pairs by (count DESC, pair) via TakeOrderedAndProject.",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+  WHERE length(trim(text)) > 0
+), wf AS (
+  SELECT w, COUNT(*) AS freq FROM tok GROUP BY w
+), p AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+  FROM wf, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+  WHERE length(w) > 1
+)
+SELECT pair,
+       CAST(SUM(freq) AS BIGINT) AS pair_count,
+       CAST(COUNT(*) AS BIGINT) AS n_word_positions
+FROM p
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 50
+""",
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair counts for one BPE merge-selection step.
+
+    Extension beyond the reference (no tokenizer surface there). Every
+    adjacent position counts once per word occurrence ('aaa' contributes
+    two 'aa' positions per occurrence), exactly the textbook merge
+    statistic. Pairs come from per-position ``substr(w, i, 2)`` — shared
+    codepoint semantics on both engines — rather than a char-split, and
+    the inner sequence is guarded with ``when(length > 1, ...)`` because
+    ``sequence(1, 0)`` descends instead of returning empty (the same trap
+    the span-dedup kernel documents). All counts exact integers; the
+    HUGEINT SUM is cast BIGINT per the r5 oracle lesson."""
+    docs = table(spark, sf_dir, "documents")
+    # trim + \s+ split, matching token_vocabulary (plain-space _tokens()
+    # would admit empty-string tokens on irregular whitespace)
+    tok = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    wf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    n = F.length("w")
+    pairs = F.when(
+        n > 1,
+        F.transform(
+            F.sequence(F.lit(1), n - 1), lambda i: F.col("w").substr(i, F.lit(2))
+        ),
+    )  # otherwise NULL: explode drops single-char words, like the oracle's WHERE
+    return (
+        wf.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(
+            F.sum("freq").cast("long").alias("pair_count"),
+            F.count(F.lit(1)).alias("n_word_positions"),
+        )
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(50)
+    )
+
+
+@register(
     "boilerplate_scrub",
     doc="Corpus-level boilerplate removal (operators.chunking."
     "scrub_boilerplate_segments): token segments appearing in more than 5 "
