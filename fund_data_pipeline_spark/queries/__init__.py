@@ -120,6 +120,7 @@ _OUT_OF_WINDOW_WHY = {
     "embedding_int8_quantization": "new r9, local-oracle verified; vector-compression family — per-dim corpus stats + zip_with integer kernels in-window via embedding_topk_cosine (headline) + embedding_lsh_buckets",
     "hybrid_bm25_cosine_rerank": "new r9, local-oracle verified; hybrid-retrieval (RRF) composition — both stage kernels in-window via embedding_topk_cosine (headline) + text_statistics (headline); shares the bm25_doc_search scorer",
     "content_defined_chunking": "new r9, local-oracle verified; chunking family — fixed-width sibling doc_chunking in-window, same scan+explode plan with a hash boundary rule (samplers' md5 idiom, in-window via stratified_hash_sample)",
+    "bpe_pair_stats": "new r9, local-oracle verified; tokenizer-stat family — explode+grouped-count kernels in-window via token_vocabulary + text_statistics (headline)",
     # ---- rotated out in round 9: latest driver row is r8 (fresh) ----
     "winsorized_price_stats": "driver-green r8; robust-stats family in-window via daily_order_anomaly + price_quantity_stats",
     "changelog_compact": "driver-green r8; SCD2/CDC family in-window via scd2_priority_history + latest_order_per_customer",
