@@ -28,15 +28,16 @@ from . import mlops  # noqa: E402,F401
 #:
 #: Window policy (round-2 VERDICT rule): any query that has EVER failed a
 #: driver check stays in the window until it has a green driver row.
-#: Round-9 rotation (per the round-8 VERDICT item 1): CORRECTNESS_r08 was
-#: 50/50 green, so no unpaid failure holds a slot. In: the 3 late-r8
-#: queries that have never been driver-checked (row_hash_surfaces,
-#: string_compose_format, union_mixed_schemas), all 26 queries whose
-#: latest driver row is r6, and 13 of the 23 single-green-r7 queries
-#: (streaming family + the heaviest/least-represented kernels first,
-#: including price_quantity_stats and incremental_rollup_revenue whose
-#: kernels changed in r8). The 8 headline (benched) queries stay, per
-#: standing policy. After this round, no catalog query's most recent
+#: Round-10 rotation (per the round-9 VERDICT item 3): round 9's driver
+#: gate never ran (import crash), so CORRECTNESS_r09 is empty and the r9
+#: window produced no evidence. In: the 14 never-driver-checked queries —
+#: the 3 late-r8 additions (row_hash_surfaces, string_compose_format,
+#: union_mixed_schemas, two rounds waiting) and all 11 r9 additions —
+#: plus the 26 queries whose latest driver row is r6 (they sat in the r9
+#: window that never ran) and the 2 single-green-r7 queries whose kernels
+#: changed in r8 (price_quantity_stats, incremental_rollup_revenue). The
+#: 8 headline (benched) queries stay, per standing policy. After this
+#: round, no catalog query is driver-unchecked and none's most recent
 #: driver row is older than r7. Every excluded query is listed in
 #: _OUT_OF_WINDOW_WHY below with the CORRECTNESS round(s) that checked it
 #: green, still registered, and still gated by scripts/verify_local.py +
@@ -56,6 +57,18 @@ _CHECKED_FIRST = [
     "row_hash_surfaces",
     "string_compose_format",
     "union_mixed_schemas",
+    # ---- round-9 additions: never driver-checked, all 11 enter ----
+    "bm25_doc_search",
+    "unigram_likelihood_quality",
+    "ngram_novelty",
+    "corpus_mix_drift",
+    "temperature_rebalance_mixture",
+    "source_frequency_cap",
+    "duplicated_span_dedup",
+    "embedding_int8_quantization",
+    "hybrid_bm25_cosine_rerank",
+    "content_defined_chunking",
+    "bpe_pair_stats",
     # ---- latest driver row is r6 (all 26 enter) ----
     "active_customers_semi",
     "conform_master_list",
@@ -83,20 +96,9 @@ _CHECKED_FIRST = [
     "streaming_dedup_users",
     "streaming_session_counts",
     "top_orders_per_customer",
-    # ---- single-green r7 (13 of 23; streams + changed kernels first) ----
-    "streaming_click_purchase_join",
-    "streaming_enriched_purchases",
-    "token_vocabulary",
-    "boilerplate_scrub",
-    "semantic_dedup_cells",
-    "incremental_near_dup",
-    "record_linkage_fuzzy",
-    "hierarchy_flatten",
-    "scd2_priority_history",
-    "rolling_30d_revenue",
+    # ---- single-green r7, kernels changed in r8, never re-checked ----
     "price_quantity_stats",
     "incremental_rollup_revenue",
-    "daily_order_anomaly",
 ]
 
 
@@ -105,41 +107,41 @@ _CHECKED_FIRST = [
 #: exclusion is a hard error at import, so a failing query cannot be quietly
 #: parked past position 50). "driver-green rN" cites the CORRECTNESS round
 #: that checked the query itself; "family in-window via X" names its
-#: representative in the CURRENT (r9) window.
+#: representative in the CURRENT (r10) window.
 _OUT_OF_WINDOW_WHY = {
-    # ---- new in round 9 (post-rotation): never driver-checked; verified
-    # by scripts/verify_local.py at sf0.001/0.01/0.1 and gated every round
-    # by tests/test_catalog_oracle.py; first window slots in r10 ----
-    "bm25_doc_search": "new r9, local-oracle verified; retrieval scoring family — term-stat kernels in-window via token_vocabulary + text_statistics (headline)",
-    "unigram_likelihood_quality": "new r9, local-oracle verified; LM-quality family in-window via quality_score-adjacent doc_fingerprint + text_statistics (headline)",
-    "ngram_novelty": "new r9, local-oracle verified; shingle-index family in-window via incremental_near_dup + token_vocabulary",
-    "corpus_mix_drift": "new r9, local-oracle verified; mixture-monitor family — grouped-share kernels in-window via group_count_breakdown + text_statistics (headline)",
-    "temperature_rebalance_mixture": "new r9, local-oracle verified; mixture-sampling family — md5-bucket membership in-window via stratified_hash_sample (same kernel, fixed-rate form)",
-    "source_frequency_cap": "new r9, local-oracle verified; keyed top-N family — rank-and-filter kernel in-window via top_orders_per_customer + dedup_keep_last",
-    "duplicated_span_dedup": "new r9, local-oracle verified; span-level (Lee et al.) extension of the dedup family — exact-dedup + shingle-index kernels in-window via exact_dedup (headline) + incremental_near_dup",
-    "embedding_int8_quantization": "new r9, local-oracle verified; vector-compression family — per-dim corpus stats + zip_with integer kernels in-window via embedding_topk_cosine (headline) + embedding_lsh_buckets",
-    "hybrid_bm25_cosine_rerank": "new r9, local-oracle verified; hybrid-retrieval (RRF) composition — both stage kernels in-window via embedding_topk_cosine (headline) + text_statistics (headline); shares the bm25_doc_search scorer",
-    "content_defined_chunking": "new r9, local-oracle verified; chunking family — fixed-width sibling doc_chunking in-window, same scan+explode plan with a hash boundary rule (samplers' md5 idiom, in-window via stratified_hash_sample)",
-    "bpe_pair_stats": "new r9, local-oracle verified; tokenizer-stat family — explode+grouped-count kernels in-window via token_vocabulary + text_statistics (headline)",
+    # ---- rotated out in round 10: single-green r7 (their r9 window
+    # slots produced no evidence — the r9 gate never ran); family
+    # representatives named are in the CURRENT (r10) window ----
+    "streaming_click_purchase_join": "driver-green r7; stream-stream join family in-window via streaming_session_counts + asof_last_click_before_purchase (headline)",
+    "streaming_enriched_purchases": "driver-green r7; stream-static join family in-window via streaming_dedup_users + streaming_session_counts + tumbling_window_stats (headline)",
+    "token_vocabulary": "driver-green r7; tokenize+vocab family in-window via bpe_pair_stats (same trim+\\s+ tokenize kernel) + bm25_doc_search (same doc-frequency kernel)",
+    "boilerplate_scrub": "driver-green r7; segment-scrub family in-window via content_defined_chunking (same scan+explode segment kernel) + exact_dedup (headline)",
+    "semantic_dedup_cells": "driver-green r7; cell-blocked vector near-dup family in-window via embedding_ivf_topk (same cell-assign kernel) + embedding_lsh_buckets",
+    "incremental_near_dup": "driver-green r7; minhash-band family in-window via ngram_novelty (shingle-index kernel) + duplicated_span_dedup (span-hash join kernel)",
+    "record_linkage_fuzzy": "driver-green r7; blocked fuzzy-match family in-window via ngram_novelty (shingle kernel) + duplicated_span_dedup (blocked-join kernel)",
+    "hierarchy_flatten": "driver-green r7; iterative-graph family — no in-window rep this rotation (the 14 never-checked queries take priority); gated by local oracle + tests/test_graph.py",
+    "scd2_priority_history": "driver-green r7; SCD2 family in-window via row_hash_change_detection + latest_order_per_customer",
+    "rolling_30d_revenue": "driver-green r7; range-frame window family in-window via running_revenue_by_supplier + locf_last_valid_value (keyed windows)",
+    "daily_order_anomaly": "driver-green r7; robust-stats family in-window via price_quantity_stats + ntile_quartiles",
     # ---- rotated out in round 9: latest driver row is r8 (fresh) ----
-    "winsorized_price_stats": "driver-green r8; robust-stats family in-window via daily_order_anomaly + price_quantity_stats",
-    "changelog_compact": "driver-green r8; SCD2/CDC family in-window via scd2_priority_history + latest_order_per_customer",
-    "calendar_gap_fill": "driver-green r8; LOCF/densify family in-window via locf_last_valid_value + rolling_30d_revenue",
+    "winsorized_price_stats": "driver-green r8; robust-stats family in-window via price_quantity_stats + ntile_quartiles",
+    "changelog_compact": "driver-green r8; SCD2/CDC family in-window via row_hash_change_detection + latest_order_per_customer",
+    "calendar_gap_fill": "driver-green r8; LOCF/densify family in-window via locf_last_valid_value + running_revenue_by_supplier",
     "fk_integrity_audit": "driver-green r8; semi/anti audit family in-window via customers_without_orders + active_customers_semi",
     "embedding_random_projection": "driver-green r8; projection family in-window via embedding_lsh_buckets (same plane kernel)",
     "dedup_keep_best_quality": "driver-green r8; keyed-dedup family in-window via dedup_keep_last + exact_dedup (headline)",
     "pii_redaction": "driver-green r8; regexp-chain family in-window via string_compose_format + conform_master_list",
-    "corpus_dedup_pipeline": "driver-green r8; dedup-pipeline stages in-window via exact_dedup + incremental_near_dup + semantic_dedup_cells",
+    "corpus_dedup_pipeline": "driver-green r8; dedup-pipeline stages in-window via exact_dedup (headline) + duplicated_span_dedup + embedding_ivf_topk (cell-pruned stage kernel)",
     "event_type_summary": "driver-green r2+r4+r8; grouped-agg family in-window via group_count_breakdown + pricing_summary (headline)",
     "json_props_extraction": "driver-green r1+r2+r3+r4+r8; expression family in-window via string_compose_format + date_parsing_and_arithmetic",
     "language_id_heuristic": "driver-green r1+r2+r3+r4+r8; text family in-window via text_statistics (headline) + doc_fingerprint",
     "doc_quality_profile": "driver-green r2+r3+r4+r8; text-quality family in-window via text_statistics (headline) + doc_fingerprint",
-    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8; minhash-band family in-window via incremental_near_dup (same signature/band kernel)",
-    "simhash_near_dup": "driver-green r2+r3+r4+r8; hamming near-dup family in-window via record_linkage_fuzzy + incremental_near_dup",
+    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8; minhash-band family in-window via ngram_novelty (shingle-index kernel) + exact_dedup (headline)",
+    "simhash_near_dup": "driver-green r2+r3+r4+r8; hamming near-dup family in-window via doc_fingerprint (hash-signature kernel) + ngram_novelty (shingle-index kernel)",
     "streaming_tumbling_counts": "driver-green r2+r4+r8; streaming family in-window via tumbling_window_stats (headline) + streaming_session_counts",
     "train_val_test_split": "driver-green r2+r3+r4+r8; md5-bucket split family in-window via stratified_hash_sample (same kernel)",
     "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8; ANN family in-window via embedding_lsh_buckets + embedding_ivf_topk",
-    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8; vector near-dup family in-window via embedding_lsh_buckets + semantic_dedup_cells",
+    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8; vector near-dup family in-window via embedding_lsh_buckets + embedding_ivf_topk",
     "cube_order_stats": "driver-green r2+r3+r4+r5+r8; multi-level agg family in-window via group_count_breakdown + pricing_summary (headline)",
     "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8; pivot family in-window via group_count_breakdown (same grouped-agg kernel)",
     "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8; reshape/stack family in-window via union_mixed_schemas (column-union kernel)",
@@ -149,21 +151,21 @@ _OUT_OF_WINDOW_WHY = {
     "streaming_stateful_user_stats": "driver-green r6+r8; stateful-streaming family in-window via streaming_dedup_users + streaming_session_counts",
     "pii_scrub_stats": "driver-green r6+r8; regexp-chain family in-window via string_compose_format + conform_master_list",
     "image_decode_features": "driver-green r6+r8; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
-    "doc_chunking": "driver-green r6+r8; chunking family in-window via boilerplate_scrub + token_vocabulary",
-    "sequence_packing": "driver-green r6+r8; packing family in-window via token_vocabulary + boilerplate_scrub",
-    "length_percentile_gate": "driver-green r6+r8; percentile-gate family in-window via ntile_quartiles + daily_order_anomaly",
+    "doc_chunking": "driver-green r6+r8; chunking family in-window via content_defined_chunking (same scan+explode chunk kernel)",
+    "sequence_packing": "driver-green r6+r8; packing family in-window via content_defined_chunking + text_statistics (headline)",
+    "length_percentile_gate": "driver-green r6+r8; percentile-gate family in-window via ntile_quartiles + text_statistics (headline)",
     "leakage_safe_split": "driver-green r6+r8; content-hash split family in-window via stratified_hash_sample (same md5-bucket kernel)",
     "language_rebalance_mixture": "driver-green r6+r8; mixture/split family in-window via stratified_hash_sample",
-    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8; connected-components family in-window via hierarchy_flatten (iterative graph)",
+    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8; connected-components family — no in-window iterative-graph rep this rotation (14 never-checked queries take priority); gated by local oracle + tests/test_graph.py",
     "repair_feed_merge": "driver-green r5+r6+r8; keyed-merge family in-window via hash_guarded_merge + incremental_rollup_revenue",
-    "order_price_percentiles": "driver-green r5+r6+r8; percentile family in-window via ntile_quartiles + daily_order_anomaly",
-    "conversion_funnel": "driver-green r5+r6+r8; funnel/session family in-window via streaming_session_counts + streaming_click_purchase_join",
+    "order_price_percentiles": "driver-green r5+r6+r8; percentile family in-window via ntile_quartiles + price_quantity_stats",
+    "conversion_funnel": "driver-green r5+r6+r8; funnel/session family in-window via streaming_session_counts + streaming_dedup_users",
     "table_profile": "driver-green r5+r6+r8; profiling family in-window via group_count_breakdown (distinct/null counting)",
     "dedup_keep_list": "driver-green r5+r6+r8; dedup-attribution family in-window via exact_dedup (headline) + dedup_keep_last",
-    "repetition_filter_stats": "driver-green r5+r6+r8; text-gate family in-window via text_statistics (headline) + token_vocabulary",
-    "benchmark_contamination": "driver-green r5+r6+r8; shingle-join family in-window via incremental_near_dup + token_vocabulary",
+    "repetition_filter_stats": "driver-green r5+r6+r8; text-gate family in-window via text_statistics (headline) + ngram_novelty",
+    "benchmark_contamination": "driver-green r5+r6+r8; shingle-join family in-window via ngram_novelty (same shingle-join kernel) + duplicated_span_dedup",
     "quality_score": "driver-green r5+r6+r8; text-quality family in-window via text_statistics (headline) + doc_fingerprint",
-    "token_count_regex": "driver-green r5+r6+r8; tokenize family in-window via token_vocabulary (same regex kernel)",
+    "token_count_regex": "driver-green r5+r6+r8; tokenize family in-window via bpe_pair_stats (same trim+\\s+ tokenize kernel)",
     # ---- latest driver row is r7, multi-round green ----
     "distinct_counts": "driver-green r1+r7; distinct-agg family in-window via group_count_breakdown",
     "rollup_revenue": "driver-green r1+r7; ROLLUP family in-window via incremental_rollup_revenue + group_count_breakdown",
@@ -172,28 +174,28 @@ _OUT_OF_WINDOW_WHY = {
     "churned_buyers_except": "driver-green r1+r7; EXCEPT family in-window via customers_without_orders (anti-join semantics)",
     "priority_orders_exists": "driver-green r1+r7; semi-join family in-window via active_customers_semi",
     "price_quartiles_by_segment": "driver-green r1+r7; ranking-window family in-window via ntile_quartiles + top_orders_per_customer",
-    "salted_join_revenue": "driver-green r1+r7; skew family — plan pinned by tests/test_plans.py; blocked/salted kernels in-window via semantic_dedup_cells + record_linkage_fuzzy",
+    "salted_join_revenue": "driver-green r1+r7; skew family — plan pinned by tests/test_plans.py; blocked/salted kernels in-window via duplicated_span_dedup (AQE-skew-safe join) + group_count_breakdown",
     "nation_pair_revenue": "driver-green r2+r7; multi-join agg family in-window via regional_supplier_volume (headline)",
     "promo_revenue_share": "driver-green r1+r2+r7; conditional-agg family in-window via pricing_summary (headline)",
     "top_supplier_revenue": "driver-green r1+r2+r7; top-k agg family in-window via top_unshipped_orders (headline)",
     "small_quantity_revenue": "driver-green r1+r2+r7; filtered-agg family in-window via pricing_summary (headline)",
     "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7; outer-join counting family in-window via customers_without_orders + group_count_breakdown",
-    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7; blocked shingle-join family in-window via incremental_near_dup + record_linkage_fuzzy",
-    "order_price_lead_lag": "driver-green r3+r4+r7; lead-lag window family in-window via rolling_30d_revenue + locf_last_valid_value (keyed windows)",
+    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7; blocked shingle-join family in-window via ngram_novelty (same shingle kernel) + duplicated_span_dedup",
+    "order_price_lead_lag": "driver-green r3+r4+r7; lead-lag window family in-window via locf_last_valid_value + running_revenue_by_supplier (keyed windows)",
     "sliding_window_stats": "driver-green r3+r4+r7; sliding-window family in-window via tumbling_window_stats (headline)",
     "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7; conform family in-window via conform_master_list + string_compose_format",
     "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7; keyed-dedup family in-window via exact_dedup (headline) + dedup_keep_last",
-    "sessionization": "driver-green r3+r4+r7; session-window family in-window via streaming_session_counts + streaming_click_purchase_join",
+    "sessionization": "driver-green r3+r4+r7; session-window family in-window via streaming_session_counts + asof_last_click_before_purchase (headline)",
     # ---- single-green r7, staying out this rotation (family reps in) ----
     "audio_quality_gate": "driver-green r7; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
-    "characteristic_terms": "driver-green r7; tf-idf family in-window via token_vocabulary (same tokenize+df kernel)",
+    "characteristic_terms": "driver-green r7; tf-idf family in-window via bm25_doc_search (same tokenize+df/idf kernel)",
     "cohort_retention": "driver-green r7; cohort family in-window via latest_order_per_customer + group_count_breakdown",
     "deterministic_shuffle_order": "driver-green r7; md5-bucket family in-window via stratified_hash_sample (same kernel)",
     "embedding_centroid_stats": "driver-green r7; centroid family in-window via embedding_ivf_topk (same cell-assign kernel)",
-    "key_skew_profile": "driver-green r7; profiling family in-window via group_count_breakdown; skew-handling kernels via semantic_dedup_cells",
-    "price_histogram": "driver-green r7; binning family in-window via ntile_quartiles + daily_order_anomaly",
+    "key_skew_profile": "driver-green r7; profiling family in-window via group_count_breakdown; skew-handling kernels via duplicated_span_dedup (AQE-skew-safe join)",
+    "price_histogram": "driver-green r7; binning family in-window via ntile_quartiles + group_count_breakdown",
     "running_distinct_users": "driver-green r7; per-user accumulation family in-window via streaming_dedup_users + streaming_session_counts",
-    "snapshot_diff": "driver-green r7; CDC/hash-compare family in-window via row_hash_change_detection + scd2_priority_history",
+    "snapshot_diff": "driver-green r7; CDC/hash-compare family in-window via row_hash_change_detection + hash_guarded_merge",
     "video_frame_sample_stats": "driver-green r7; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
 }
 
