@@ -1263,3 +1263,49 @@ def test_temperature_sample_reserved_column_guard(spark):
         temperature_sample(df.withColumnRenamed("lang", "n"), "doc_id", "n")
     with pytest.raises(ValueError, match="clash"):
         temperature_sample(df.withColumn("__ts_n", F.lit(1)), "doc_id", "lang")
+
+
+def test_bpe_pair_stats_exact_python_model(spark, sf_dir):
+    """bpe_pair_stats vs an exact Python model of the merge statistic
+    (Sennrich et al. 2016): weighted adjacent-pair counts over the word
+    vocabulary, every position counting once per word occurrence ('aaa'
+    contributes two 'aa' positions). The model mirrors the query's exact
+    text contract — trim() strips only spaces (tab/newline-only docs
+    pass the filter), Java-default \\s+ split, codepoint substr — so any
+    kernel drift (off-by-one in the pair sequence, a lost single-char
+    guard, tie-break order) breaks value equality, not just row counts."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from fund_data_pipeline_spark.queries import QUERIES
+
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    # Java \s is ASCII-only by default; Python's is Unicode-aware — spell
+    # out the Java class so the model can't silently diverge on exotic ws.
+    java_ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    wf = collections.Counter()
+    for t in texts:
+        if t is None or not t.strip(" "):
+            continue
+        wf.update(java_ws.split(t.strip(" ")))
+    pair_count = collections.Counter()
+    n_positions = collections.Counter()
+    for w, freq in wf.items():
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            pair_count[p] += freq
+            n_positions[p] += 1
+    want = sorted(pair_count, key=lambda p: (-pair_count[p], p))[:50]
+    assert len(want) == 50, "sf fixture too small to exercise the top-50 cut"
+
+    got = QUERIES["bpe_pair_stats"].spark(spark, sf_dir).collect()
+    assert [r.pair for r in got] == want
+    for r in got:
+        assert r.pair_count == pair_count[r.pair], r.pair
+        assert r.n_word_positions == n_positions[r.pair], r.pair
