@@ -91,20 +91,39 @@ def gen_relational(con: duckdb.DuckDBPyConnection, dst: Path) -> None:
         )
 
 
-def _interleave(tokens: list[str], stride: int) -> list[str]:
-    """Non-identity stride interleave: the requested stride is wrapped into
-    [2, n_tokens - 1] so a short document can never round-trip to itself
-    (stride >= n is the identity permutation — review r9: copy 9 at stride
-    10 reproduced every 10-token document byte-identically, violating the
-    no-cross-copy-duplicates invariant). Documents under 3 tokens have no
-    non-identity option (and no shingles), so they pass through."""
+def _interleave(tokens: list[str], stride: int, rotate: int = 0) -> list[str]:
+    """Non-identity stride interleave, disambiguated by a rotation.
+
+    The requested stride is wrapped into [2, n_tokens - 2] so a short
+    document can never round-trip to itself (stride >= n is the identity
+    permutation — review r9: copy 9 at stride 10 reproduced every 10-token
+    document byte-identically). The wrap makes two COPIES collide when
+    their strides wrap to the same value (ADVICE r9: n=10 docs, strides 2
+    and 10 both wrap to 2), so the copy index is mixed in as a leading
+    rotation: rotations by distinct ``rotate % n`` are distinct
+    permutations, and composing a fixed stride permutation with distinct
+    rotations stays distinct. Exhaustively checked for FACTOR=10: all
+    nine copies are pairwise-distinct permutations for every n >= 5 —
+    hence everywhere in this data (min doc length 10). Residual
+    collisions exist only at n=3 (c and c+3: stride is pinned to 2 and
+    the rotation has period 3 — only 3 distinct outputs exist for 9
+    copies, pigeonhole) and n=4 (c and c+4); documents under 3 tokens
+    have no non-identity option (and no shingles), so they pass through.
+    An identity-composition guard keeps the no-self-duplicate invariant
+    unconditional."""
     n = len(tokens)
     if n < 3:
         return tokens
     stride = 2 if n == 3 else 2 + (stride - 2) % (n - 2)
+    r = rotate % n
+    rotated = tokens[r:] + tokens[:r]
     out: list[str] = []
     for start in range(stride):
-        out.extend(tokens[start::stride])
+        out.extend(rotated[start::stride])
+    if out == tokens:  # rotation could in principle invert the stride
+        out = []
+        for start in range(stride):
+            out.extend(tokens[start::stride])
     return out
 
 
@@ -117,7 +136,7 @@ def gen_documents(con: duckdb.DuckDBPyConnection, dst: Path) -> None:
     for c in range(FACTOR):
         for doc_id, text, lang, source in rows:
             if c > 0:
-                text = " ".join(_interleave(text.split(" "), c + 1))
+                text = " ".join(_interleave(text.split(" "), c + 1, rotate=c))
             doc_ids.append(doc_id + c * off)
             texts.append(text)
             langs.append(lang)
