@@ -6,7 +6,7 @@ batches exist; the standard form is a sliding token window with overlap
 This is a pure JVM explode — split once, generate the window starts with
 ``sequence``, ``posexplode`` them, ``slice`` the token array per window:
 
-    tokens = split(trim(text), '\\s+')
+    tokens = split(trim(text), WS_RE)   # explicit [ \t\n\x0B\f\r]+ class
     starts = sequence(0, size(tokens) - 1, stride)
     chunk  = slice(tokens, start + 1, chunk_size)
 
@@ -28,6 +28,16 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Whitespace class of the cross-engine tokenizer contract, spelled out
+#: EXPLICITLY: Java's ``\s`` is ``[ \t\n\x0B\f\r]`` but RE2's (DuckDB's
+#: regex engine) ``\s`` omits vertical tab, so a bare ``\s+`` tokenizes
+#: ``'a\x0Bb'`` as two tokens on Spark and one on the oracle (review
+#: r10). Both dialects parse this class identically, and it equals Java
+#: ``\s`` exactly, so Spark-side behavior is unchanged. Every whitespace
+#: tokenizer in the package (here and queries/text.py) and every oracle
+#: string must use this class — tests/test_core.py greps for bare ``\s``.
+WS_RE = r"[ \t\n\x0B\f\r]+"
 
 
 def chunk_by_tokens(
@@ -52,7 +62,7 @@ def chunk_by_tokens(
             f"stride {stride} > chunk_size {chunk_size} would skip tokens entirely"
         )
     ids = list(id_cols)
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokens = F.split(F.trim(F.col(text_col)), WS_RE)
     base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         *ids, tokens.alias("__tokens")
     )
@@ -103,7 +113,7 @@ def chunk_content_defined(
     if divisor <= 1:
         raise ValueError("divisor must be > 1 (expected chunk length)")
     ids = list(id_cols)
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokens = F.split(F.trim(F.col(text_col)), WS_RE)
     base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         *ids, tokens.alias("__tokens")
     )

@@ -47,7 +47,9 @@ def parse_magnitude(col: Column | str) -> Column:
     s = F.lower(F.trim(_c(col)))
     num = F.regexp_extract(s, r"(-?[\d,]*\.?\d+)", 1)
     num = F.regexp_replace(num, ",", "").try_cast("double")
-    suffix = F.regexp_extract(s, r"-?[\d,]*\.?\d+\s*([kmbt])", 1)
+    # whitespace class spelled out: Java \s includes U+000B, RE2 (the
+    # oracle engine) does not — see operators.chunking.WS_RE
+    suffix = F.regexp_extract(s, r"-?[\d,]*\.?\d+[ \t\n\x0B\f\r]*([kmbt])", 1)
     return (
         F.when(suffix == "k", num * 1e3)
         .when(suffix == "m", num * 1e6)

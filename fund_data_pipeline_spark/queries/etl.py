@@ -111,7 +111,7 @@ def null_sentinel_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_partkey,
        CAST(regexp_replace(pct_str, '[%,+]', '', 'g') AS DOUBLE) AS pct,
        CAST(CAST(regexp_replace(thou_str, ',', '', 'g') AS DOUBLE) AS BIGINT) AS thou,
-       CASE regexp_extract(lower(trim(mag_str)), '-?[\\d,]*\\.?\\d+\\s*([kmbt])', 1)
+       CASE regexp_extract(lower(trim(mag_str)), '-?[\\d,]*\\.?\\d+[ \\t\\n\\x0B\\f\\r]*([kmbt])', 1)
             WHEN 'k' THEN CAST(regexp_replace(regexp_extract(lower(trim(mag_str)), '(-?[\\d,]*\\.?\\d+)', 1), ',', '', 'g') AS DOUBLE) * 1e3
             WHEN 'm' THEN CAST(regexp_replace(regexp_extract(lower(trim(mag_str)), '(-?[\\d,]*\\.?\\d+)', 1), ',', '', 'g') AS DOUBLE) * 1e6
             WHEN 'b' THEN CAST(regexp_replace(regexp_extract(lower(trim(mag_str)), '(-?[\\d,]*\\.?\\d+)', 1), ',', '', 'g') AS DOUBLE) * 1e9

@@ -18,6 +18,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.chunking import WS_RE
 from .registry import register, table
 
 #: tiny English stopword list for the language-ID heuristic; the SQL form is
@@ -29,6 +30,19 @@ _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 def _tokens(col="text"):
     return F.split(F.col(col), " ")
+
+
+def _ws_tokens(docs: DataFrame, *id_cols: str, alias: str = "token") -> DataFrame:
+    """Exploded whitespace tokens under the cross-engine contract: blank
+    (space-trimmed-empty) docs dropped, trim + WS_RE split. The plain
+    single-space :func:`_tokens` would admit empty-string tokens on
+    irregular whitespace and diverge from the oracle's
+    ``string_split_regex`` — this helper is the ONE place that pairing
+    lives (review r10: it was copy-pasted at three call sites)."""
+    return docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        *id_cols,
+        F.explode(F.split(F.trim(F.col("text")), WS_RE)).alias(alias),
+    )
 
 
 def fingerprint_expr(prefix_len: int, with_length: bool = False):
@@ -180,7 +194,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
        len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
-       len(regexp_extract_all(text, '\\s+')) AS n_whitespace_runs
+       len(regexp_extract_all(text, '[ \t\n\x0B\f\r]+')) AS n_whitespace_runs
 FROM documents
 """,
 )
@@ -190,7 +204,7 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count("text", F.lit("[a-z]+")).alias("n_word_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).alias("n_number_tokens"),
-        F.regexp_count("text", F.lit(r"\s+")).alias("n_whitespace_runs"),
+        F.regexp_count("text", F.lit(WS_RE)).alias("n_whitespace_runs"),
     )
 
 
@@ -232,7 +246,7 @@ FROM (
          CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_len,
          len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
          len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
-         len(regexp_extract_all(text, '\\s+')) AS n_whitespace_runs,
+         len(regexp_extract_all(text, '[ \t\n\x0B\f\r]+')) AS n_whitespace_runs,
          {fingerprint_sql(64, with_length=True)} AS fingerprint
   FROM documents
 )
@@ -247,7 +261,7 @@ def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.alias("quality"),
         F.regexp_count("text", F.lit("[a-z]+")).alias("n_word_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).alias("n_number_tokens"),
-        F.regexp_count("text", F.lit(r"\s+")).alias("n_whitespace_runs"),
+        F.regexp_count("text", F.lit(WS_RE)).alias("n_whitespace_runs"),
         fingerprint.alias("fingerprint"),
     )
 
@@ -683,7 +697,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk text is md5'd so the checked result stays narrow.",
     oracle=r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
   FROM documents
   WHERE length(trim(text)) > 0
 ), s AS (
@@ -721,7 +735,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernels; no shuffle, no window, no per-index element_at.",
     oracle=r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
   FROM documents
   WHERE length(trim(text)) > 0
 ), m AS (
@@ -772,7 +786,7 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: doc_chunking, with source carried through for the pack grouping)
 _CHUNK_CTE = r"""
 WITH t AS (
-  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+  SELECT doc_id, source, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
   FROM documents
   WHERE length(trim(text)) > 0
 ), s AS (
@@ -831,7 +845,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH t AS (
   SELECT doc_id, lang,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
   FROM documents
   WHERE length(trim(text)) > 0
 ), r AS (
@@ -851,7 +865,7 @@ def length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id",
         "lang",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), WS_RE)).cast("long").alias("n_tokens"),
     )
     pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("n_tokens"))
     return (
@@ -870,7 +884,7 @@ def length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the cut is deterministic.",
     oracle=r"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS token
   FROM documents
   WHERE length(trim(text)) > 0
 )
@@ -885,12 +899,7 @@ LIMIT 50
 )
 def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # trim + \s+ split, matching the oracle's string_split_regex exactly —
-    # the plain single-space _tokens() would admit empty-string tokens on
-    # irregular whitespace and diverge
-    tok = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
-    )
+    tok = _ws_tokens(docs, "doc_id")
     return (
         tok.groupBy("token")
         .agg(
@@ -914,7 +923,7 @@ def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs by (count DESC, pair) via TakeOrderedAndProject.",
     oracle=r"""
 WITH tok AS (
-  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+  SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS w
   FROM documents
   WHERE length(trim(text)) > 0
 ), wf AS (
@@ -946,11 +955,7 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the span-dedup kernel documents). All counts exact integers; the
     HUGEINT SUM is cast BIGINT per the r5 oracle lesson."""
     docs = table(spark, sf_dir, "documents")
-    # trim + \s+ split, matching token_vocabulary (plain-space _tokens()
-    # would admit empty-string tokens on irregular whitespace)
-    tok = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
-    )
+    tok = _ws_tokens(docs, alias="w")
     wf = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     n = F.length("w")
     pairs = F.when(
@@ -982,7 +987,7 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the reassembled text.",
     oracle=r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
   FROM documents
   WHERE length(trim(text)) > 0
 ), segs AS (
@@ -1031,7 +1036,7 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocabulary-sized, so it broadcasts into the per-doc join.",
     oracle=r"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS token
   FROM documents
   WHERE length(trim(text)) > 0
 ), tf AS (
@@ -1055,10 +1060,7 @@ def characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    # trim + \s+ split to match the oracle (see token_vocabulary)
-    tok = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
-    )
+    tok = _ws_tokens(docs, "doc_id")
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_rel = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     ranked = tf.join(F.broadcast(df_rel), "token").withColumn(

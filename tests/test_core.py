@@ -431,3 +431,60 @@ def test_dedup_keyed_keep_last_accepts_sort_order_columns(spark):
     # bare Column under keep='last' matches the string fast path
     out2 = dedup.dedup_keyed(df, ["k"], [F.col("origin_file")], keep="last")
     assert {r.k: r.v for r in out2.collect()} == {"A": 3.0, "B": 9.0}
+
+
+def test_whitespace_class_is_cross_engine_pinned(spark, tmp_path):
+    """Java's \\s includes vertical tab (U+000B); RE2's (DuckDB) does not.
+    The tokenizer contract therefore spells the class out explicitly
+    (operators.chunking.WS_RE) on both engines. This test feeds VT/FF/tab
+    texts — which the parquet fixtures never contain — through every
+    whitespace-tokenizing catalog query and requires bit-identical
+    results, and pins that no registered oracle regresses to a bare \\s."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fund_data_pipeline_spark.oracle import _rows_from_pdf, canon_rows
+    from fund_data_pipeline_spark.queries import QUERIES
+
+    for name, spec in QUERIES.items():
+        if spec.oracle is not None:
+            assert "\\s" not in spec.oracle, (
+                f"{name}: oracle uses bare \\s — engine-divergent on U+000B; "
+                "use the explicit [ \\t\\n\\x0B\\f\\r] class (WS_RE)"
+            )
+
+    texts = ["a\x0bb c", "x\ty\fz w", "one\x0btwo\x0bone", "plain text here now"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["web"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    for name in (
+        "token_vocabulary",
+        "bpe_pair_stats",
+        "token_count_regex",
+        "content_defined_chunking",
+        "doc_chunking",
+        "length_percentile_gate",
+    ):
+        spec = QUERIES[name]
+        s_pdf = spec.spark(spark, str(tmp_path)).toPandas()
+        o_pdf = con.execute(spec.oracle).df()
+        got = canon_rows(list(s_pdf.columns), _rows_from_pdf(s_pdf))
+        want = canon_rows(list(o_pdf.columns), _rows_from_pdf(o_pdf))
+        assert got == want, f"{name} diverges on VT/FF whitespace"
+        # VT must actually split: 'a\x0bb c' has 3 tokens, so the corpus
+        # tokenizes to >= 12 single-word tokens, never 'a\x0bb'
+        if name == "token_vocabulary":
+            toks = {r.token for r in s_pdf.itertuples()}
+            assert "a" in toks and "b" in toks and "a\x0bb" not in toks
