@@ -143,6 +143,25 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_components(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate edges -> connected components over ``docs``.
+
+    The ONE construction behind dedup_clusters, dedup_keep_list and the
+    corpus-dedup pipeline's near-dup stage (review r10: it was copy-pasted
+    per query, so a band-parameter or skew-bounding change could make the
+    cluster report and the keep-list disagree about membership while each
+    still passed its own oracle). Skew-bounded band join produces the
+    identical pair set to the naive join (the oracles' edges CTE);
+    connected_components symmetrizes edges itself, so the a<b orientation
+    is sufficient. Returns (node, cluster_id)."""
+    from ..operators.similarity import banded_pairs_skew_bounded
+
+    edges = banded_pairs_skew_bounded(minhash_bands(docs)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return graph.connected_components(docs.select(F.col("doc_id").alias("node")), edges)
+
+
 @register(
     "dedup_clusters",
     doc="Fuzzy-dedup capstone: MinHash-LSH candidate pairs -> connected "
@@ -173,16 +192,7 @@ FROM cc GROUP BY cluster_id HAVING COUNT(*) > 1
 """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import banded_pairs_skew_bounded
-
-    docs = table(spark, sf_dir, "documents")
-    # skew-bounded band join (pair set identical to the naive join — the
-    # oracle's edges CTE); connected_components symmetrizes edges itself,
-    # so the a<b orientation is sufficient
-    edges = banded_pairs_skew_bounded(minhash_bands(docs)).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    cc = graph.connected_components(docs.select(F.col("doc_id").alias("node")), edges)
+    cc = _lsh_components(table(spark, sf_dir, "documents"))
     return (
         cc.groupBy("cluster_id")
         .agg(
@@ -225,13 +235,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (bounded by graph diameter), one window for the keeper."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import banded_pairs_skew_bounded
-
-    docs = table(spark, sf_dir, "documents")
-    edges = banded_pairs_skew_bounded(minhash_bands(docs)).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    cc = graph.connected_components(docs.select(F.col("doc_id").alias("node")), edges)
+    cc = _lsh_components(table(spark, sf_dir, "documents"))
     keeper = F.min("node").over(Window.partitionBy("cluster_id"))
     return cc.select(
         F.col("node").alias("doc_id"),
@@ -559,8 +563,6 @@ FROM documents d LEFT JOIN stages s ON d.doc_id = s.doc_id
 def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.similarity import banded_pairs_skew_bounded
-
     docs = table(spark, sf_dir, "documents")
 
     # stage 1: exact content dedup (one shuffle on the content hash)
@@ -576,10 +578,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv1 = s1.filter(F.col("doc_id") == F.col("exact_keeper")).drop("exact_keeper")
 
     # stage 2: MinHash-LSH near-dup -> connected components, keep min id
-    edges = banded_pairs_skew_bounded(minhash_bands(surv1)).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    cc = graph.connected_components(surv1.select(F.col("doc_id").alias("node")), edges)
+    cc = _lsh_components(surv1)
     drops2 = cc.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id"), F.lit("near_dup").alias("drop_stage")
     )
@@ -618,13 +617,13 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_mix_drift",
     doc="Dataset-mixture drift monitor: per (source, lang), the source's "
     "language share vs the corpus-wide share, with the absolute deviation "
-    "and an exact-integer chi-square-style contribution numerator — the "
-    "distribution-shift check a curation pipeline runs per ingest batch "
-    "(a source whose language mix drifts from the corpus baseline needs "
-    "rebalancing or investigation). Every rate is one double division of "
-    "exact integer counts (no ln/float-sum ordering anywhere), so both "
-    "engines emit identical bits; two hash aggregates plus one "
-    "vocabulary-sized broadcast join.",
+    "and an exact drift DIRECTION computed by pure integer comparison — "
+    "the distribution-shift check a curation pipeline runs per ingest "
+    "batch (a source whose language mix drifts from the corpus baseline "
+    "needs rebalancing or investigation). Every rate is one double "
+    "division of exact integer counts (no ln/float-sum ordering "
+    "anywhere), so both engines emit identical bits; two hash aggregates "
+    "plus one vocabulary-sized broadcast join.",
     oracle="""
 WITH sl AS (
   SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
@@ -641,17 +640,28 @@ SELECT sl.source, sl.lang,
        CAST(l.n_lang AS DOUBLE) / CAST(g.n_total AS DOUBLE) AS corpus_share,
        abs(CAST(sl.n AS DOUBLE) / CAST(s.n_source AS DOUBLE)
            - CAST(l.n_lang AS DOUBLE) / CAST(g.n_total AS DOUBLE)) AS abs_drift,
-       CAST(sl.n * g.n_total - l.n_lang * s.n_source AS BIGINT) AS drift_numer
+       CAST(CASE WHEN CAST(sl.n AS HUGEINT) * g.n_total > CAST(l.n_lang AS HUGEINT) * s.n_source THEN 1
+                 WHEN CAST(sl.n AS HUGEINT) * g.n_total < CAST(l.n_lang AS HUGEINT) * s.n_source THEN -1
+                 ELSE 0 END AS INT) AS drift_sign
 FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN g
 """,
 )
 def corpus_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The expected count of (source, lang) under independence is
-    n_source*n_lang/n_total; ``drift_numer`` = n*n_total - n_lang*n_source
-    is the exact-integer numerator of (observed - expected)*n_total — zero
-    iff the source's mix matches the corpus exactly, sign shows direction.
-    At 100 TB all three stat relations are tiny (|sources| x |langs|) and
-    broadcast; the only corpus-sized work is the first hash aggregate."""
+    n_source*n_lang/n_total; ``drift_sign`` compares n*n_total against
+    n_lang*n_source as exact integers — zero iff the source's mix matches
+    the corpus exactly, +/-1 shows direction. The comparison runs on wide
+    integers (DECIMAL(38,0) here, HUGEINT in the oracle) because the raw
+    products overflow BIGINT at ~3e9 documents (review r10 — ANSI Spark
+    would throw ARITHMETIC_OVERFLOW at exactly the advertised per-ingest
+    scale); a comparison instead of a materialized numerator keeps the
+    output exact at any representable corpus size (abs_drift carries the
+    double magnitude). At 100 TB all three stat relations are tiny
+    (|sources| x |langs|) and broadcast; the only corpus-sized work is
+    the first hash aggregate."""
+    def _wide(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
     docs = table(spark, sf_dir, "documents")
     sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
     s = sl.groupBy("source").agg(F.sum("n").alias("n_source"))
@@ -670,9 +680,11 @@ def corpus_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             source_share.alias("source_share"),
             corpus_share.alias("corpus_share"),
             F.abs(source_share - corpus_share).alias("abs_drift"),
-            (F.col("n") * F.col("n_total") - F.col("n_lang") * F.col("n_source"))
-            .cast("long")
-            .alias("drift_numer"),
+            F.when(_wide("n") * _wide("n_total") > _wide("n_lang") * _wide("n_source"), 1)
+            .when(_wide("n") * _wide("n_total") < _wide("n_lang") * _wide("n_source"), -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("drift_sign"),
         )
     )
 

@@ -156,34 +156,20 @@ def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_score",
     doc="Composite document quality score from deterministic feature ratios "
-    "(length band, stopword share, mean token length band).",
+    "(length band, stopword share, mean token length band). Both sides "
+    "are GENERATED from quality_expr/quality_sql — the shared definition "
+    "whose whole point is that the score cannot drift between consumers "
+    "(review r10: this query carried its own inline copy of the formula, "
+    "so a weight tweak would have updated every other consumer but "
+    "silently left the registered quality query on the old score).",
     oracle=f"""
-SELECT doc_id,
-       0.5 * (CASE WHEN n_tokens >= 30 AND n_tokens <= 400 THEN 1.0 ELSE 0.0 END)
-     + 0.3 * least(stopword_ratio * 10.0, 1.0)
-     + 0.2 * (CASE WHEN avg_len >= 3.0 AND avg_len <= 8.0 THEN 1.0 ELSE 0.0 END) AS quality
-FROM (
-  SELECT doc_id,
-         len(string_split(text, ' ')) AS n_tokens,
-         CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
-           / len(string_split(text, ' ')) AS stopword_ratio,
-         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_len
-  FROM documents
-)
+SELECT doc_id, {quality_sql('text')} AS quality
+FROM documents
 """,
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n_tokens = F.size(toks)
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
-    avg_len = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
-    quality = (
-        F.lit(0.5) * F.when((n_tokens >= 30) & (n_tokens <= 400), F.lit(1.0)).otherwise(F.lit(0.0))
-        + F.lit(0.3) * F.least(stop_ratio * 10.0, F.lit(1.0))
-        + F.lit(0.2) * F.when((avg_len >= 3.0) & (avg_len <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    )
-    return docs.select("doc_id", quality.alias("quality"))
+    return docs.select("doc_id", quality_expr().alias("quality"))
 
 
 @register(
