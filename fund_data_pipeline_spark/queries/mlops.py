@@ -565,13 +565,18 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
 
-    # stage 1: exact content dedup (one shuffle on the content hash)
+    # stage 1: exact content dedup (one shuffle on the content hash).
+    # s1 is pinned: its corpus-wide md5(text) window otherwise re-executes
+    # in every downstream job — the banded-pairs checkpoint, each
+    # connected-components round, the SemDeDup blocked join, and twice in
+    # the final action via drops1/surv3 (review r10: exchange reuse cannot
+    # span the pipeline's separate eager jobs, so stage 1 ran ~5x)
     s1 = docs.select(
         "doc_id",
         "text",
         "lang",
         F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("exact_keeper"),
-    )
+    ).localCheckpoint(eager=True)
     drops1 = s1.filter(F.col("doc_id") != F.col("exact_keeper")).select(
         "doc_id", F.lit("exact").alias("drop_stage")
     )
@@ -582,13 +587,15 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops2 = cc.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id"), F.lit("near_dup").alias("drop_stage")
     )
+    # surv2 feeds three consumers (SemDeDup's restrict set, surv3's anti
+    # join, and stage 4 via surv3) — pin it for the same reason as s1
     surv2 = surv1.join(
         cc.filter(F.col("node") == F.col("cluster_id")).select(
             F.col("node").alias("doc_id")
         ),
         "doc_id",
         "semi",
-    )
+    ).localCheckpoint(eager=True)
 
     # stage 3: SemDeDup restricted to surviving docs (docs without an
     # embedding row pass through untouched)

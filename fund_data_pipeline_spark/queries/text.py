@@ -638,8 +638,10 @@ def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Test-set decontamination: 3-gram shingle overlap between the train "
     "split and a held-out benchmark split (doc_id % 97 == 0), reported as "
     "shared-shingle counts per (train, test) pair with >= 3 shared. A "
-    "shingle equi-join — never an all-pairs scan; at 100 TB the benchmark "
-    "side is tiny and broadcasts.",
+    "shingle equi-join — never an all-pairs scan. The join is left to "
+    "AQE: a real eval set is tiny and gets runtime-broadcast, while this "
+    "fixture's %-97 split (1/97 of ALL corpus shingles — NOT broadcastable "
+    "at 100 TB) exercises the shuffle path.",
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({_shingle_sql()})) AS shingle
@@ -658,7 +660,11 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, equi-join on the shingle, count collisions per doc pair.
     Ultra-common shingles (stopword runs) can skew the join at corpus
     scale; the mitigation is a document-frequency cap on the benchmark
-    side before joining, which this fixture's 1/97 split doesn't need."""
+    side before joining, which this fixture's 1/97 split doesn't need.
+    No forced broadcast (review r10): the benchmark side is defined as a
+    fixed FRACTION of the corpus, so F.broadcast would ship ~1 TB at the
+    advertised scale and OOM — AQE picks broadcast at runtime whenever
+    the side is genuinely small, which is strictly safer than pinning."""
     docs = table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle"))
     train = sh.filter(F.col("doc_id") % 97 != 0).select(
@@ -668,7 +674,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("test_doc_id"), "shingle"
     )
     return (
-        train.join(F.broadcast(test), "shingle")
+        train.join(test, "shingle")
         .groupBy("train_doc_id", "test_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)

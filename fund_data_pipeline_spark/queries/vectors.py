@@ -190,8 +190,13 @@ GROUP BY bucket
 )
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
+    # quantize ONCE in its own projection: embedding _bucket_col references
+    # its input 8x (one zip_with per plane), and CollapseProject keeps the
+    # boundary for a non-cheap multiply-referenced expression — inlining
+    # _quant ran the 64-element round/cast transform 8x per row (review r10)
     return (
-        emb.select(_bucket_col(_quant("embedding")).alias("bucket"), "label")
+        emb.select(_quant("embedding").alias("qe"), "label")
+        .select(_bucket_col("qe").alias("bucket"), "label")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.countDistinct("label").alias("n_labels"))
     )
@@ -249,11 +254,13 @@ def ann_bucketed_topk(
     planes give 2**n_bits buckets and n_bits+1 probes (own bucket + every
     Hamming-1 neighbor). Size via :func:`lsh_bits_for_corpus`."""
     emb = table(spark, sf_dir, "embeddings")
-    b = emb.select(
+    # qe in its own projection; the bucket reads F.col("qe") so the 64-wide
+    # quantization transform runs once per row, not n_bits+1 times (r10)
+    b = emb.select("vec_id", "label", _quant("embedding").alias("qe")).select(
         "vec_id",
         "label",
-        _quant("embedding").alias("qe"),
-        _bucket_col(_quant("embedding"), n_bits).alias("bucket"),
+        "qe",
+        _bucket_col("qe", n_bits).alias("bucket"),
     )
     q = b.filter(F.col("vec_id") == query_vec_id).select(
         F.col("qe").alias("query_qe"), F.col("bucket").alias("query_bucket")
@@ -333,10 +340,9 @@ def cosine_near_dup(
     ``n_bits`` with corpus size (:func:`lsh_bits_for_corpus`) to keep the
     self-join local and bounded."""
     emb = table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id",
-        _quant("embedding").alias("qe"),
-        _bucket_col(_quant("embedding"), n_bits).alias("bucket"),
+    # qe projected once per side, bucket derived from it (see ann_bucketed_topk)
+    b = emb.select("vec_id", _quant("embedding").alias("qe")).select(
+        "vec_id", "qe", _bucket_col("qe", n_bits).alias("bucket")
     )
     a, c = b.alias("a"), b.alias("c")
     pairs = a.join(
@@ -1004,11 +1010,17 @@ def hybrid_bm25_cosine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import bm25_scores
 
     lex_w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    # cand feeds TWO consumers (the semi-join build side and the scored
+    # join), so the <=20-row result is pinned here — otherwise the corpus-
+    # length BM25 scan + TakeOrdered re-executes once per consumer (review
+    # r10: the checkpoint sat on single-consumer `fetched` instead,
+    # pinning 20 rows while the expensive stage still ran twice)
     cand = (
         bm25_scores(spark, sf_dir)
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(_HYBRID_CAND)
         .select("doc_id", "score", F.row_number().over(lex_w).alias("lex_rank"))
+        .localCheckpoint(eager=True)
     )
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _quant("embedding").alias("qe2")
@@ -1019,13 +1031,13 @@ def hybrid_bm25_cosine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", _dot(F.col("q"), F.col("q")).alias("qnorm"))
     )
     # fetch ONLY the candidate embeddings: semi-join against the broadcast
-    # 20-id set, so the embedding store is scanned exactly once and the
-    # result (<= 20 rows) is pinned before feeding two consumers below
+    # 20-id set, so the embedding store is scanned exactly once (fetched
+    # has a single consumer — no checkpoint needed on it)
     fetched = emb.join(
         F.broadcast(cand.select("doc_id")),
         emb["vec_id"] == F.col("doc_id"),
         "left_semi",
-    ).localCheckpoint(eager=True)
+    )
     enorm = _dot(F.col("qe2"), F.col("qe2"))
     cosine = _dot(F.col("q"), F.col("qe2")).cast("double") / (
         F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(enorm.cast("double"))
