@@ -109,6 +109,10 @@ _CHECKED_FIRST = [
 #: that checked the query itself; "family in-window via X" names its
 #: representative in the CURRENT (r10) window.
 _OUT_OF_WINDOW_WHY = {
+    # ---- new in round 10: never driver-checked; verified by
+    # scripts/verify_local.py at sf0.001/0.01/0.1 and gated every round by
+    # tests/test_catalog_oracle.py; first window slot next rotation ----
+    "bpe_train_merges": "new r10, local-oracle verified; tokenizer-training family — the iterative merge loop over the SAME pair-count kernel as bpe_pair_stats (in-window) + token_vocabulary-style explode/agg",
     # ---- rotated out in round 10: single-green r7 (their r9 window
     # slots produced no evidence — the r9 gate never ran); family
     # representatives named are in the CURRENT (r10) window ----

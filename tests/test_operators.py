@@ -1309,3 +1309,70 @@ def test_bpe_pair_stats_exact_python_model(spark, sf_dir):
     for r in got:
         assert r.pair_count == pair_count[r.pair], r.pair
         assert r.n_word_positions == n_positions[r.pair], r.pair
+
+
+def test_bpe_train_merges_exact_python_model(spark, sf_dir):
+    """train_bpe_merges vs a from-scratch Sennrich (2016) reference: word
+    freqs -> k rounds of (weighted adjacent-pair count, argmax by
+    (count DESC, left, right), greedy left-to-right non-overlapping merge).
+    The Python merge application is the literal textbook scan, so it
+    independently checks BOTH engine forms (the Spark array fold and the
+    oracle's run-parity window) — including the overlap case left==right
+    ('l l l' -> 'll l') that the fold/window equivalence argument covers."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from fund_data_pipeline_spark.queries import QUERIES
+    from fund_data_pipeline_spark.queries.text import N_BPE_MERGES
+
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    java_ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    wf = collections.Counter()
+    for t in texts:
+        if t is None or not t.strip(" "):
+            continue
+        wf.update(java_ws.split(t.strip(" ")))
+    vocab = {w: (list(w), f) for w, f in wf.items()}
+
+    def one_round():
+        counts, npos = collections.Counter(), collections.Counter()
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] += f
+                npos[p] += 1
+        if not counts:
+            return None
+        best = min(counts, key=lambda p: (-counts[p], p))
+        for w, (syms, f) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):  # textbook greedy non-overlapping scan
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, f)
+        return best, counts[best], npos[best]
+
+    want = []
+    for idx in range(1, N_BPE_MERGES + 1):
+        r = one_round()
+        if r is None:
+            break
+        (ls, rs), cnt, np_ = r
+        want.append((idx, ls, rs, ls + rs, cnt, np_))
+
+    got = [
+        (r.merge_idx, r.left_sym, r.right_sym, r.merged_sym, r.pair_count, r.n_word_positions)
+        for r in QUERIES["bpe_train_merges"].spark(spark, sf_dir).orderBy("merge_idx").collect()
+    ]
+    assert got == want
+    assert len(got) == N_BPE_MERGES, "fixture too small to exercise every round"
