@@ -118,7 +118,7 @@ _OUT_OF_WINDOW_WHY = {
     # representatives named are in the CURRENT (r10) window ----
     "streaming_click_purchase_join": "driver-green r7; stream-stream join family in-window via streaming_session_counts + asof_last_click_before_purchase (headline)",
     "streaming_enriched_purchases": "driver-green r7; stream-static join family in-window via streaming_dedup_users + streaming_session_counts + tumbling_window_stats (headline)",
-    "token_vocabulary": "driver-green r7; tokenize+vocab family in-window via bpe_pair_stats (same trim+\\s+ tokenize kernel) + bm25_doc_search (same doc-frequency kernel)",
+    "token_vocabulary": "driver-green r7; tokenize+vocab family in-window via bpe_pair_stats (same pinned-class whitespace tokenize kernel, queries/text._ws_tokens) + bm25_doc_search (same doc-frequency kernel)",
     "boilerplate_scrub": "driver-green r7; segment-scrub family in-window via content_defined_chunking (same scan+explode segment kernel) + exact_dedup (headline)",
     "semantic_dedup_cells": "driver-green r7; cell-blocked vector near-dup family in-window via embedding_ivf_topk (same cell-assign kernel) + embedding_lsh_buckets",
     "incremental_near_dup": "driver-green r7; minhash-band family in-window via ngram_novelty (shingle-index kernel) + duplicated_span_dedup (span-hash join kernel)",

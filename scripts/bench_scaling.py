@@ -56,6 +56,10 @@ EXTRA_QUERIES = [
     # the 64-group per-dim stats then rescans with the broadcast row
     "duplicated_span_dedup",
     "embedding_int8_quantization",
+    # r10: the BPE merge loop — after the one corpus-sized word count,
+    # every round is vocabulary-sized, so its exponent should collapse
+    # toward the scan term as SF grows (vocabulary saturates)
+    "bpe_train_merges",
 ]
 
 
