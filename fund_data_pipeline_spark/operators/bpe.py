@@ -69,6 +69,43 @@ def _apply_merge(syms, ls: str, rs: str):
     )
 
 
+def initial_vocab(
+    docs: DataFrame, text_col: str = "text", ws_re: str | None = None
+) -> DataFrame:
+    """``(freq, syms)`` character-level vocabulary — the loop's seed and
+    the ONLY corpus-sized computation (word-count shuffle, map-side
+    combinable). Factored out so the plan-hygiene gate can audit the
+    round relations directly (the loop's localCheckpoints hide them from
+    the returned DataFrame's lineage)."""
+    from .chunking import WS_RE
+
+    ws = ws_re if ws_re is not None else WS_RE
+    col = F.col(text_col)
+    tok = docs.filter(F.length(F.trim(col)) > 0).select(
+        F.explode(F.split(F.trim(col), ws)).alias("w")
+    )
+    return (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.split("w", "").alias("syms"))
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """One round's merge-selection relation, best pair first:
+    ``(ls, rs, pair_count, n_word_positions)`` ordered by
+    (count DESC, ls, rs) — vocabulary-sized aggregate."""
+    return (
+        vocab.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+        .groupBy(F.col("p.ls").alias("ls"), F.col("p.rs").alias("rs"))
+        .agg(
+            F.sum("freq").cast("long").alias("pair_count"),
+            F.count(F.lit(1)).alias("n_word_positions"),
+        )
+        .orderBy(F.col("pair_count").desc(), "ls", "rs")
+    )
+
+
 def train_bpe_merges(
     docs: DataFrame,
     n_merges: int,
@@ -86,32 +123,12 @@ def train_bpe_merges(
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    from .chunking import WS_RE
-
-    ws = ws_re if ws_re is not None else WS_RE
-    col = F.col(text_col)
-    tok = docs.filter(F.length(F.trim(col)) > 0).select(
-        F.explode(F.split(F.trim(col), ws)).alias("w")
-    )
-    vocab = (
-        tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select("freq", F.split("w", "").alias("syms"))
-        .localCheckpoint(eager=True)
+    vocab = initial_vocab(docs, text_col=text_col, ws_re=ws_re).localCheckpoint(
+        eager=True
     )
     merges: list[Row] = []
     for idx in range(1, n_merges + 1):
-        best = (
-            vocab.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
-            .groupBy(F.col("p.ls").alias("ls"), F.col("p.rs").alias("rs"))
-            .agg(
-                F.sum("freq").cast("long").alias("pair_count"),
-                F.count(F.lit(1)).alias("n_word_positions"),
-            )
-            .orderBy(F.col("pair_count").desc(), "ls", "rs")
-            .limit(1)
-            .collect()
-        )
+        best = pair_counts(vocab).limit(1).collect()
         if not best:  # vocabulary fully merged — nothing left to count
             break
         b = best[0]

@@ -37,8 +37,10 @@ from . import mlops  # noqa: E402,F401
 #: window that never ran) and the 2 single-green-r7 queries whose kernels
 #: changed in r8 (price_quantity_stats, incremental_rollup_revenue). The
 #: 8 headline (benched) queries stay, per standing policy. After this
-#: round, no catalog query is driver-unchecked and none's most recent
-#: driver row is older than r7. Every excluded query is listed in
+#: round, every query registered BEFORE r10 has a driver row no older
+#: than r7 and none is driver-unchecked; the one r10 addition
+#: (bpe_train_merges, registered after this rotation) takes the first
+#: slot next rotation per the late-addition contract. Every excluded query is listed in
 #: _OUT_OF_WINDOW_WHY below with the CORRECTNESS round(s) that checked it
 #: green, still registered, and still gated by scripts/verify_local.py +
 #: tests/test_catalog_oracle.py.

@@ -94,7 +94,7 @@ def gen_relational(con: duckdb.DuckDBPyConnection, dst: Path) -> None:
 def _interleave(tokens: list[str], stride: int, rotate: int = 0) -> list[str]:
     """Non-identity stride interleave, disambiguated by a rotation.
 
-    The requested stride is wrapped into [2, n_tokens - 2] so a short
+    The requested stride is wrapped into [2, n_tokens - 1] so a short
     document can never round-trip to itself (stride >= n is the identity
     permutation — review r9: copy 9 at stride 10 reproduced every 10-token
     document byte-identically). The wrap makes two COPIES collide when

@@ -447,12 +447,35 @@ def test_whitespace_class_is_cross_engine_pinned(spark, tmp_path):
     from fund_data_pipeline_spark.oracle import _rows_from_pdf, canon_rows
     from fund_data_pipeline_spark.queries import QUERIES
 
+    import re as _re
+    from pathlib import Path
+
+    from fund_data_pipeline_spark.operators.chunking import WS_RE
+
+    # ONE canonical spelling; every hand-written copy must equal it
+    # exactly (review r10: the class is spelled in ~15 places — an edit to
+    # one copy, e.g. adding U+0085 to WS_RE but not to an oracle string,
+    # would silently re-create the cross-engine drift this gate exists
+    # to prevent)
+    canon = r"[ \t\n\x0B\f\r]"
+    assert WS_RE == canon + "+"
+    ws_class = _re.compile(r"\[[^\]\n]*(?:\\t|\\s)[^\]\n]*\]")
     for name, spec in QUERIES.items():
         if spec.oracle is not None:
             assert "\\s" not in spec.oracle, (
                 f"{name}: oracle uses bare \\s — engine-divergent on U+000B; "
                 "use the explicit [ \\t\\n\\x0B\\f\\r] class (WS_RE)"
             )
+            for m in ws_class.finditer(spec.oracle):
+                assert m.group(0) == canon, (
+                    f"{name}: whitespace class {m.group(0)!r} differs from "
+                    f"the canonical {canon!r}"
+                )
+    pkg = Path(__file__).resolve().parents[1] / "fund_data_pipeline_spark"
+    canon_escaped = canon.replace("\\", "\\\\")  # inside non-raw py strings
+    for f in sorted(pkg.rglob("*.py")):
+        for m in ws_class.finditer(f.read_text(encoding="utf-8")):
+            assert m.group(0) in (canon, canon_escaped), (f.name, m.group(0))
 
     texts = ["a\x0bb c", "x\ty\fz w", "one\x0btwo\x0bone", "plain text here now"]
     t = pa.table(

@@ -262,11 +262,22 @@ _ONE_ROW_BNLJ_OK = {
 }
 
 
-def test_whole_catalog_plan_hygiene(spark, sf_dir):
+def test_whole_catalog_plan_hygiene(spark, sf_dir, monkeypatch):
     """Catalog-wide scale audit: no batch query's physical plan may contain
     a cartesian product, an unexpected nested-loop join, a single-partition
     exchange outside top-k, a global range sort, or a row-at-a-time Python
-    UDF. This is the frozen form of the per-round .explain sweep."""
+    UDF. This is the frozen form of the per-round .explain sweep.
+
+    localCheckpoint is no-op'd for the audit (review r10): an eager
+    checkpoint truncates lineage to `Scan ExistingRDD`, so every plan
+    UPSTREAM of a pin (the dedup pipeline's md5 window, the hybrid
+    reranker's BM25 stage) would otherwise be invisible to this gate and
+    a regression there would ship unseen."""
+    from pyspark.sql import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     problems = []
     for name, spec in QUERIES.items():
         if name.startswith("streaming_"):
@@ -283,3 +294,48 @@ def test_whole_catalog_plan_hygiene(spark, sf_dir):
         if "BatchEvalPython" in plan:
             problems.append(f"{name}: row-at-a-time Python UDF")
     assert not problems, "; ".join(problems)
+
+
+def test_bpe_round_relations_plan_hygiene(spark, sf_dir):
+    """bpe_train_merges builds its result driver-side (createDataFrame of
+    k collected rows), so the catalog sweep sees only a LocalTableScan —
+    the loop's actual distributed relations are audited here directly:
+    the corpus-sized vocabulary seed and one round's pair-count plan must
+    be shuffle-clean, and the merge application must stay a map-side
+    projection over the pinned vocabulary."""
+    import contextlib
+    import io as _io
+
+    from fund_data_pipeline_spark.operators.bpe import (
+        _apply_merge,
+        initial_vocab,
+        pair_counts,
+    )
+    from fund_data_pipeline_spark.queries.registry import table
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = initial_vocab(docs)
+    applied = vocab.select("freq", _apply_merge(F.col("syms"), "t", "h").alias("syms"))
+    for label, df, allow_sort in (
+        ("initial_vocab", vocab, False),
+        ("pair_counts", pair_counts(vocab), True),  # TakeOrdered feeds limit(1)
+        ("apply_merge", applied, False),
+    ):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan, label
+        assert "BroadcastNestedLoopJoin" not in plan, label
+        assert "BatchEvalPython" not in plan, label
+        if not allow_sort:
+            assert "rangepartitioning" not in plan.lower(), label
+    # the merge application is map-side: it adds ZERO exchanges beyond
+    # the vocabulary seed's own word-count shuffle
+    def n_exchanges(df):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue().count("Exchange ")
+
+    assert n_exchanges(applied) == n_exchanges(vocab)
