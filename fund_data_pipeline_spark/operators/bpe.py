@@ -158,3 +158,18 @@ def bpe_merge_table(spark: SparkSession, docs: DataFrame, n_merges: int) -> Data
         "pair_count long, n_word_positions long"
     )
     return spark.createDataFrame(rows, schema=schema)
+
+
+def encode_vocab(vocab: DataFrame, merges) -> DataFrame:
+    """Apply an ordered merge table to the ``(freq, syms)`` vocabulary.
+
+    ``merges`` is the list returned by :func:`train_bpe_merges` (or any
+    iterable with ``left_sym``/``right_sym``); each merge is one map-side
+    array fold applied in training order — encoding with k merges is k
+    chained folds over the vocabulary relation, zero shuffles. This is
+    the APPLY half of BPE: train once, encode any corpus whose words hit
+    the same vocabulary."""
+    syms = F.col("syms")
+    for m in merges:
+        syms = _apply_merge(syms, m.left_sym, m.right_sym)
+    return vocab.select("freq", syms.alias("syms"))

@@ -115,6 +115,7 @@ _OUT_OF_WINDOW_WHY = {
     # scripts/verify_local.py at sf0.001/0.01/0.1 and gated every round by
     # tests/test_catalog_oracle.py; first window slot next rotation ----
     "bpe_train_merges": "new r10, local-oracle verified; tokenizer-training family — the iterative merge loop over the SAME pair-count kernel as bpe_pair_stats (in-window) + token_vocabulary-style explode/agg",
+    "bpe_encode_token_stats": "new r10, local-oracle verified; tokenizer-apply family — k chained map-side folds over the bpe_train_merges table, aggregated like bpe_pair_stats (in-window, same explode+grouped-count kernel)",
     # ---- rotated out in round 10: single-green r7 (their r9 window
     # slots produced no evidence — the r9 gate never ran); family
     # representatives named are in the CURRENT (r10) window ----

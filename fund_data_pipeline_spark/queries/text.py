@@ -1038,6 +1038,53 @@ def _bpe_train_oracle(k: int = N_BPE_MERGES) -> str:
     return "".join(parts)
 
 
+def _bpe_encode_oracle(k: int = N_BPE_MERGES) -> str:
+    """Token stats over the BPE-ENCODED corpus: the same k-round replay as
+    :func:`_bpe_train_oracle`, but the answer is the final positional
+    relation s{k+1} aggregated to subword frequencies (each distinct
+    word's positions weighted by its corpus frequency)."""
+    train = _bpe_train_oracle(k)
+    body = train[: train.index("\nSELECT merge_idx")]  # start of the bests union
+    return f"""{body}
+SELECT sym AS token,
+       CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab_positions
+FROM s{k + 1}
+GROUP BY sym
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+"""
+
+
+@register(
+    "bpe_encode_token_stats",
+    doc=f"BPE tokenizer APPLICATION: train {N_BPE_MERGES} merges "
+    "(operators.bpe.train_bpe_merges), then encode the corpus vocabulary "
+    "with them (operators.bpe.encode_vocab — k chained map-side array "
+    "folds, zero shuffles) and report the top-50 subword tokens by "
+    "frequency-weighted occurrence — the end-to-end train+apply loop a "
+    "tokenizer pipeline runs. Oracle: the same k rounds unrolled, "
+    "aggregating the final positional relation.",
+    oracle=_bpe_encode_oracle(),
+)
+def bpe_encode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import encode_vocab, initial_vocab, train_bpe_merges
+
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, N_BPE_MERGES)
+    encoded = encode_vocab(initial_vocab(docs), merges)
+    return (
+        encoded.select(F.explode("syms").alias("token"), "freq")
+        .groupBy("token")
+        .agg(
+            F.sum("freq").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_vocab_positions"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )
+
+
 @register(
     "bpe_train_merges",
     doc=f"BPE tokenizer TRAINING (operators.bpe.train_bpe_merges): "

@@ -1376,3 +1376,18 @@ def test_bpe_train_merges_exact_python_model(spark, sf_dir):
     ]
     assert got == want
     assert len(got) == N_BPE_MERGES, "fixture too small to exercise every round"
+
+    # the APPLY half: after k rounds the model's vocab IS the encoded
+    # corpus — its frequency-weighted subword stats must match
+    # bpe_encode_token_stats exactly (top-50 by (count DESC, token))
+    counts, npos = collections.Counter(), collections.Counter()
+    for syms, f in vocab.values():
+        for sym in syms:
+            counts[sym] += f
+            npos[sym] += 1
+    want_tokens = sorted(counts, key=lambda t: (-counts[t], t))[:50]
+    enc = QUERIES["bpe_encode_token_stats"].spark(spark, sf_dir).collect()
+    assert [r.token for r in enc] == want_tokens
+    for r in enc:
+        assert r.n_occurrences == counts[r.token], r.token
+        assert r.n_vocab_positions == npos[r.token], r.token
