@@ -76,6 +76,22 @@ def _merge_bench(spark, sf_dir: str, n_runs: int) -> list[float]:
             snapshot(month.withColumn("price", F.col("price") + float(i + 1))).write.parquet(
                 f"{root}/batch{i}"
             )
+        # untimed warmup merge: the target build above takes the CREATE
+        # path (plain write, no full-outer join), so without this the
+        # first timed run carries the merge-join plan's one-time codegen
+        # and the emitted spread misreads as container jitter (review
+        # r10; same rationale as the minhash warmup below). A distinct
+        # price delta keeps every timed batch a real update.
+        snapshot(month.withColumn("price", F.col("price") + 0.5)).write.parquet(
+            f"{root}/batch_warm"
+        )
+        merge_upsert(
+            spark,
+            path,
+            spark.read.parquet(f"{root}/batch_warm"),
+            keys=["k1", "k2", "dt"],
+            partition_col="dt",
+        )
         runs: list[float] = []
         for i in range(n_runs):
             batch = spark.read.parquet(f"{root}/batch{i}")
@@ -115,6 +131,16 @@ def main() -> None:
     # drift (r3) — without spread, those are indistinguishable from
     # regressions.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    def _dist(runs: list[float]) -> tuple[float, dict[str, float]]:
+        """min-of-n + spread, the one recording shape for every series."""
+        runs = sorted(runs)
+        return round(runs[0], 3), {
+            "min": round(runs[0], 3),
+            "median": round(statistics.median(runs), 3),
+            "max": round(runs[-1], 3),
+        }
+
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
     for name in names:
@@ -126,13 +152,7 @@ def main() -> None:
                 # Force full evaluation; results are small (aggregates/top-k).
                 df.collect()
                 runs.append(time.perf_counter() - t0)
-            runs.sort()
-            timings[name] = round(runs[0], 3)
-            stats[name] = {
-                "min": round(runs[0], 3),
-                "median": round(statistics.median(runs), 3),
-                "max": round(runs[-1], 3),
-            }
+            timings[name], stats[name] = _dist(runs)
         except Exception as e:  # a broken query should show up, not crash bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -146,13 +166,7 @@ def main() -> None:
     aux_stats: dict[str, dict[str, float]] = {}
 
     def _record_aux(name: str, runs: list[float]) -> None:
-        runs = sorted(runs)
-        aux[name] = round(runs[0], 3)
-        aux_stats[name] = {
-            "min": round(runs[0], 3),
-            "median": round(statistics.median(runs), 3),
-            "max": round(runs[-1], 3),
-        }
+        aux[name], aux_stats[name] = _dist(runs)
 
     try:
         _record_aux("merge_partition_pruned", _merge_bench(spark, sf_dir, n_runs))

@@ -122,7 +122,11 @@ def canon(v) -> str:
     if isinstance(v, date):
         return f"dt:{v.isoformat()}"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+        # netstring-style length prefix keeps the encoding INJECTIVE: with
+        # a bare join, ['a,f:1'] and ['a','f:1'] collide and an
+        # array-valued query could false-pass the gate (review r10)
+        parts = [canon(x) for x in v]
+        return "[" + ",".join(f"{len(c)}:{c}" for c in parts) + "]"
     if isinstance(v, (bytes, bytearray)):
         return f"bytes:{v.hex()}"
     return f"{type(v).__name__}:{v}"
@@ -145,10 +149,12 @@ def compare_query(spark, con, spec, sf_dir: str) -> tuple[list[str], int]:
     folded into a comparison string.
     """
     s_pdf = spec.spark(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        # rows-only: no values are compared, so skip the per-cell
+        # canonicalization pass entirely (review r10)
+        return [], len(s_pdf)
     s_cols = list(s_pdf.columns)
     s_rows = _rows_from_pdf(s_pdf)
-    if spec.oracle is None:
-        return [], len(s_rows)
     o_pdf = con.execute(spec.oracle).df()
     o_cols = list(o_pdf.columns)
     o_rows = _rows_from_pdf(o_pdf)

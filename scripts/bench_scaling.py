@@ -99,6 +99,11 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench_scaling")
     headline = [n for n, s in Q.QUERIES.items() if s.headline]
+    missing = [n for n in EXTRA_QUERIES if n not in Q.QUERIES]
+    if missing:
+        # a renamed extra must fail loudly — its growth exponent is the
+        # evidence its docstring's scale claims rest on (review r10)
+        print(f"bench_scaling: EXTRA_QUERIES not registered: {missing}", file=sys.stderr)
     names = headline + [n for n in EXTRA_QUERIES if n in Q.QUERIES] + list(EXTRA_FNS)
 
     def plan(name, sf_dir):
@@ -107,10 +112,7 @@ def main() -> None:
 
     # an sf enters only with the COMPLETE table set: a dir left behind by
     # an interrupted gen_sf1 run must not contribute skewed partial totals
-    expected = (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split()
+    from fund_data_pipeline_spark.oracle import TABLES as expected  # one list, three consumers (review r10)
     sfs = [
         sf
         for sf, d in sorted(SF_DIRS.items())

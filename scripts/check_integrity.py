@@ -139,9 +139,24 @@ def check_driver_contract(errors: list[str]) -> list[str]:
 
 def main() -> int:
     errors: list[str] = []
-    modules = check_imports(errors)
-    n_cites = check_coverage_citations(errors)
-    rows_only = check_driver_contract(errors)
+    # each check is individually guarded: a crash in one (missing
+    # COVERAGE.md, syntax error in a cited test file) must not discard the
+    # failures the earlier checks already accumulated (review r10)
+    modules: list[str] = []
+    n_cites = 0
+    rows_only: list[str] = []
+    try:
+        modules = check_imports(errors)
+    except Exception as e:
+        errors.append(f"check_imports crashed: {e!r}")
+    try:
+        n_cites = check_coverage_citations(errors)
+    except Exception as e:
+        errors.append(f"check_coverage_citations crashed: {e!r}")
+    try:
+        rows_only = check_driver_contract(errors)
+    except Exception as e:
+        errors.append(f"check_driver_contract crashed: {e!r}")
     for e in errors:
         print(f"FAIL {e}")
     if rows_only:
