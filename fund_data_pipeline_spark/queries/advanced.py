@@ -306,12 +306,18 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         "side",
         F.last("c", ignorenulls=True).over(w).alias("__c"),
     )
+    # NULL user_id must carry NOTHING: the window partitions all NULL
+    # users together (three-valued-logic trap, review r10 — the operator
+    # kernel asof_join already guards this; the inlined headline form did
+    # not), while the oracle's equi-join never matches NULL — so the
+    # carried struct is masked out for keyless purchases.
+    carried = F.when(F.col("user_id").isNotNull(), F.col("__c"))
     return merged.filter(F.col("side") == 1).select(
         "event_id",
         "user_id",
         "ts",
-        F.col("__c.click_ts").alias("click_ts"),
-        F.col("__c.click_value").alias("click_value"),
+        carried.getField("click_ts").alias("click_ts"),
+        carried.getField("click_value").alias("click_value"),
     )
 
 

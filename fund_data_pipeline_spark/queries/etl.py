@@ -110,7 +110,7 @@ def null_sentinel_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        CAST(regexp_replace(pct_str, '[%,+]', '', 'g') AS DOUBLE) AS pct,
-       CAST(CAST(regexp_replace(thou_str, ',', '', 'g') AS DOUBLE) AS BIGINT) AS thou,
+       CAST(TRUNC(CAST(regexp_replace(thou_str, ',', '', 'g') AS DOUBLE)) AS BIGINT) AS thou,  -- TRUNC: Spark's double->long cast truncates toward zero, DuckDB's bare CAST rounds (r10)
        CASE regexp_extract(lower(trim(mag_str)), '-?[\\d,]*\\.?\\d+[ \\t\\n\\x0B\\f\\r]*([kmbt])', 1)
             WHEN 'k' THEN CAST(regexp_replace(regexp_extract(lower(trim(mag_str)), '(-?[\\d,]*\\.?\\d+)', 1), ',', '', 'g') AS DOUBLE) * 1e3
             WHEN 'm' THEN CAST(regexp_replace(regexp_extract(lower(trim(mag_str)), '(-?[\\d,]*\\.?\\d+)', 1), ',', '', 'g') AS DOUBLE) * 1e6
@@ -683,23 +683,19 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..lifecycle import scd2_apply
 
     orders = table(spark, sf_dir, "orders")
-    w_all = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    latest_all = (
-        orders.withColumn("__rn", F.row_number().over(w_all))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderpriority").alias("priority"))
-    )
-    pre = orders.filter(F.col("o_orderdate") < "1995-01-01")
-    w_pre = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    latest_pre = (
-        pre.withColumn("__rn", F.row_number().over(w_pre))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderpriority").alias("priority"))
-    )
+
+    # latest order per customer = the library dedup kernel, not a third
+    # hand-rolled window (review r10; same shape as latest_order_per_customer)
+    def latest_priority(df: DataFrame) -> DataFrame:
+        return dedup_keyed(
+            df, ["o_custkey"], ["o_orderdate", "o_orderkey"], keep="last"
+        ).select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+
+    latest_all = latest_priority(orders)
+    latest_pre = latest_priority(orders.filter(F.col("o_orderdate") < "1995-01-01"))
     h1 = scd2_apply(None, latest_pre, ["custkey"], ["priority"], "1995-01-01")
     h2 = scd2_apply(h1, latest_all, ["custkey"], ["priority"], "1998-08-02")
     return h2
@@ -965,7 +961,7 @@ def row_hash_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path), default-fill on NULL (default_if_null over a synthesized NULL), "
     "and filename-stem extraction (filename_stem_ticker over a composed "
     "landing path). All narrow map-side expressions.",
-    oracle="""
+    oracle=r"""
 SELECT c_custkey,
        string_split(c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR), ':')[1] AS ticker_part,
        string_split(c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR), ':')[-1] AS currency_part,

@@ -160,9 +160,14 @@ def event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_props_extraction",
     doc="Semi-structured extraction: pull k out of the JSON props column "
-    "(get_json_object / JSON path on both engines).",
+    "(get_json_object / JSON path on both engines). Contract: k_value is "
+    "NULL unless k is an INTEGER JSON number — Spark's string->bigint "
+    "try_cast rejects '1.9' while DuckDB's rounds it to 2 (review r10), "
+    "so the oracle pins strictness with an explicit integer-text guard.",
     oracle="""
-SELECT event_id, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+SELECT event_id,
+       CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_value
 FROM events
 """,
 )

@@ -299,7 +299,11 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no broadcast hint: the segment-filtered customer table GROWS
+        # with SF (~3M rows at sf100); AQE broadcasts it at runtime while
+        # it is actually small (review r10 — same rule the other customer
+        # joins adopted in r9)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(

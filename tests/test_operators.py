@@ -1391,3 +1391,47 @@ def test_bpe_train_merges_exact_python_model(spark, sf_dir):
     for r in enc:
         assert r.n_occurrences == counts[r.token], r.token
         assert r.n_vocab_positions == npos[r.token], r.token
+
+
+def test_asof_headline_query_null_user_carries_nothing(spark, tmp_path):
+    """The HEADLINE as-of query (not just the asof_join operator) must give
+    a NULL-user purchase NULL click info on both engines: the LOCF window
+    partitions all NULL users together and would cross-carry another
+    keyless user's click, while the oracle's equi-join never matches NULL
+    (review r10 — the operator kernel was guarded in r9, the inlined
+    headline form was not)."""
+    from datetime import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fund_data_pipeline_spark.queries import QUERIES
+
+    rows = [
+        (1, None, datetime(2024, 1, 1, 10), "click", 5.0),
+        (2, None, datetime(2024, 1, 1, 11), "purchase", None),
+        (3, 7, datetime(2024, 1, 1, 9), "click", 2.0),
+        (4, 7, datetime(2024, 1, 1, 12), "purchase", None),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    spec = QUERIES["asof_last_click_before_purchase"]
+    got = {
+        r.event_id: (r.click_ts, r.click_value)
+        for r in spec.spark(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = {r[0]: (r[3], r[4]) for r in con.execute(spec.oracle).fetchall()}
+    assert got == want
+    assert got[2] == (None, None)
+    assert got[4] == (datetime(2024, 1, 1, 9), 2.0)
