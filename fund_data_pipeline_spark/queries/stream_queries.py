@@ -62,14 +62,24 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup_users",
-    doc="Streaming dropDuplicates on (user_id, event_type) with a watermark, "
-    "drained append-mode to a sink, then a batch count per type — i.e. "
-    "incremental distinct-user tracking over the landing zone.",
+    doc="Streaming dropDuplicates on (user_id, event_type) drained "
+    "append-mode to a sink, then a batch count per type — incremental "
+    "EXACT distinct-user tracking over the landing zone. No watermark: "
+    "exact distinct state is necessarily keyed forever, and it is bounded "
+    "by the ENTITY domain (|users| x |event_types|), not stream length — "
+    "the right cost model for a user dimension; a time-bounded "
+    "approximation is dropDuplicatesWithinWatermark (review r10: a "
+    "watermark declared next to a plain dropDuplicates is silently "
+    "ignored — Spark only evicts when the event-time column is part of "
+    "the dedup subset). NULL user_ids are excluded up front to match "
+    "COUNT(DISTINCT), which never counts NULL.",
     oracle="SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
 )
 def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
-    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["user_id", "event_type"])
+    deduped = ev.filter(F.col("user_id").isNotNull()).dropDuplicates(
+        ["user_id", "event_type"]
+    )
     sink = run_to_memory(deduped.select("user_id", "event_type"), "append")
     return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
 
@@ -78,6 +88,9 @@ _STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("value_q_sum", LongType()),
+        # non-null value count: distinguishes "sum of zero values" (NULL,
+        # like SQL SUM over an all-NULL group) from a true zero sum (r10)
+        StructField("n_values", LongType()),
     ]
 )
 _OUT_SCHEMA = StructType(
@@ -96,16 +109,26 @@ def _user_stats_fn(key, pdf_iter, state: GroupState):
     numpy and the SQL oracle) so the accumulation is exact integer math —
     deterministic regardless of batch/arrival order. O(1) state per key.
     """
-    n, q = state.get if state.exists else (0, 0)
+    n, q, nn = state.get if state.exists else (0, 0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
         v = pdf["value"].to_numpy()
         # NaN (a NULL value) must be skipped like the oracle's SUM skips
         # NULLs — np.floor(NaN).astype(int64) silently yields INT64_MIN
         v = v[~np.isnan(v)]
+        nn += len(v)
         q += int(np.floor(v * 1e6).astype("int64").sum())
-    state.update((n, q))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_q_sum": [q]})
+    state.update((n, q, nn))
+    # SQL SUM over an all-NULL group is NULL, not 0 (review r10): emit a
+    # nullable Int64 so a user whose every event has NULL value matches
+    # the oracle instead of reporting a phantom zero sum
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_q_sum": pd.array([q if nn else None], dtype="Int64"),
+        }
+    )
 
 
 @register(

@@ -143,8 +143,24 @@ def write_upsert(
     dialect: str = "postgresql",
     batch_size: int = 1000,
     constraint: str | None = None,
+    dedupe_order: Sequence = (),
 ) -> None:
     """Upsert ``df`` into ``table`` through per-partition DBAPI connections.
+
+    Duplicate-key discipline (review r10): rows are repartitioned ON the
+    natural key and sorted by it within each partition, so (a) every
+    occurrence of a key lands in ONE partition/transaction — two
+    transactions can never update the same key, and (b) all transactions
+    acquire row locks in the same global key order, which removes the
+    lock-cycle deadlock a hash-partitioned executemany can hit when
+    different partitions update overlapping key sets in different orders.
+    Pass ``dedupe_order`` (sort columns, e.g. ``['scrape_date']``) to
+    collapse same-key duplicates deterministically first via
+    ``dedup_keyed(keep='last')`` — the same discipline the parquet merge
+    applies internally; without it, same-key rows hit ON CONFLICT in key
+    order but their RELATIVE order (hence the surviving value) is
+    undefined, so inputs with duplicate keys REQUIRE it for reproducible
+    reruns.
 
     ``connection_factory`` is called once per partition ON THE EXECUTOR and
     must return a DBAPI connection (e.g. ``lambda: psycopg2.connect(dsn)``);
@@ -160,6 +176,13 @@ def write_upsert(
     (review r9: this form was previously reachable only via
     :func:`upsert_sql`, never from the executor sink).
     """
+    if dedupe_order:
+        from ..dedup import dedup_keyed
+
+        df = dedup_keyed(df, list(keys), list(dedupe_order), keep="last")
+    from pyspark.sql import functions as F
+
+    df = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*keys)
     cols = list(df.columns)
     sql = upsert_sql(table, cols, keys, hash_col, skip_update, dialect, constraint=constraint)
 

@@ -34,6 +34,18 @@ from ..parse import asset_type_from_path, filename_stem_ticker, path_date
 DEFAULT_EXCLUDE_NAME_PARTS = ("error", "log")
 
 
+def name_excluded_col(file_col, parts: Sequence[str] = DEFAULT_EXCLUDE_NAME_PARTS):
+    """Scan-level twin of :func:`name_excluded`: a boolean Column that is
+    True iff the BASENAME of ``file_col`` (a path column, e.g.
+    ``input_file_name()``) has a ``.``/``_``/``-``-delimited token equal to
+    one of ``parts`` (case-insensitive). ONE definition feeds the batch
+    scan filter below and the streaming NAV loader (review r10: the stream
+    re-read error/log sentinel files the batch reader skips)."""
+    basename = F.lower(F.element_at(F.split(file_col, "/"), -1))
+    name_tokens = F.split(basename, r"[._\-]")
+    return F.arrays_overlap(name_tokens, F.array(*[F.lit(p.lower()) for p in parts]))
+
+
 def name_excluded(basename: str, parts: Sequence[str] = DEFAULT_EXCLUDE_NAME_PARTS) -> bool:
     """Python twin of the scan-level token filter: True iff any ``.``/``_``/
     ``-``-delimited token of ``basename`` equals one of ``parts``
@@ -81,18 +93,23 @@ def read_landing_csvs(
         .option("recursiveFileLookup", str(recursive).lower())
     )
     if schema is not None:
-        reader = reader.schema(schema).option(
-            "columnNameOfCorruptRecord", "_corrupt_record"
+        # enforceSchema=false makes Spark VERIFY each file's CSV header
+        # against the schema instead of binding columns positionally: a
+        # multi-dir scan where one scraper reordered its columns fails
+        # loudly instead of silently loading source values into asset_type
+        # (review r10 — the positional default is exactly the corruption
+        # rename_synonyms cannot see, since it only sees the bound names)
+        reader = (
+            reader.schema(schema)
+            .option("enforceSchema", "false")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
         )
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     df = reader.csv(list(paths))
     df = df.withColumn("origin_file", F.input_file_name())
     if exclude_name_parts:
-        basename = F.lower(F.element_at(F.split(F.col("origin_file"), "/"), -1))
-        name_tokens = F.split(basename, r"[._\-]")
-        parts = F.array(*[F.lit(p.lower()) for p in exclude_name_parts])
-        df = df.filter(~F.arrays_overlap(name_tokens, parts))
+        df = df.filter(~name_excluded_col(F.col("origin_file"), exclude_name_parts))
     if not with_provenance:
         df = df.drop("origin_file")
     return df

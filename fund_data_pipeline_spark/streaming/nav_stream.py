@@ -41,6 +41,8 @@ def start_nav_stream(
     rollup_group_cols: tuple[str, ...] = ("source",),
     rollup_measures=None,
     errors_path: str | None = None,
+    exclude_name_parts: tuple[str, ...] | None = None,
+    processing_time: str | None = None,
 ):
     """Drain new landing CSVs into the NAV table; returns the StreamingQuery.
 
@@ -82,7 +84,30 @@ def start_nav_stream(
     without a trace. The guard lives inside the merge's own full-outer
     join (and its partition-pruned target scan in rollup mode), so it
     costs no second scan of the target.
+
+    ``exclude_name_parts``: basename-token sentinel filter, defaulting to
+    the batch reader's ('error', 'log') — the stream drops rows from
+    error-report/log CSVs exactly like
+    :func:`..sources.csv_landing.read_landing_csvs` (review r10: the
+    stream previously merged same-schema error files into the NAV table).
+    Limitation: a sentinel file whose HEADER diverges from the schema
+    still fails the micro-batch loudly at read (enforceSchema's verify
+    contract runs before any row filter); remove such files or point the
+    stream at a cleaner prefix.
+
+    ``processing_time``: a trigger interval (e.g. ``'5 minutes'``) turns
+    the drain into the continuous loader the module docstring describes;
+    default None keeps the one-shot availableNow drain (review r10: the
+    trigger was hardcoded, so the documented continuous mode was
+    unreachable).
     """
+    from pyspark.sql import functions as F
+
+    from ..sources.csv_landing import DEFAULT_EXCLUDE_NAME_PARTS, name_excluded_col
+
+    parts = (
+        DEFAULT_EXCLUDE_NAME_PARTS if exclude_name_parts is None else exclude_name_parts
+    )
     raw = (
         spark.readStream.schema(schema)
         .option("header", True)
@@ -90,13 +115,15 @@ def start_nav_stream(
         # schema instead of binding columns positionally — a landing file
         # with reordered or synonym headers fails loudly rather than
         # silently merging source values into asset_type (the batch reader
-        # maps by header name; the stream cannot, so it must verify)
+        # verifies the same way since r10)
         .option("enforceSchema", "false")
         .option("pathGlobFilter", "*.csv")
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .csv(landing_dir)
     )
+    if parts:
+        raw = raw.filter(~name_excluded_col(F.input_file_name(), parts))
 
     def load_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -145,20 +172,28 @@ def start_nav_stream(
             if touched is None:
                 touched = [r[0] for r in batch.select("as_of_date").distinct().collect()]
             measures = rollup_measures or {"n_quotes": F.count(F.lit(1))}
-            refresh_rollup(
-                read_table(spark, target_path),
-                rollup_path,
-                partition_col="as_of_date",
-                group_cols=list(rollup_group_cols),
-                measures=measures,
-                touched=touched,
-            )
+            # a backfill batch can touch thousands of dates; refresh in
+            # bounded chunks so no single plan carries an unbounded isin
+            # literal list (review r10 — partition swaps are independent,
+            # so chunked refreshes produce the identical rollup)
+            base = read_table(spark, target_path)
+            for i in range(0, len(touched), 64):
+                refresh_rollup(
+                    base,
+                    rollup_path,
+                    partition_col="as_of_date",
+                    group_cols=list(rollup_group_cols),
+                    measures=measures,
+                    touched=touched[i : i + 64],
+                )
         finally:
             cleaned.unpersist()
 
-    return (
-        raw.writeStream.foreachBatch(load_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = raw.writeStream.foreachBatch(load_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
