@@ -81,8 +81,15 @@ def initial_vocab(
 
     ws = ws_re if ws_re is not None else WS_RE
     col = F.col(text_col)
-    tok = docs.filter(F.length(F.trim(col)) > 0).select(
-        F.explode(F.split(F.trim(col), ws)).alias("w")
+    # trim() strips only SPACES: a doc bounded by tab/newline splits to a
+    # leading/trailing '' token (review r10). '' never affects merges or
+    # encoded output (no symbols, no positions on either engine) but it
+    # would sit in the vocabulary relation with real frequency mass —
+    # filtered here so downstream consumers never see a phantom word.
+    tok = (
+        docs.filter(F.length(F.trim(col)) > 0)
+        .select(F.explode(F.split(F.trim(col), ws)).alias("w"))
+        .filter(F.length("w") > 0)
     )
     return (
         tok.groupBy("w")
@@ -169,7 +176,17 @@ def encode_vocab(vocab: DataFrame, merges) -> DataFrame:
     chained folds over the vocabulary relation, zero shuffles. This is
     the APPLY half of BPE: train once, encode any corpus whose words hit
     the same vocabulary."""
-    syms = F.col("syms")
-    for m in merges:
-        syms = _apply_merge(syms, m.left_sym, m.right_sym)
-    return vocab.select("freq", syms.alias("syms"))
+    out = vocab
+    merges = list(merges)
+    # fold expressions nest: thousands of chained merges in ONE projection
+    # would blow up Catalyst analysis (review r10) — apply in bounded
+    # chunks, pinning between chunks exactly like the training loop
+    chunk = 16
+    for start in range(0, len(merges), chunk):
+        syms = F.col("syms")
+        for m in merges[start : start + chunk]:
+            syms = _apply_merge(syms, m.left_sym, m.right_sym)
+        out = out.select("freq", syms.alias("syms"))
+        if start + chunk < len(merges):
+            out = out.localCheckpoint(eager=True)
+    return out

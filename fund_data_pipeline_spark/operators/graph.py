@@ -82,6 +82,11 @@ def connected_components(
 
     ``nodes``: one row per node id (singletons allowed — they become their
     own cluster). ``edges``: undirected pairs; symmetrized internally.
+    Edge endpoints missing from ``nodes`` are added to the label seed
+    (review r10: an endpoint without a label row silently broke every
+    path through it — propagation "converged" with the component split,
+    while the star fallback would have merged it, so the answer depended
+    on which phase happened to finish).
 
     Plain min-label propagation needs ~graph-diameter rounds — right for
     near-dup blobs (diameter 2-4), pathological for chain-shaped graphs. If
@@ -103,7 +108,13 @@ def connected_components(
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
 
-    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
+    endpoints = sym.select(F.col("src").alias("node"))  # sym already has both directions
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .union(endpoints)
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
 
     converged = False
     rounds_used = 0

@@ -35,7 +35,16 @@ def hash_bucket(key: Column | str, n_buckets: int = N_BUCKETS, salt: str = "") -
     key is fully correlated — e.g. an unsalted 20% sample followed by an
     unsalted 80/10/10 split puts every sampled row in 'train'. Give each
     independent decision its own salt (``shuffled_shards`` already salts
-    with its seed)."""
+    with its seed).
+
+    NULL keys: md5(NULL) is NULL, so the bucket is NULL and every
+    downstream comparison is three-valued-false — a NULL-key row is
+    DROPPED by every sampler and labeled NULL by split_column, matching
+    the oracles' identical md5-based SQL exactly (both engines agree;
+    pinned as the contract in r10). Sample on a non-null key (synthesize
+    one upstream if needed); the samplers intentionally do not coalesce,
+    because an invented sentinel key would silently co-locate all NULL
+    rows in one bucket and skew small splits."""
     c = F.col(key) if isinstance(key, str) else key
     keyed = F.concat(F.lit(f"{salt}|"), c.cast("string")) if salt else c.cast("string")
     h = F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
@@ -52,9 +61,16 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float, salt: str = "
 
 
 def split_column(key: Column | str, weights: Sequence[float], labels: Sequence[str]) -> Column:
-    """Label each row train/val/test (etc.) by cumulative hash-bucket range."""
+    """Label each row train/val/test (etc.) by cumulative hash-bucket range.
+
+    NULL keys get a NULL label (see :func:`hash_bucket`)."""
     if len(weights) != len(labels):
         raise ValueError("weights and labels must align")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights):
+        # a zero/negative weight silently collapses splits (review r10)
+        raise ValueError(f"weights must be positive, got {list(weights)}")
     total = sum(weights)
     bucket = hash_bucket(key)
     expr = None

@@ -14,7 +14,9 @@ against the same DuckDB oracle as the JVM variant — the Arrow path itself
 sits under the correctness gate.
 
 Scale notes:
-- partial top-k per batch bounds the shuffle to k rows x n_partitions;
+- a RUNNING top-k across the partition's Arrow batches bounds the
+  shuffle to k rows x n_partitions (review r10: per-batch yields were
+  k x n_batches — 1000x the documented bound on a 10M-row partition);
   the final exact ordering sorts a few hundred rows, never the corpus.
 - the probe vector rides in the closure (tiny); for probe BATCHES, extend
   the kernel to a matrix-matrix product per Arrow batch.
@@ -33,11 +35,20 @@ if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
 def _round_half_away(a):
-    """round() as Spark/DuckDB do it: half away from zero (np.round is
-    half-to-even, which disagrees on exact .5 fractions)."""
+    """round() as Spark/DuckDB do it: half away from zero on the EXACT
+    binary double. np.round is half-to-even (disagrees on exact .5
+    fractions); floor(a + 0.5) is subtly wrong too — the ADDITION rounds
+    first, so a = 0.49999999999999994 (whose a+0.5 rounds up to 1.0)
+    came out 1 where Spark's BigDecimal HALF_UP gives 0 (review r10,
+    reproduced live). The fraction is therefore compared exactly:
+    abs(a) - floor(abs(a)) is an exact float subtraction (Sterbenz), so
+    the >= 0.5 test sees the true binary value."""
     import numpy as np
 
-    return np.where(a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5)).astype("int64")
+    aa = np.abs(a)
+    fl = np.floor(aa)
+    r = fl + ((aa - fl) >= 0.5)
+    return (np.where(a < 0, -r, r)).astype("int64")
 
 
 _OUT = T.StructType(
@@ -115,6 +126,12 @@ def blocked_self_join(
     emitted exactly once (pair i<j matches only the (block_i, block_j)
     grid cell), so no dedup pass is needed downstream."""
     keys = list(key_cols)
+    # reserved-name guard, same contract as dedup_keyed/temperature_sample
+    # (review r10): an input column named like the internal block columns
+    # would be silently clobbered and produce wrong pairs with no error
+    clash = {"__blk", "__pj", "__pi", "__max_blk"} & set(df.columns)
+    if clash:
+        raise ValueError(f"column names reserved by blocked_self_join: {sorted(clash)}")
     left, right = _blocked_sides(df, keys, id_col, block_size, list(payload_cols))
     left, right = left.alias("a"), right.alias("b")
     cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys] + [
@@ -175,6 +192,7 @@ def topk_cosine(
         import numpy as np
         import pandas as pd
 
+        best: "pd.DataFrame | None" = None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -187,7 +205,9 @@ def topk_cosine(
             # a zero-norm vector (padding/default row) has no defined cosine:
             # 0/0 -> NaN, which pandas sorts LAST in the partial top-k but
             # Spark's orderBy ranks ABOVE every real value — partition-
-            # dependent garbage at rank 1. Exclude such rows outright.
+            # dependent garbage at rank 1. Exclude such rows outright (the
+            # JVM catalog twin and its oracle carry the same enorm > 0
+            # filter, pinned in r10).
             mask = norms > 0.0
             ids, labels = pdf[id_col].to_numpy()[mask], pdf[label_col].to_numpy()[mask]
             cos = dots[mask].astype("float64") / (norms[mask] * qnorm)
@@ -198,9 +218,15 @@ def topk_cosine(
                     "cosine": cos,
                 }
             )
-            # partial top-k: only k candidates per batch survive the shuffle
-            out = out.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-            yield out
+            # RUNNING top-k across the partition's batches: exactly k rows
+            # per PARTITION reach the shuffle, not k per Arrow batch
+            # (review r10 — per-batch yields were k x n_batches)
+            best = out if best is None else pd.concat([best, out], ignore_index=True)
+            best = best.sort_values(
+                ["cosine", "vec_id"], ascending=[False, True]
+            ).head(k)
+        if best is not None:
+            yield best
 
     src = emb
     if exclude_vec_id is not None:

@@ -61,6 +61,11 @@ def gap_fill_locf(
             "__d0",
             F.greatest(F.col("__d0"), F.date_sub(F.col("__d1"), last_n_days - 1)),
         )
+        # two consumers in the capped branch (the spine explode and the
+        # carry-in seed join) — pin the |keys|-sized relation so the
+        # full-scan aggregate behind it runs once, not once per consumer
+        # (review r10; same rule as temperature_sample's counts relation)
+        spans = spans.localCheckpoint(eager=True)
     spine = spans.select(
         *keys,
         F.col("__d0"),

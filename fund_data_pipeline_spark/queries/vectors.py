@@ -140,6 +140,7 @@ WITH q AS (
 SELECT vec_id, label,
        CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(enorm AS DOUBLE))) AS cosine
 FROM scored
+WHERE enorm > 0
 ORDER BY cosine DESC, vec_id
 LIMIT 20
 """,
@@ -167,8 +168,15 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = F.col("dot").cast("double") / (
         F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("enorm").cast("double"))
     )
+    # zero-norm candidates have no defined cosine: 0/0 = NaN, and Spark
+    # ranks NaN ABOVE every real value in a desc sort — a padding/default
+    # row would take rank 1. Excluded on BOTH sides (and in the Arrow
+    # kernel, operators/similarity.py), so the three variants agree
+    # (review r10: only the Arrow kernel filtered; one zero vector would
+    # have made the 'identical' variants return different top-20 sets).
     return (
-        scored.select("vec_id", "label", cosine.alias("cosine"))
+        scored.filter(F.col("enorm") > 0)
+        .select("vec_id", "label", cosine.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(20)
     )
