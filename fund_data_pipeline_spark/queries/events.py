@@ -167,7 +167,7 @@ def event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_value
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_value
 FROM events
 """,
 )

@@ -973,8 +973,9 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BPE_MERGES = 6
 
 
-def _bpe_train_oracle(k: int = N_BPE_MERGES) -> str:
-    """Unrolled DuckDB replay of k BPE merge rounds (operators.bpe).
+def _bpe_oracle_body(k: int) -> str:
+    """The shared WITH-chain of the two BPE oracles: k unrolled merge
+    rounds ending at the positional relation ``s{k+1}``.
 
     Each round: exact pair counts over the positional vocabulary relation,
     argmax by (count DESC, left, right), then greedy left-to-right merge
@@ -985,7 +986,13 @@ def _bpe_train_oracle(k: int = N_BPE_MERGES) -> str:
     equivalence argument). Every chained CTE is MATERIALIZED: DuckDB
     inlines CTEs by default, and each round references the prior relation
     three times, so an inlined chain re-expands the base scan ~3^k times
-    (observed as a too-many-open-files explosion at k=6)."""
+    (observed as a too-many-open-files explosion at k=6).
+
+    Returned as its own piece so the train and encode oracles compose it
+    with their final SELECTs directly — the encode oracle previously
+    recovered it by string-slicing the full train SQL at a sentinel
+    substring, which silently mis-slices if the union header wording ever
+    changes (advice r10)."""
     parts = [
         r"""WITH tok AS (
   SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS w
@@ -1030,12 +1037,16 @@ def _bpe_train_oracle(k: int = N_BPE_MERGES) -> str:
   WHERE prev.pos IS NULL
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(k: int = N_BPE_MERGES) -> str:
+    """The k selected merges, one row per round, in merge order."""
     union = "\nUNION ALL\n".join(
         f"SELECT merge_idx, ls AS left_sym, rs AS right_sym, merged_sym, pair_count, n_word_positions FROM best{r}"
         for r in range(1, k + 1)
     )
-    parts.append(f"\n{union}\nORDER BY merge_idx")
-    return "".join(parts)
+    return f"{_bpe_oracle_body(k)}\n{union}\nORDER BY merge_idx"
 
 
 def _bpe_encode_oracle(k: int = N_BPE_MERGES) -> str:
@@ -1043,9 +1054,7 @@ def _bpe_encode_oracle(k: int = N_BPE_MERGES) -> str:
     :func:`_bpe_train_oracle`, but the answer is the final positional
     relation s{k+1} aggregated to subword frequencies (each distinct
     word's positions weighted by its corpus frequency)."""
-    train = _bpe_train_oracle(k)
-    body = train[: train.index("\nSELECT merge_idx")]  # start of the bests union
-    return f"""{body}
+    return f"""{_bpe_oracle_body(k)}
 SELECT sym AS token,
        CAST(SUM(freq) AS BIGINT) AS n_occurrences,
        CAST(COUNT(*) AS BIGINT) AS n_vocab_positions

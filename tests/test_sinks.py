@@ -116,6 +116,45 @@ def test_write_upsert_multi_partition_connections(spark, tmp_path):
     assert got == {i: f"v{i}" for i in range(40)}
 
 
+def test_write_upsert_empty_partitions_open_no_connections(spark, tmp_path):
+    """A keyed repartition scatters a small frame across
+    spark.sql.shuffle.partitions slots, most of them EMPTY — those must
+    not pay a connection_factory round-trip (advice r10). The factory
+    counts its calls through a sidecar file; with 3 keys the count must
+    be at most 3, never the shuffle-partition count."""
+    db = str(tmp_path / "empty.db")
+    calls = str(tmp_path / "calls")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE t (k INTEGER, v TEXT, row_hash TEXT, UNIQUE(k))")
+
+    def factory(db=db, calls=calls):
+        import os
+
+        with open(calls, "a") as fh:
+            fh.write(f"{os.getpid()}\n")
+        return sqlite3.connect(db, timeout=30)
+
+    df = spark.createDataFrame(
+        [(1, "a", "h1"), (2, "b", "h2"), (3, "c", "h3")],
+        "k long, v string, row_hash string",
+    )
+    write_upsert(df, factory, "t", keys=["k"], dialect="sqlite")
+    with sqlite3.connect(db) as conn:
+        assert dict(conn.execute("SELECT k, v FROM t").fetchall()) == {
+            1: "a",
+            2: "b",
+            3: "c",
+        }
+    with open(calls) as fh:
+        n_connections = len(fh.readlines())
+    assert 1 <= n_connections <= 3
+
+    # bounded fan-out: num_partitions pins the write parallelism
+    write_upsert(df, factory, "t", keys=["k"], dialect="sqlite", num_partitions=2)
+    with open(calls) as fh:
+        assert len(fh.readlines()) - n_connections <= 2
+
+
 def test_upsert_sql_rejects_unsafe_identifiers():
     from fund_data_pipeline_spark.sinks.jdbc_upsert import upsert_sql
 
