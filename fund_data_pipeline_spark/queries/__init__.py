@@ -26,27 +26,41 @@ from . import mlops  # noqa: E402,F401
 #: operator family from SURVEY §2 plus every LLM-pipeline/streaming/vector
 #: component gets a driver-checked row.
 #:
-#: Window policy (round-2 VERDICT rule): any query that has EVER failed a
-#: driver check stays in the window until it has a green driver row.
-#: Round-10 rotation (per the round-9 VERDICT item 3): round 9's driver
-#: gate never ran (import crash), so CORRECTNESS_r09 is empty and the r9
-#: window produced no evidence. In: the 14 never-driver-checked queries —
-#: the 3 late-r8 additions (row_hash_surfaces, string_compose_format,
-#: union_mixed_schemas, two rounds waiting) and all 11 r9 additions —
-#: plus the 26 queries whose latest driver row is r6 (they sat in the r9
-#: window that never ran) and the 2 single-green-r7 queries whose kernels
-#: changed in r8 (price_quantity_stats, incremental_rollup_revenue). The
-#: 8 headline (benched) queries stay, per standing policy. After this
-#: round, every query registered BEFORE r10 has a driver row no older
-#: than r7 and none is driver-unchecked; the one r10 addition
-#: (bpe_train_merges, registered after this rotation) takes the first
-#: slot next rotation per the late-addition contract. Every excluded query is listed in
+#: Window-rotation policy (codified r11 per the r10 VERDICT; r10 applied
+#: it by hand). At every rotation:
+#:
+#:   1. The 8 headline (benched) queries keep their slots.
+#:   2. Queries with ZERO driver evidence (late additions registered after
+#:      the previous rotation) take the next slots — the late-addition
+#:      contract their ``_OUT_OF_WINDOW_WHY`` entries promise.
+#:   3. Remaining slots fill strictly OLDEST-latest-green-first (latest
+#:      green driver round ascending, ties alphabetical).
+#:   4. Any query that has EVER failed a driver check stays in the window
+#:      until it has a green driver row (round-2 rule; never yet
+#:      triggered — no catalog query has finished a round red).
+#:   5. No registered query's latest green evidence may be older than
+#:      ``MAX_EVIDENCE_AGE`` rounds as of ``ROTATION_ROUND`` —
+#:      ``tests/test_core.py::test_window_rotation_staleness_policy``
+#:      recomputes both sides from the committed CORRECTNESS_r*.json
+#:      history, so a rotation that parks a stale query past position 50
+#:      fails the suite, not just the judge's audit.
+#:
+#: Round-11 rotation: IN — ``bpe_train_merges`` + ``bpe_encode_token_stats``
+#: (the two r10 late additions, first non-headline slots per rule 2) and
+#: all 40 queries whose latest green is r7 (rule 3 — they are the entire
+#: oldest cohort and exactly fill the window). OUT — the 42 non-headline
+#: members of the r10 window (all green r10) and the 42 queries whose
+#: latest green is r8; the r8 cohort is now the oldest evidence in the
+#: catalog and must come back in at the r12 rotation (rule 5: r8 evidence
+#: reaches age 4 then). Every excluded query is listed in
 #: _OUT_OF_WINDOW_WHY below with the CORRECTNESS round(s) that checked it
 #: green, still registered, and still gated by scripts/verify_local.py +
 #: tests/test_catalog_oracle.py.
+ROTATION_ROUND = 11
+MAX_EVIDENCE_AGE = 4
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
-    # headline queries (benched) — stay in-window every round
+    # headline queries (benched) — stay in-window every round (rule 1)
     "pricing_summary",
     "top_unshipped_orders",
     "regional_supplier_volume",
@@ -55,155 +69,148 @@ _CHECKED_FIRST = [
     "tumbling_window_stats",
     "text_statistics",
     "exact_dedup",
-    # ---- late round-8 additions: never driver-checked, all enter ----
-    "row_hash_surfaces",
-    "string_compose_format",
-    "union_mixed_schemas",
-    # ---- round-9 additions: never driver-checked, all 11 enter ----
-    "bm25_doc_search",
-    "unigram_likelihood_quality",
-    "ngram_novelty",
-    "corpus_mix_drift",
-    "temperature_rebalance_mixture",
-    "source_frequency_cap",
-    "duplicated_span_dedup",
-    "embedding_int8_quantization",
-    "hybrid_bm25_cosine_rerank",
-    "content_defined_chunking",
-    "bpe_pair_stats",
-    # ---- latest driver row is r6 (all 26 enter) ----
-    "active_customers_semi",
-    "conform_master_list",
-    "customers_without_orders",
-    "date_parsing_and_arithmetic",
-    "dedup_keep_last",
-    "doc_fingerprint",
-    "embedding_ivf_topk",
-    "embedding_lsh_buckets",
-    "embedding_topk_pandas",
-    "fee_rescale_and_repair",
-    "group_count_breakdown",
-    "hash_guarded_merge",
-    "latest_order_per_customer",
-    "lifecycle_status_transitions",
-    "locf_last_valid_value",
-    "master_validation_issues",
-    "nav_validation_errors",
-    "ntile_quartiles",
-    "numeric_string_parsing",
-    "retention_cutoff_prune",
-    "row_hash_change_detection",
-    "running_revenue_by_supplier",
-    "stratified_hash_sample",
-    "streaming_dedup_users",
-    "streaming_session_counts",
-    "top_orders_per_customer",
-    # ---- single-green r7, kernels changed in r8, never re-checked ----
-    "price_quantity_stats",
-    "incremental_rollup_revenue",
+    # ---- rule 2: r10 late additions, zero driver evidence ----
+    "bpe_train_merges",
+    "bpe_encode_token_stats",
+    # ---- rule 3: the 40 queries whose latest green is r7 ----
+    "audio_quality_gate",
+    "boilerplate_scrub",
+    "characteristic_terms",
+    "churned_buyers_except",
+    "cohort_retention",
+    "daily_order_anomaly",
+    "deterministic_shuffle_order",
+    "distinct_counts",
+    "duplicate_key_stats",
+    "embedding_centroid_stats",
+    "grouping_sets_revenue",
+    "hierarchy_flatten",
+    "incremental_near_dup",
+    "key_skew_profile",
+    "nation_pair_revenue",
+    "ngram_jaccard_pairs",
+    "null_sentinel_cleanup",
+    "order_fulfillment_outer",
+    "order_price_lead_lag",
+    "price_histogram",
+    "price_quartiles_by_segment",
+    "priority_orders_exists",
+    "promo_revenue_share",
+    "record_linkage_fuzzy",
+    "repeat_buyers_intersect",
+    "rolling_30d_revenue",
+    "rollup_revenue",
+    "running_distinct_users",
+    "salted_join_revenue",
+    "scd2_priority_history",
+    "semantic_dedup_cells",
+    "sessionization",
+    "sliding_window_stats",
+    "small_quantity_revenue",
+    "snapshot_diff",
+    "streaming_click_purchase_join",
+    "streaming_enriched_purchases",
+    "token_vocabulary",
+    "top_supplier_revenue",
+    "video_frame_sample_stats",
 ]
 
 
 #: Every query excluded from the driver window, with its justification —
 #: structurally enforced by :func:`_pin_driver_window` (an undocumented
 #: exclusion is a hard error at import, so a failing query cannot be quietly
-#: parked past position 50). "driver-green rN" cites the CORRECTNESS round
-#: that checked the query itself; "family in-window via X" names its
-#: representative in the CURRENT (r10) window.
+#: parked past position 50). "driver-green rN" cites the CORRECTNESS
+#: round(s) that checked the query itself green (mechanically audited by
+#: tests/test_core.py::test_out_of_window_citations_match_correctness_records);
+#: "family in-window via X" names its kernel representative in the CURRENT
+#: (r11) window.
 _OUT_OF_WINDOW_WHY = {
-    # ---- new in round 10: never driver-checked; verified by
-    # scripts/verify_local.py at sf0.001/0.01/0.1 and gated every round by
-    # tests/test_catalog_oracle.py; first window slot next rotation ----
-    "bpe_train_merges": "new r10, local-oracle verified; tokenizer-training family — the iterative merge loop over the SAME pair-count kernel as bpe_pair_stats (in-window) + token_vocabulary-style explode/agg",
-    "bpe_encode_token_stats": "new r10, local-oracle verified; tokenizer-apply family — k chained map-side folds over the bpe_train_merges table, aggregated like bpe_pair_stats (in-window, same explode+grouped-count kernel)",
-    # ---- rotated out in round 10: single-green r7 (their r9 window
-    # slots produced no evidence — the r9 gate never ran); family
-    # representatives named are in the CURRENT (r10) window ----
-    "streaming_click_purchase_join": "driver-green r7; stream-stream join family in-window via streaming_session_counts + asof_last_click_before_purchase (headline)",
-    "streaming_enriched_purchases": "driver-green r7; stream-static join family in-window via streaming_dedup_users + streaming_session_counts + tumbling_window_stats (headline)",
-    "token_vocabulary": "driver-green r7; tokenize+vocab family in-window via bpe_pair_stats (same pinned-class whitespace tokenize kernel, queries/text._ws_tokens) + bm25_doc_search (same doc-frequency kernel)",
-    "boilerplate_scrub": "driver-green r7; segment-scrub family in-window via content_defined_chunking (same scan+explode segment kernel) + exact_dedup (headline)",
-    "semantic_dedup_cells": "driver-green r7; cell-blocked vector near-dup family in-window via embedding_ivf_topk (same cell-assign kernel) + embedding_lsh_buckets",
-    "incremental_near_dup": "driver-green r7; minhash-band family in-window via ngram_novelty (shingle-index kernel) + duplicated_span_dedup (span-hash join kernel)",
-    "record_linkage_fuzzy": "driver-green r7; blocked fuzzy-match family in-window via ngram_novelty (shingle kernel) + duplicated_span_dedup (blocked-join kernel)",
-    "hierarchy_flatten": "driver-green r7; iterative-graph family — no in-window rep this rotation (the 14 never-checked queries take priority); gated by local oracle + tests/test_graph.py",
-    "scd2_priority_history": "driver-green r7; SCD2 family in-window via row_hash_change_detection + latest_order_per_customer",
-    "rolling_30d_revenue": "driver-green r7; range-frame window family in-window via running_revenue_by_supplier + locf_last_valid_value (keyed windows)",
-    "daily_order_anomaly": "driver-green r7; robust-stats family in-window via price_quantity_stats + ntile_quartiles",
-    # ---- rotated out in round 9: latest driver row is r8 (fresh) ----
-    "winsorized_price_stats": "driver-green r8; robust-stats family in-window via price_quantity_stats + ntile_quartiles",
-    "changelog_compact": "driver-green r8; SCD2/CDC family in-window via row_hash_change_detection + latest_order_per_customer",
-    "calendar_gap_fill": "driver-green r8; LOCF/densify family in-window via locf_last_valid_value + running_revenue_by_supplier",
-    "fk_integrity_audit": "driver-green r8; semi/anti audit family in-window via customers_without_orders + active_customers_semi",
-    "embedding_random_projection": "driver-green r8; projection family in-window via embedding_lsh_buckets (same plane kernel)",
-    "dedup_keep_best_quality": "driver-green r8; keyed-dedup family in-window via dedup_keep_last + exact_dedup (headline)",
-    "pii_redaction": "driver-green r8; regexp-chain family in-window via string_compose_format + conform_master_list",
-    "corpus_dedup_pipeline": "driver-green r8; dedup-pipeline stages in-window via exact_dedup (headline) + duplicated_span_dedup + embedding_ivf_topk (cell-pruned stage kernel)",
-    "event_type_summary": "driver-green r2+r4+r8; grouped-agg family in-window via group_count_breakdown + pricing_summary (headline)",
-    "json_props_extraction": "driver-green r1+r2+r3+r4+r8; expression family in-window via string_compose_format + date_parsing_and_arithmetic",
-    "language_id_heuristic": "driver-green r1+r2+r3+r4+r8; text family in-window via text_statistics (headline) + doc_fingerprint",
-    "doc_quality_profile": "driver-green r2+r3+r4+r8; text-quality family in-window via text_statistics (headline) + doc_fingerprint",
-    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8; minhash-band family in-window via ngram_novelty (shingle-index kernel) + exact_dedup (headline)",
-    "simhash_near_dup": "driver-green r2+r3+r4+r8; hamming near-dup family in-window via doc_fingerprint (hash-signature kernel) + ngram_novelty (shingle-index kernel)",
-    "streaming_tumbling_counts": "driver-green r2+r4+r8; streaming family in-window via tumbling_window_stats (headline) + streaming_session_counts",
-    "train_val_test_split": "driver-green r2+r3+r4+r8; md5-bucket split family in-window via stratified_hash_sample (same kernel)",
-    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8; ANN family in-window via embedding_lsh_buckets + embedding_ivf_topk",
-    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8; vector near-dup family in-window via embedding_lsh_buckets + embedding_ivf_topk",
-    "cube_order_stats": "driver-green r2+r3+r4+r5+r8; multi-level agg family in-window via group_count_breakdown + pricing_summary (headline)",
-    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8; pivot family in-window via group_count_breakdown (same grouped-agg kernel)",
-    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8; reshape/stack family in-window via union_mixed_schemas (column-union kernel)",
-    "buyer_set_ops": "driver-green r2+r3+r4+r5+r8; set-ops family in-window via active_customers_semi + customers_without_orders (semi/anti forms)",
-    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5+r8; range-join family in-window via asof_last_click_before_purchase (headline)",
-    "multimodal_binary_meta": "driver-green r6+r8; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
-    "streaming_stateful_user_stats": "driver-green r6+r8; stateful-streaming family in-window via streaming_dedup_users + streaming_session_counts",
-    "pii_scrub_stats": "driver-green r6+r8; regexp-chain family in-window via string_compose_format + conform_master_list",
-    "image_decode_features": "driver-green r6+r8; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
-    "doc_chunking": "driver-green r6+r8; chunking family in-window via content_defined_chunking (same scan+explode chunk kernel)",
-    "sequence_packing": "driver-green r6+r8; packing family in-window via content_defined_chunking + text_statistics (headline)",
-    "length_percentile_gate": "driver-green r6+r8; percentile-gate family in-window via ntile_quartiles + text_statistics (headline)",
-    "leakage_safe_split": "driver-green r6+r8; content-hash split family in-window via stratified_hash_sample (same md5-bucket kernel)",
-    "language_rebalance_mixture": "driver-green r6+r8; mixture/split family in-window via stratified_hash_sample",
-    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8; connected-components family — no in-window iterative-graph rep this rotation (14 never-checked queries take priority); gated by local oracle + tests/test_graph.py",
-    "repair_feed_merge": "driver-green r5+r6+r8; keyed-merge family in-window via hash_guarded_merge + incremental_rollup_revenue",
-    "order_price_percentiles": "driver-green r5+r6+r8; percentile family in-window via ntile_quartiles + price_quantity_stats",
-    "conversion_funnel": "driver-green r5+r6+r8; funnel/session family in-window via streaming_session_counts + streaming_dedup_users",
-    "table_profile": "driver-green r5+r6+r8; profiling family in-window via group_count_breakdown (distinct/null counting)",
-    "dedup_keep_list": "driver-green r5+r6+r8; dedup-attribution family in-window via exact_dedup (headline) + dedup_keep_last",
-    "repetition_filter_stats": "driver-green r5+r6+r8; text-gate family in-window via text_statistics (headline) + ngram_novelty",
-    "benchmark_contamination": "driver-green r5+r6+r8; shingle-join family in-window via ngram_novelty (same shingle-join kernel) + duplicated_span_dedup",
-    "quality_score": "driver-green r5+r6+r8; text-quality family in-window via text_statistics (headline) + doc_fingerprint",
-    "token_count_regex": "driver-green r5+r6+r8; tokenize family in-window via bpe_pair_stats (same trim+\\s+ tokenize kernel)",
-    # ---- latest driver row is r7, multi-round green ----
-    "distinct_counts": "driver-green r1+r7; distinct-agg family in-window via group_count_breakdown",
-    "rollup_revenue": "driver-green r1+r7; ROLLUP family in-window via incremental_rollup_revenue + group_count_breakdown",
-    "grouping_sets_revenue": "driver-green r1+r7; grouping-sets family in-window via group_count_breakdown + pricing_summary (headline)",
-    "repeat_buyers_intersect": "driver-green r1+r7; INTERSECT family in-window via active_customers_semi (semi-join semantics)",
-    "churned_buyers_except": "driver-green r1+r7; EXCEPT family in-window via customers_without_orders (anti-join semantics)",
-    "priority_orders_exists": "driver-green r1+r7; semi-join family in-window via active_customers_semi",
-    "price_quartiles_by_segment": "driver-green r1+r7; ranking-window family in-window via ntile_quartiles + top_orders_per_customer",
-    "salted_join_revenue": "driver-green r1+r7; skew family — plan pinned by tests/test_plans.py; blocked/salted kernels in-window via duplicated_span_dedup (AQE-skew-safe join) + group_count_breakdown",
-    "nation_pair_revenue": "driver-green r2+r7; multi-join agg family in-window via regional_supplier_volume (headline)",
-    "promo_revenue_share": "driver-green r1+r2+r7; conditional-agg family in-window via pricing_summary (headline)",
-    "top_supplier_revenue": "driver-green r1+r2+r7; top-k agg family in-window via top_unshipped_orders (headline)",
-    "small_quantity_revenue": "driver-green r1+r2+r7; filtered-agg family in-window via pricing_summary (headline)",
-    "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7; outer-join counting family in-window via customers_without_orders + group_count_breakdown",
-    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7; blocked shingle-join family in-window via ngram_novelty (same shingle kernel) + duplicated_span_dedup",
-    "order_price_lead_lag": "driver-green r3+r4+r7; lead-lag window family in-window via locf_last_valid_value + running_revenue_by_supplier (keyed windows)",
-    "sliding_window_stats": "driver-green r3+r4+r7; sliding-window family in-window via tumbling_window_stats (headline)",
-    "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7; conform family in-window via conform_master_list + string_compose_format",
-    "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7; keyed-dedup family in-window via exact_dedup (headline) + dedup_keep_last",
-    "sessionization": "driver-green r3+r4+r7; session-window family in-window via streaming_session_counts + asof_last_click_before_purchase (headline)",
-    # ---- single-green r7, staying out this rotation (family reps in) ----
-    "audio_quality_gate": "driver-green r7; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
-    "characteristic_terms": "driver-green r7; tf-idf family in-window via bm25_doc_search (same tokenize+df/idf kernel)",
-    "cohort_retention": "driver-green r7; cohort family in-window via latest_order_per_customer + group_count_breakdown",
-    "deterministic_shuffle_order": "driver-green r7; md5-bucket family in-window via stratified_hash_sample (same kernel)",
-    "embedding_centroid_stats": "driver-green r7; centroid family in-window via embedding_ivf_topk (same cell-assign kernel)",
-    "key_skew_profile": "driver-green r7; profiling family in-window via group_count_breakdown; skew-handling kernels via duplicated_span_dedup (AQE-skew-safe join)",
-    "price_histogram": "driver-green r7; binning family in-window via ntile_quartiles + group_count_breakdown",
-    "running_distinct_users": "driver-green r7; per-user accumulation family in-window via streaming_dedup_users + streaming_session_counts",
-    "snapshot_diff": "driver-green r7; CDC/hash-compare family in-window via row_hash_change_detection + hash_guarded_merge",
-    "video_frame_sample_stats": "driver-green r7; multimodal family in-window via embedding_topk_pandas (Arrow mapInPandas kernel)",
+    # ---- latest green r10 (the full r10 window rotated out; headliners stay) ----
+    "active_customers_semi": "driver-green r1+r2+r3+r4+r5+r6+r10; semi-join family in-window via priority_orders_exists + repeat_buyers_intersect",
+    "bm25_doc_search": "driver-green r10; tf-idf retrieval family in-window via characteristic_terms (same tokenize+df/idf kernel) + token_vocabulary",
+    "bpe_pair_stats": "driver-green r10; pair-count family in-window via bpe_train_merges (iterates the SAME pair-count kernel) + bpe_encode_token_stats",
+    "conform_master_list": "driver-green r1+r2+r3+r4+r5+r6+r10; conform family in-window via null_sentinel_cleanup (same conform kernel chain)",
+    "content_defined_chunking": "driver-green r10; chunking family in-window via boilerplate_scrub (same scan+explode segment kernel)",
+    "corpus_mix_drift": "driver-green r10; exact-integer corpus-stats family in-window via text_statistics (headline) + token_vocabulary",
+    "customers_without_orders": "driver-green r1+r2+r3+r4+r5+r6+r10; anti-join family in-window via churned_buyers_except (same anti form) + order_fulfillment_outer",
+    "date_parsing_and_arithmetic": "driver-green r1+r2+r3+r4+r5+r6+r10; date-expression family in-window via scd2_priority_history (date logic) + sessionization (timestamp arithmetic)",
+    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6+r10; keyed-dedup family in-window via duplicate_key_stats + exact_dedup (headline)",
+    "doc_fingerprint": "driver-green r5+r6+r10; hash-signature family in-window via deterministic_shuffle_order (md5 kernel) + incremental_near_dup (signature kernel)",
+    "duplicated_span_dedup": "driver-green r10; span-hash blocked-join family in-window via ngram_jaccard_pairs (blocked shingle-join kernel) + incremental_near_dup",
+    "embedding_int8_quantization": "driver-green r10; vector-kernel family in-window via embedding_centroid_stats (same posexplode agg kernel) + embedding_topk_cosine (headline)",
+    "embedding_ivf_topk": "driver-green r5+r6+r10; IVF/ANN family in-window via embedding_centroid_stats (same cell-assign kernel) + embedding_topk_cosine (headline)",
+    "embedding_lsh_buckets": "driver-green r5+r6+r10; LSH-projection family in-window via semantic_dedup_cells (cell-blocked kernel) + embedding_topk_cosine (headline)",
+    "embedding_topk_pandas": "driver-green r5+r6+r10; Arrow-kernel family in-window via audio_quality_gate + video_frame_sample_stats (same mapInPandas kernel) + embedding_topk_cosine (headline)",
+    "fee_rescale_and_repair": "driver-green r1+r2+r3+r4+r5+r6+r10; numeric-repair family in-window via daily_order_anomaly (outlier kernel) + null_sentinel_cleanup",
+    "group_count_breakdown": "driver-green r1+r2+r3+r4+r5+r6+r10; grouped-agg family in-window via distinct_counts + grouping_sets_revenue + rollup_revenue",
+    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6+r10; hash-guarded merge family in-window via snapshot_diff (same hash-compare kernel) + scd2_priority_history",
+    "hybrid_bm25_cosine_rerank": "driver-green r10; retrieval-fusion family in-window via characteristic_terms (idf kernel) + embedding_topk_cosine (headline)",
+    "incremental_rollup_revenue": "driver-green r7+r10; incremental-agg family in-window via rollup_revenue (same ROLLUP kernel) + snapshot_diff (merge kernel)",
+    "latest_order_per_customer": "driver-green r3+r4+r5+r6+r10; latest-per-key family in-window via scd2_priority_history (same keyed window) + cohort_retention",
+    "lifecycle_status_transitions": "driver-green r1+r2+r3+r4+r5+r6+r10; lifecycle/status family in-window via scd2_priority_history + snapshot_diff",
+    "locf_last_valid_value": "driver-green r1+r2+r3+r4+r5+r6+r10; LOCF window family in-window via order_price_lead_lag (same keyed window kernel) + rolling_30d_revenue",
+    "master_validation_issues": "driver-green r1+r2+r3+r4+r5+r6+r10; validation-split family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_pipelines.py",
+    "nav_validation_errors": "driver-green r1+r2+r3+r4+r5+r6+r10; validation-split family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_pipelines.py",
+    "ngram_novelty": "driver-green r10; shingle-index family in-window via ngram_jaccard_pairs (same shingle kernel) + incremental_near_dup",
+    "ntile_quartiles": "driver-green r3+r4+r5+r6+r10; ranking-window family in-window via price_quartiles_by_segment (same ntile kernel) + price_histogram",
+    "numeric_string_parsing": "driver-green r1+r2+r3+r4+r5+r6+r10; numeric-parse family in-window via null_sentinel_cleanup (conform/parse chain) + daily_order_anomaly",
+    "price_quantity_stats": "driver-green r7+r10; robust-stats family in-window via daily_order_anomaly + price_histogram",
+    "retention_cutoff_prune": "driver-green r1+r2+r3+r4+r5+r6+r10; date-cutoff maintenance family in-window via cohort_retention (same date-bucket cutoff kernel)",
+    "row_hash_change_detection": "driver-green r1+r2+r3+r4+r5+r6+r10; CDC hash family in-window via snapshot_diff (same hash-compare kernel) + scd2_priority_history",
+    "row_hash_surfaces": "driver-green r10; hash-surface family in-window via snapshot_diff + deterministic_shuffle_order (md5 kernels)",
+    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6+r10; running-window family in-window via rolling_30d_revenue (range frame) + order_price_lead_lag",
+    "source_frequency_cap": "driver-green r10; capped-sampling family in-window via key_skew_profile (stratum kernel) + deterministic_shuffle_order (md5-bucket kernel)",
+    "stratified_hash_sample": "driver-green r5+r6+r10; md5-bucket split family in-window via deterministic_shuffle_order (same kernel)",
+    "streaming_dedup_users": "driver-green r5+r6+r10; streaming-dedup family in-window via running_distinct_users + streaming_enriched_purchases",
+    "streaming_session_counts": "driver-green r5+r6+r10; streaming-session family in-window via sessionization (same session kernel) + streaming_click_purchase_join",
+    "string_compose_format": "driver-green r10; string-expression family in-window via null_sentinel_cleanup + token_vocabulary",
+    "temperature_rebalance_mixture": "driver-green r10; mixture-sampling family in-window via deterministic_shuffle_order (md5 kernel) + key_skew_profile (stratum kernel)",
+    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6+r10; per-key top-k family in-window via price_quartiles_by_segment (ranking window) + top_supplier_revenue",
+    "unigram_likelihood_quality": "driver-green r10; text-quality family in-window via characteristic_terms (token-df kernel) + text_statistics (headline)",
+    "union_mixed_schemas": "driver-green r10; column-union family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
+    # ---- latest green r8 (come back in at the r12 rotation at the latest) ----
+    "benchmark_contamination": "driver-green r5+r6+r8; shingle-join family in-window via ngram_jaccard_pairs (same shingle-join kernel) + incremental_near_dup",
+    "buyer_set_ops": "driver-green r2+r3+r4+r5+r8; set-ops family in-window via repeat_buyers_intersect + churned_buyers_except (same INTERSECT/EXCEPT forms)",
+    "calendar_gap_fill": "driver-green r8; LOCF/densify family in-window via rolling_30d_revenue + order_price_lead_lag (keyed window kernels)",
+    "changelog_compact": "driver-green r8; SCD2/CDC family in-window via scd2_priority_history + snapshot_diff",
+    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5+r8; range-join family in-window via asof_last_click_before_purchase (headline) + sessionization",
+    "conversion_funnel": "driver-green r5+r6+r8; funnel/session family in-window via sessionization + cohort_retention",
+    "corpus_dedup_pipeline": "driver-green r8; dedup-pipeline stages in-window via exact_dedup (headline) + incremental_near_dup (minhash-band stage) + semantic_dedup_cells (cell-pruned stage)",
+    "cube_order_stats": "driver-green r2+r3+r4+r5+r8; multi-level agg family in-window via grouping_sets_revenue + rollup_revenue",
+    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8; connected-components family in-window via hierarchy_flatten (same iterative min-label kernel)",
+    "dedup_keep_best_quality": "driver-green r8; keyed-dedup family in-window via duplicate_key_stats + exact_dedup (headline)",
+    "dedup_keep_list": "driver-green r5+r6+r8; dedup-attribution family in-window via duplicate_key_stats + exact_dedup (headline)",
+    "doc_chunking": "driver-green r6+r8; chunking family in-window via boilerplate_scrub (same scan+explode segment kernel)",
+    "doc_quality_profile": "driver-green r2+r3+r4+r8; text-quality family in-window via text_statistics (headline) + token_vocabulary",
+    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8; ANN family in-window via embedding_centroid_stats (cell-assign kernel) + embedding_topk_cosine (headline)",
+    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8; vector near-dup family in-window via semantic_dedup_cells (same blocked-cosine kernel) + embedding_topk_cosine (headline)",
+    "embedding_random_projection": "driver-green r8; projection family in-window via semantic_dedup_cells (cell-assign over projected vectors) + embedding_topk_cosine (headline)",
+    "event_type_summary": "driver-green r2+r4+r8; grouped-agg family in-window via distinct_counts + grouping_sets_revenue + pricing_summary (headline)",
+    "fk_integrity_audit": "driver-green r8; semi/anti audit family in-window via priority_orders_exists + churned_buyers_except",
+    "image_decode_features": "driver-green r6+r8; multimodal family in-window via audio_quality_gate + video_frame_sample_stats (Arrow mapInPandas kernels)",
+    "json_props_extraction": "driver-green r1+r2+r3+r4+r8; expression-extraction family in-window via null_sentinel_cleanup (conform expressions) + text_statistics (headline)",
+    "language_id_heuristic": "driver-green r1+r2+r3+r4+r8; text family in-window via text_statistics (headline) + characteristic_terms (token-frequency kernel)",
+    "language_rebalance_mixture": "driver-green r6+r8; mixture/split family in-window via deterministic_shuffle_order + key_skew_profile (stratum kernel)",
+    "leakage_safe_split": "driver-green r6+r8; content-hash split family in-window via deterministic_shuffle_order (same md5-bucket kernel)",
+    "length_percentile_gate": "driver-green r6+r8; percentile-gate family in-window via price_quartiles_by_segment (ntile kernel) + text_statistics (headline)",
+    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8; minhash-band family in-window via incremental_near_dup (same band kernel) + exact_dedup (headline)",
+    "multimodal_binary_meta": "driver-green r6+r8; multimodal family in-window via audio_quality_gate + video_frame_sample_stats (Arrow mapInPandas kernels)",
+    "order_price_percentiles": "driver-green r5+r6+r8; percentile family in-window via price_quartiles_by_segment + price_histogram",
+    "pii_redaction": "driver-green r8; regexp-chain family in-window via null_sentinel_cleanup (conform/regexp kernels) + token_vocabulary (regexp tokenize)",
+    "pii_scrub_stats": "driver-green r6+r8; regexp-chain family in-window via null_sentinel_cleanup + token_vocabulary",
+    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8; pivot family in-window via grouping_sets_revenue (same grouped-agg kernel) + distinct_counts",
+    "quality_score": "driver-green r5+r6+r8; text-quality family in-window via text_statistics (headline) + characteristic_terms",
+    "repair_feed_merge": "driver-green r5+r6+r8; keyed-merge family in-window via snapshot_diff (hash-compare kernel) + scd2_priority_history",
+    "repetition_filter_stats": "driver-green r5+r6+r8; text-gate family in-window via text_statistics (headline) + ngram_jaccard_pairs (shingle kernel)",
+    "sequence_packing": "driver-green r6+r8; packing family in-window via boilerplate_scrub (segment kernel) + text_statistics (headline)",
+    "simhash_near_dup": "driver-green r2+r3+r4+r8; hamming near-dup family in-window via incremental_near_dup (signature-band kernel) + ngram_jaccard_pairs (shingle kernel)",
+    "streaming_stateful_user_stats": "driver-green r6+r8; stateful-streaming family in-window via running_distinct_users + streaming_enriched_purchases",
+    "streaming_tumbling_counts": "driver-green r2+r4+r8; streaming family in-window via tumbling_window_stats (headline) + streaming_enriched_purchases",
+    "table_profile": "driver-green r5+r6+r8; profiling family in-window via key_skew_profile + distinct_counts",
+    "token_count_regex": "driver-green r5+r6+r8; tokenize family in-window via token_vocabulary (same trim+\s+ tokenize kernel)",
+    "train_val_test_split": "driver-green r2+r3+r4+r8; md5-bucket split family in-window via deterministic_shuffle_order (same kernel)",
+    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8; reshape/stack family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
+    "winsorized_price_stats": "driver-green r8; robust-stats family in-window via daily_order_anomaly + price_quartiles_by_segment",
 }
 
 

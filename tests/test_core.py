@@ -405,6 +405,55 @@ def test_out_of_window_citations_match_correctness_records():
     assert not bad, f"citations naming non-green rounds: {bad}"
 
 
+def test_window_rotation_staleness_policy():
+    """Codified rotation rule 5 (r10 VERDICT item 3): as of ROTATION_ROUND,
+    no out-of-window query's latest green driver evidence may be
+    MAX_EVIDENCE_AGE or more rounds old — it must be rotated back in before
+    its evidence expires. Rule 2: queries with ZERO driver evidence must
+    occupy the first non-headline window slots. Both sides are recomputed
+    from the committed CORRECTNESS_r*.json history so a stale rotation
+    fails the suite, not just the judge's audit."""
+    import json
+    import re
+    from pathlib import Path
+
+    from fund_data_pipeline_spark import queries as q
+
+    repo = Path(__file__).resolve().parents[1]
+    latest_green: dict[str, int] = {}
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        n = int(re.search(r"r(\d+)", f.name).group(1))
+        for name, res in json.loads(f.read_text()).items():
+            if (
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match") in (True, None)
+                and not res.get("err")
+            ):
+                latest_green[name] = max(latest_green.get(name, 0), n)
+
+    # rule 5: every excluded query's evidence age must be < MAX_EVIDENCE_AGE
+    stale = {
+        name: latest_green.get(name)
+        for name in q._OUT_OF_WINDOW_WHY
+        if q.ROTATION_ROUND - latest_green.get(name, 0) >= q.MAX_EVIDENCE_AGE
+    }
+    assert not stale, (
+        f"out-of-window queries with evidence >= {q.MAX_EVIDENCE_AGE} rounds "
+        f"old at r{q.ROTATION_ROUND} (must rotate in): {stale}"
+    )
+
+    # rule 2: zero-evidence queries (late additions) sit right after the
+    # headliners, never past position 50
+    headline = [n for n in q._CHECKED_FIRST if q.QUERIES[n].headline]
+    never_checked = [n for n in q.QUERIES if n not in latest_green]
+    expected_head = headline + sorted(never_checked)
+    assert sorted(q._CHECKED_FIRST[: len(expected_head)]) == sorted(expected_head), (
+        f"window head must be headliners + zero-evidence late additions; "
+        f"got {q._CHECKED_FIRST[:len(expected_head)]} vs {expected_head}"
+    )
+
+
 def test_dedup_keyed_rejects_reserved_columns(spark):
     """An input already carrying __rn would be silently overwritten,
     filtered on the replacement, and dropped (review r9) — refuse loudly,
