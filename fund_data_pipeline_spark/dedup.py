@@ -73,8 +73,37 @@ def dedup_any(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """D1/D4/D5 as the reference behaves when order is irrelevant: one
     arbitrary row per key (Spark's ``dropDuplicates`` — no window, cheaper
     map-side partial aggregation). Use :func:`dedup_keyed` when the surviving
-    row matters."""
+    row matters, or :func:`dedup_min` for a deterministic survivor at the
+    same aggregation cost — ``dedup_any`` is only safe when rows are
+    identical per key (e.g. the key covers every value column)."""
     return df.dropDuplicates(list(keys))
+
+
+def dedup_min(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """D5 with a DETERMINISTIC survivor at ``dropDuplicates`` cost.
+
+    Keeps, per key, the row whose non-key column tuple sorts first
+    (``min`` over a struct — partial+final hash aggregate, map-side
+    combine, no window sort). ``dropDuplicates`` keeps an ARBITRARY row:
+    two runs over the same input can pick different survivors, which flips
+    non-key values, changes the all-columns row hash, and re-fires the
+    hash-guarded merge on a rerun that should be a no-op (review r11 —
+    the dividend/holdings load paths hit exactly this, because their
+    natural keys don't cover every value column)."""
+    others = [c for c in df.columns if c not in keys]
+    if not others:
+        return df.dropDuplicates(list(keys))  # rows are identical per key
+    if "__s" in df.columns:
+        raise ValueError("column name reserved by dedup_min: '__s'")
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.min(F.struct(*[F.col(c) for c in others])).alias("__s")
+    )
+    # restore the caller's column order (downstream all-columns hashing is
+    # column-order-sensitive)
+    sel = [
+        F.col(c) if c in keys else F.col(f"__s.{c}").alias(c) for c in df.columns
+    ]
+    return agg.select(*sel)
 
 
 def duplicate_stats(df: DataFrame, keys: Sequence[str]) -> DataFrame:

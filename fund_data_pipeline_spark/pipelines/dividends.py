@@ -32,7 +32,9 @@ def clean(df: DataFrame, source: str = "yahoo_finance") -> DataFrame:
         df = df.withColumn("type", F.lit("Cash"))
     df = conform.conform(df, DIVIDEND_HISTORY, renames={})
     df = validate.drop_null_keys(df, ["ticker", "ex_date", "amount"])
-    return dedup.dedup_any(df, DIVIDEND_HISTORY_KEY)
+    # dedup_min, not dedup_any: the 7-column key doesn't cover `currency`,
+    # so an arbitrary survivor would make reruns non-idempotent (review r11)
+    return dedup.dedup_min(df, DIVIDEND_HISTORY_KEY)
 
 
 def hash_batch(df: DataFrame) -> DataFrame:

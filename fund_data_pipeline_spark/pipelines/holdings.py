@@ -48,7 +48,10 @@ def clean_holdings(df: DataFrame) -> DataFrame:
         )
     df = conform.conform(df, FUND_HOLDINGS, renames={})
     df = validate.drop_null_keys(df, ["ticker", "holding_name", "as_of_date"])
-    df = dedup.dedup_any(df, FUND_HOLDINGS_KEY)
+    # dedup_min, not dedup_any: non-key value columns (holding_ticker,
+    # holding_percentage) feed the all-columns hash — an arbitrary survivor
+    # re-fires the hash-guarded merge on a no-op rerun (review r11)
+    df = dedup.dedup_min(df, FUND_HOLDINGS_KEY)
     return hashing.with_row_hash(df, hashing.all_columns_hash(df))
 
 
@@ -68,7 +71,8 @@ def clean_allocations(df: DataFrame, allocation_type: str) -> DataFrame:
             df = df.withColumn(c, parse.parse_percent(c))
     df = conform.conform(df, ALLOCATIONS, renames={})
     df = validate.drop_null_keys(df, ["ticker", "item_name", "as_of_date"])
-    df = dedup.dedup_any(df, ALLOCATIONS_KEY)
+    # deterministic survivor for the same reason as clean_holdings (review r11)
+    df = dedup.dedup_min(df, ALLOCATIONS_KEY)
     return hashing.with_row_hash(df, hashing.all_columns_hash(df))
 
 

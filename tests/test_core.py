@@ -454,6 +454,31 @@ def test_window_rotation_staleness_policy():
     )
 
 
+def test_dedup_min_deterministic_survivor(spark):
+    """dedup_min keeps the min non-key tuple per key regardless of
+    partitioning — the property dropDuplicates lacks (an arbitrary survivor
+    flips the all-columns hash and re-fires the hash-guarded merge on a
+    rerun that should be a no-op, review r11)."""
+    rows = [("T", "USD", 1.0), ("T", "EUR", 9.0), ("T", "EUR", 2.0), ("U", "JPY", 5.0)]
+    df = spark.createDataFrame(rows, ["k", "cur", "v"])
+    for n in (1, 7):
+        out = {r.k: (r.cur, r.v) for r in dedup.dedup_min(df.repartition(n), ["k"]).collect()}
+        assert out == {"T": ("EUR", 2.0), "U": ("JPY", 5.0)}
+    # caller's column order is preserved (downstream all-columns hashing is
+    # column-order-sensitive)
+    assert dedup.dedup_min(df, ["k"]).columns == ["k", "cur", "v"]
+    with pytest.raises(ValueError, match="dedup_min"):
+        dedup.dedup_min(df.withColumnRenamed("cur", "__s"), ["k"])
+    # key covering every column: degenerates to plain key-dedup
+    assert dedup.dedup_min(df, ["k", "cur", "v"]).count() == 4
+    # NULL non-key values: survivor is still partitioning-independent
+    ndf = spark.createDataFrame([("V", None, 1.0), ("V", "AAA", 2.0)], ["k", "cur", "v"])
+    picks = {
+        tuple(r) for n in (1, 5) for r in dedup.dedup_min(ndf.repartition(n), ["k"]).collect()
+    }
+    assert len(picks) == 1
+
+
 def test_dedup_keyed_rejects_reserved_columns(spark):
     """An input already carrying __rn would be silently overwritten,
     filtered on the replacement, and dropped (review r9) — refuse loudly,
