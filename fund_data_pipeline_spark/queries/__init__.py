@@ -125,6 +125,11 @@ _CHECKED_FIRST = [
 #: "family in-window via X" names its kernel representative in the CURRENT
 #: (r11) window.
 _OUT_OF_WINDOW_WHY = {
+    # ---- new in round 11: never driver-checked; verified by
+    # scripts/verify_local.py and gated every round by
+    # tests/test_catalog_oracle.py; first window slot next rotation
+    # (rule 2) ----
+    "bigram_lm_quality_gate": "new r11, local-oracle verified; LM-quality capstone — composes the in-window bpe_train_merges/bpe_encode_token_stats kernels with the unigram-likelihood rational scoring form and the percentile-gate window (price_quartiles_by_segment family)",
     # ---- latest green r10 (the full r10 window rotated out; headliners stay) ----
     "active_customers_semi": "driver-green r1+r2+r3+r4+r5+r6+r10; semi-join family in-window via priority_orders_exists + repeat_buyers_intersect",
     "bm25_doc_search": "driver-green r10; tf-idf retrieval family in-window via characteristic_terms (same tokenize+df/idf kernel) + token_vocabulary",

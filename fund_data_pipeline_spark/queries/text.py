@@ -1065,6 +1065,138 @@ LIMIT 50
 """
 
 
+def _bigram_lm_oracle(k: int = N_BPE_MERGES) -> str:
+    """Bigram-LM quality gate over the BPE-encoded corpus: the same
+    k-round replay ending at the positional relation s{k+1}, extended
+    with (a) per-word adjacent subword pairs, (b) the corpus bigram LM
+    (pair counts weighted by word frequency), (c) per-document exact
+    mean bigram likelihood with add-one smoothing (the
+    unigram_likelihood_quality rational form — no ln(), engine-exact),
+    and (d) a per-language bottom-10% percent_rank gate (the
+    length_percentile_gate form)."""
+    s = f"s{k + 1}"
+    return rf"""{_bpe_oracle_body(k)}, wp AS MATERIALIZED (
+  SELECT a.w, a.freq, a.sym AS ls, b.sym AS rs, CAST(COUNT(*) AS BIGINT) AS np
+  FROM {s} a JOIN {s} b ON a.w = b.w AND b.pos = a.pos + 1
+  GROUP BY 1, 2, 3, 4
+), lm AS MATERIALIZED (
+  SELECT ls, rs, CAST(SUM(freq * np) AS BIGINT) AS ct
+  FROM wp GROUP BY 1, 2
+), g AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS v FROM lm
+), dtok AS (
+  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), wtf AS (
+  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS tf FROM dtok GROUP BY 1, 2, 3
+), dstat AS (
+  SELECT wtf.doc_id, wtf.lang,
+         CAST(SUM(wtf.tf * wp.np) AS BIGINT) AS n_bigrams,
+         CAST(SUM(wtf.tf * wp.np * (lm.ct + 1)) AS BIGINT) AS likelihood_numer
+  FROM wtf JOIN wp ON wtf.w = wp.w
+  JOIN lm ON wp.ls = lm.ls AND wp.rs = lm.rs
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc_id, lang, n_bigrams, likelihood_numer,
+         CAST(likelihood_numer AS DOUBLE)
+           / (CAST(n_bigrams AS DOUBLE) * CAST(g.total + g.v AS DOUBLE)) AS mean_bigram_likelihood
+  FROM dstat CROSS JOIN g
+)
+SELECT doc_id, lang, n_bigrams, likelihood_numer, mean_bigram_likelihood
+FROM (
+  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY mean_bigram_likelihood) AS pr
+  FROM scored
+) WHERE pr >= 0.10
+"""
+
+
+@register(
+    "bigram_lm_quality_gate",
+    doc=f"LM-quality capstone: train {N_BPE_MERGES} BPE merges, encode the "
+    "corpus vocabulary, build a corpus BIGRAM LM over adjacent subword "
+    "tokens (pair counts weighted by word frequency — the bpe_pair_stats "
+    "kernel one level up), score every document with its EXACT mean "
+    "bigram likelihood under add-one smoothing (integer numerator, one "
+    "final double division — the unigram_likelihood_quality rational "
+    "form; the log-prob/perplexity form would need ln(), which is not "
+    "bit-identical across engines but is a monotone transform of this "
+    "score, so the gate admits the same documents), and drop the "
+    "bottom 10% per language by percent_rank (the length_percentile_gate "
+    "dynamic-threshold form). Scale: the only corpus-sized operations "
+    "are the word-count shuffle and the per-doc word-tf shuffle; the "
+    "pair/LM relations are vocabulary-sized and broadcast; the gate "
+    "window is partitioned by language. The BIGINT numerator matches "
+    "the unigram precedent; a true 100 TB corpus moves the sum to "
+    "decimal(38,0) with floor-split conversion.",
+    oracle=_bigram_lm_oracle(),
+)
+def bigram_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.bpe import (
+        _adjacent_pairs,
+        encode_vocab,
+        initial_vocab,
+        train_bpe_merges,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, N_BPE_MERGES)
+    encoded = encode_vocab(initial_vocab(docs), merges)
+    # per-word adjacent subword pairs — vocabulary-sized; pinned because
+    # both the LM aggregate and the per-doc join consume it (Spark has no
+    # common-subplan elimination across consumers). The word string is
+    # recovered as the symbol concatenation (merges only ever concatenate).
+    wp = (
+        encoded.select(
+            F.array_join("syms", "").alias("w"),
+            "freq",
+            F.explode(_adjacent_pairs(F.col("syms"))).alias("p"),
+        )
+        .groupBy("w", "freq", F.col("p.ls").alias("ls"), F.col("p.rs").alias("rs"))
+        .agg(F.count(F.lit(1)).alias("np"))
+        .localCheckpoint(eager=True)
+    )
+    lm = wp.groupBy("ls", "rs").agg(
+        F.sum(F.col("freq") * F.col("np")).cast("long").alias("ct")
+    )
+    g = lm.agg(F.sum("ct").cast("long").alias("total"), F.count(F.lit(1)).alias("v"))
+    wpl = wp.join(lm, ["ls", "rs"]).select("w", "np", "ct")
+    wtf = (
+        _ws_tokens(docs, "doc_id", "lang", alias="w")
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        wtf.join(F.broadcast(wpl), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("np")).cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("np") * (F.col("ct") + F.lit(1)))
+            .cast("long")
+            .alias("likelihood_numer"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "likelihood_numer",
+            (
+                F.col("likelihood_numer").cast("double")
+                / (
+                    F.col("n_bigrams").cast("double")
+                    * (F.col("total") + F.col("v")).cast("double")
+                )
+            ).alias("mean_bigram_likelihood"),
+        )
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("mean_bigram_likelihood")
+    )
+    return scored.withColumn("__pr", pr).filter(F.col("__pr") >= 0.10).drop("__pr")
+
+
 @register(
     "bpe_encode_token_stats",
     doc=f"BPE tokenizer APPLICATION: train {N_BPE_MERGES} merges "

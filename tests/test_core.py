@@ -432,25 +432,38 @@ def test_window_rotation_staleness_policy():
             ):
                 latest_green[name] = max(latest_green.get(name, 0), n)
 
-    # rule 5: every excluded query's evidence age must be < MAX_EVIDENCE_AGE
+    # rule 5: every excluded query's evidence age must be < MAX_EVIDENCE_AGE.
+    # This round's late additions (zero evidence BY DEFINITION — registered
+    # after the rotation) are governed by rule 2 below instead.
+    late_marker = f"new r{q.ROTATION_ROUND}"
     stale = {
         name: latest_green.get(name)
-        for name in q._OUT_OF_WINDOW_WHY
-        if q.ROTATION_ROUND - latest_green.get(name, 0) >= q.MAX_EVIDENCE_AGE
+        for name, why in q._OUT_OF_WINDOW_WHY.items()
+        if late_marker not in why
+        and q.ROTATION_ROUND - latest_green.get(name, 0) >= q.MAX_EVIDENCE_AGE
     }
     assert not stale, (
         f"out-of-window queries with evidence >= {q.MAX_EVIDENCE_AGE} rounds "
         f"old at r{q.ROTATION_ROUND} (must rotate in): {stale}"
     )
 
-    # rule 2: zero-evidence queries (late additions) sit right after the
-    # headliners, never past position 50
+    # rule 2: zero-evidence queries either sit right after the headliners
+    # in the window, or carry a "new r{ROTATION_ROUND}" late-addition
+    # entry (registered after this round's rotation, first slot next
+    # rotation). A zero-evidence query parked under any OTHER entry — e.g.
+    # one still marked new from a PREVIOUS round — is a violation.
     headline = [n for n in q._CHECKED_FIRST if q.QUERIES[n].headline]
     never_checked = [n for n in q.QUERIES if n not in latest_green]
-    expected_head = headline + sorted(never_checked)
+    in_window_zero = sorted(
+        n
+        for n in never_checked
+        if not (n in q._OUT_OF_WINDOW_WHY and late_marker in q._OUT_OF_WINDOW_WHY[n])
+    )
+    expected_head = headline + in_window_zero
     assert sorted(q._CHECKED_FIRST[: len(expected_head)]) == sorted(expected_head), (
-        f"window head must be headliners + zero-evidence late additions; "
-        f"got {q._CHECKED_FIRST[:len(expected_head)]} vs {expected_head}"
+        f"window head must be headliners + zero-evidence queries (minus "
+        f"this round's late additions); got "
+        f"{q._CHECKED_FIRST[:len(expected_head)]} vs {expected_head}"
     )
 
 

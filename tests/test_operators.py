@@ -1393,6 +1393,93 @@ def test_bpe_train_merges_exact_python_model(spark, sf_dir):
         assert r.n_vocab_positions == npos[r.token], r.token
 
 
+def test_bigram_lm_quality_gate_exact_python_model(spark, sf_dir):
+    """bigram_lm_quality_gate vs a from-scratch Python model: Sennrich
+    training -> encoded vocabulary -> per-word adjacent subword pairs ->
+    frequency-weighted corpus bigram LM -> exact integer per-doc
+    likelihood numerators -> float score in the SAME fixed operation
+    order -> per-language percent_rank cut. Checks every output row and
+    the gate membership, independently of both the Spark plan and the
+    DuckDB oracle."""
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from fund_data_pipeline_spark.queries import QUERIES
+    from fund_data_pipeline_spark.queries.text import N_BPE_MERGES
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    docs = list(zip(*(tbl.column(c).to_pylist() for c in ("doc_id", "text", "lang"))))
+    java_ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    wf = collections.Counter()
+    doc_words = []
+    for doc_id, t, lang in docs:
+        if t is None or not t.strip(" "):
+            continue
+        words = [w for w in java_ws.split(t.strip(" ")) if w]
+        wf.update(words)
+        doc_words.append((doc_id, lang, collections.Counter(words)))
+    vocab = {w: (list(w), f) for w, f in wf.items()}
+    for _ in range(N_BPE_MERGES):  # textbook Sennrich training rounds
+        counts = collections.Counter()
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        for w, (syms, f) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, f)
+
+    # per-word pair multiplicities + the frequency-weighted corpus LM
+    wp = {
+        w: collections.Counter(zip(syms, syms[1:])) for w, (syms, _) in vocab.items()
+    }
+    lm = collections.Counter()
+    for w, (syms, f) in vocab.items():
+        for pair, np_ in wp[w].items():
+            lm[pair] += f * np_
+    total, v = sum(lm.values()), len(lm)
+
+    scored = []
+    for doc_id, lang, tf in doc_words:
+        n_bigrams = numer = 0
+        for w, n in tf.items():
+            for pair, np_ in wp.get(w, {}).items():
+                n_bigrams += n * np_
+                numer += n * np_ * (lm[pair] + 1)
+        if n_bigrams:
+            score = float(numer) / (float(n_bigrams) * float(total + v))
+            scored.append((doc_id, lang, n_bigrams, numer, score))
+    want = {}
+    by_lang = collections.defaultdict(list)
+    for row in scored:
+        by_lang[row[1]].append(row)
+    for lang, rows in by_lang.items():
+        ordered = sorted(r[4] for r in rows)
+        n = len(rows)
+        for r in rows:
+            pr = 0.0 if n == 1 else ordered.index(r[4]) / (n - 1)
+            if pr >= 0.10:
+                want[r[0]] = r
+
+    got = QUERIES["bigram_lm_quality_gate"].spark(spark, sf_dir).collect()
+    assert {r.doc_id for r in got} == set(want)
+    for r in got:
+        w = want[r.doc_id]
+        assert (r.lang, r.n_bigrams, r.likelihood_numer) == (w[1], w[2], w[3]), r.doc_id
+        assert r.mean_bigram_likelihood == w[4], r.doc_id
+
+
 def test_asof_headline_query_null_user_carries_nothing(spark, tmp_path):
     """The HEADLINE as-of query (not just the asof_join operator) must give
     a NULL-user purchase NULL click info on both engines: the LOCF window

@@ -259,6 +259,9 @@ _ONE_ROW_BNLJ_OK = {
     # scan (same as bm25_doc_search) and the query-vector row over the
     # <= 20-row candidate relation
     "hybrid_bm25_cosine_rerank",
+    # r11: crossJoins the ONE-row (total, v) LM-stats aggregate over the
+    # per-doc scored relation — O(n), same shape as unigram_likelihood
+    "bigram_lm_quality_gate",
 }
 
 
