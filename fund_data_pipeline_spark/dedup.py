@@ -99,9 +99,11 @@ def dedup_min(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         F.min(F.struct(*[F.col(c) for c in others])).alias("__s")
     )
     # restore the caller's column order (downstream all-columns hashing is
-    # column-order-sensitive)
+    # column-order-sensitive); getField, not F.col("__s.<name>") — a dotted
+    # column name would mis-parse as a nested path (review r11)
     sel = [
-        F.col(c) if c in keys else F.col(f"__s.{c}").alias(c) for c in df.columns
+        F.col(c) if c in keys else F.col("__s").getField(c).alias(c)
+        for c in df.columns
     ]
     return agg.select(*sel)
 

@@ -212,7 +212,7 @@ _OUT_OF_WINDOW_WHY = {
     "streaming_stateful_user_stats": "driver-green r6+r8; stateful-streaming family in-window via running_distinct_users + streaming_enriched_purchases",
     "streaming_tumbling_counts": "driver-green r2+r4+r8; streaming family in-window via tumbling_window_stats (headline) + streaming_enriched_purchases",
     "table_profile": "driver-green r5+r6+r8; profiling family in-window via key_skew_profile + distinct_counts",
-    "token_count_regex": "driver-green r5+r6+r8; tokenize family in-window via token_vocabulary (same trim+\s+ tokenize kernel)",
+    "token_count_regex": "driver-green r5+r6+r8; tokenize family in-window via token_vocabulary (same trim+\\s+ tokenize kernel)",
     "train_val_test_split": "driver-green r2+r3+r4+r8; md5-bucket split family in-window via deterministic_shuffle_order (same kernel)",
     "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8; reshape/stack family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
     "winsorized_price_stats": "driver-green r8; robust-stats family in-window via daily_order_anomaly + price_quartiles_by_segment",

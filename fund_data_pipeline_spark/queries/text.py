@@ -1125,9 +1125,13 @@ FROM (
     "dynamic-threshold form). Scale: the only corpus-sized operations "
     "are the word-count shuffle and the per-doc word-tf shuffle; the "
     "pair/LM relations are vocabulary-sized and broadcast; the gate "
-    "window is partitioned by language. The BIGINT numerator matches "
-    "the unigram precedent; a true 100 TB corpus moves the sum to "
-    "decimal(38,0) with floor-split conversion.",
+    "window is partitioned by language. Domain: documents with at least "
+    "one subword bigram — a doc whose every word encodes to a single "
+    "symbol has no bigram evidence to rank and is excluded (identically "
+    "on both engines and in the exact-model test) rather than given a "
+    "fabricated score. The BIGINT numerator matches the unigram "
+    "precedent; a true 100 TB corpus moves the sum to decimal(38,0) "
+    "with floor-split conversion.",
     oracle=_bigram_lm_oracle(),
 )
 def bigram_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,6 +68,31 @@ def check_imports(errors: list[str]) -> list[str]:
     return names
 
 
+def check_compile_warnings(errors: list[str]) -> int:
+    """Compile every package + scripts + entry file with warnings as
+    errors: an invalid string escape (e.g. a bare '\\s' in a docstring or
+    policy table) is only a DeprecationWarning today but a SyntaxError on
+    future CPython — and it lives in exactly the import path whose r9
+    crash voided a whole round's driver artifacts (review r11: the r11
+    rotation rewrite introduced one)."""
+    import warnings
+
+    n = 0
+    files = [REPO / "__spark_entry__.py", REPO / "bench.py"]
+    files += sorted((REPO / PKG).rglob("*.py")) + sorted((REPO / "scripts").glob("*.py"))
+    for path in files:
+        n += 1
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                compile(path.read_text(), str(path), "exec")
+        except SyntaxError as e:
+            errors.append(f"compile (warnings-as-errors) failed: {path.relative_to(REPO)}: {e!r}")
+        except Warning as e:
+            errors.append(f"compile warning: {path.relative_to(REPO)}: {e!r}")
+    return n
+
+
 def _test_defines(path: Path, fn: str) -> bool:
     """True iff ``path`` defines ``fn`` (AST walk — test modules need the
     spark fixture, so importing them here would start a session)."""
@@ -145,10 +170,15 @@ def main() -> int:
     modules: list[str] = []
     n_cites = 0
     rows_only: list[str] = []
+    n_compiled = 0
     try:
         modules = check_imports(errors)
     except Exception as e:
         errors.append(f"check_imports crashed: {e!r}")
+    try:
+        n_compiled = check_compile_warnings(errors)
+    except Exception as e:
+        errors.append(f"check_compile_warnings crashed: {e!r}")
     try:
         n_cites = check_coverage_citations(errors)
     except Exception as e:
@@ -163,6 +193,7 @@ def main() -> int:
         print(f"note: rows-only (oracle-less) queries: {rows_only}")
     print(
         f"{len(errors)} failures; checked {len(modules)} modules, "
+        f"{n_compiled} files compiled warning-clean, "
         f"{n_cites} COVERAGE citations, driver contract"
     )
     return 1 if errors else 0
