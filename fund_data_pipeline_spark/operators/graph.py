@@ -109,12 +109,18 @@ def connected_components(
     sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
 
     endpoints = sym.select(F.col("src").alias("node"))  # sym already has both directions
-    labels = (
+    # ONE seed relation for BOTH phases: the star fallback previously
+    # rebuilt its labels from ``nodes`` alone, so an edge endpoint missing
+    # from ``nodes`` appeared in the result when propagation converged but
+    # vanished when the fallback ran — the exact phase-dependence the r10
+    # endpoint-seeding fix closed for propagation (review r11)
+    seed_nodes = (
         nodes.select(F.col(node_col).alias("node"))
         .union(endpoints)
         .distinct()
-        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
     )
+    labels = seed_nodes.select("node", F.col("node").alias("label"))
 
     converged = False
     rounds_used = 0
@@ -159,8 +165,7 @@ def connected_components(
             # edges are their own cluster
             roots = e.groupBy("src").agg(F.min("dst").alias("root"))
             labels = (
-                nodes.select(F.col(node_col).alias("node"))
-                .join(roots, F.col("node") == F.col("src"), "left")
+                seed_nodes.join(roots, F.col("node") == F.col("src"), "left")
                 .select("node", F.coalesce("root", F.col("node")).alias("label"))
             )
 
@@ -253,29 +258,45 @@ def flatten_hierarchy(
         .localCheckpoint(eager=True)
     )
     rounds = max(1, math.ceil(math.log2(max(2, max_depth)))) + 1
+    # pending/resolved split (review r11): only PENDING rows step and
+    # re-checkpoint each round — in a typical shallow forest almost every
+    # row is done after round 1, and carrying them through every remaining
+    # round re-joined and re-materialized ~the whole relation per round
+    # for rows whose (anc, depth, done) cannot change. The b-side join
+    # target must stay the FULL relation (a pending row's ancestor may be
+    # resolved), assembled as a union over the per-round checkpoints —
+    # plan size O(rounds), rounds <= log2(max_depth) + 1.
+    pending = ptr.filter(~F.col("done"))
+    resolved_parts = [ptr.filter(F.col("done"))]
     for _ in range(rounds):
-        if ptr.filter(~F.col("done")).isEmpty():
+        if pending.isEmpty():
             break
-        a, b = ptr.alias("a"), ptr.alias("b")
+        full = pending
+        for part in resolved_parts:
+            full = full.union(part)
+        a, b = pending.alias("a"), full.alias("b")
         # left join: an ancestor missing from the node set (dangling parent
         # under an explicit ``nodes`` relation) is a terminal — the row
         # resolves there instead of silently vanishing from the result
         dangling = F.col("b.node").isNull()
-        ptr = (
+        stepped = (
             a.join(b, F.col("a.anc") == F.col("b.node"), "left")
             .select(
                 F.col("a.node").alias("node"),
-                F.when(F.col("a.done") | dangling, F.col("a.anc"))
-                .otherwise(F.col("b.anc"))
-                .alias("anc"),
-                F.when(F.col("a.done") | dangling, F.col("a.depth"))
+                F.when(dangling, F.col("a.anc")).otherwise(F.col("b.anc")).alias("anc"),
+                F.when(dangling, F.col("a.depth"))
                 .otherwise(F.col("a.depth") + F.col("b.depth"))
                 .alias("depth"),
-                (F.col("a.done") | dangling | F.col("b.done")).alias("done"),
+                (dangling | F.col("b.done")).alias("done"),
             )
             .localCheckpoint(eager=True)
         )
-    unresolved = ptr.filter(~F.col("done"))
+        resolved_parts.append(stepped.filter(F.col("done")))
+        pending = stepped.filter(~F.col("done"))
+    unresolved = pending
+    ptr = pending
+    for part in resolved_parts:
+        ptr = ptr.union(part)
     if not unresolved.isEmpty():
         msg = (
             f"flatten_hierarchy: nodes unresolved after {rounds} doubling rounds "

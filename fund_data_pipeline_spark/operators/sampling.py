@@ -44,7 +44,16 @@ def hash_bucket(key: Column | str, n_buckets: int = N_BUCKETS, salt: str = "") -
     pinned as the contract in r10). Sample on a non-null key (synthesize
     one upstream if needed); the samplers intentionally do not coalesce,
     because an invented sentinel key would silently co-locate all NULL
-    rows in one bucket and skew small splits."""
+    rows in one bucket and skew small splits.
+
+    ``salt`` must not contain ``'|'``: the namespacing is ``salt|key``,
+    and a pipe inside the salt would let distinct (salt, key) pairs
+    collide (salt='a|b', key='c' vs salt='a', key='b|c') — correlating
+    decisions the salt exists to decorrelate (review r11). With
+    pipe-free salts the encoding is injective for ARBITRARY key data
+    (the prefix up to the first '|' is exactly the salt)."""
+    if "|" in salt:
+        raise ValueError(f"salt must not contain '|': {salt!r}")
     c = F.col(key) if isinstance(key, str) else key
     keyed = F.concat(F.lit(f"{salt}|"), c.cast("string")) if salt else c.cast("string")
     h = F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
@@ -57,6 +66,11 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float, salt: str = "
     every table sampled on that key, so sampled fact/dim tables still
     join. Pass a ``salt`` when this sample must be INDEPENDENT of another
     hash-based decision on the same key (see :func:`hash_bucket`)."""
+    if not 0.0 <= fraction <= 1.0:
+        # siblings (mixture_sample, split_column) raise on the identical
+        # mistake; a swapped-operand fraction like 50.0 would otherwise
+        # silently return the full corpus as the "sample" (review r11)
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(hash_bucket(key, salt=salt) < int(round(fraction * N_BUCKETS)))
 
 
@@ -72,12 +86,27 @@ def split_column(key: Column | str, weights: Sequence[float], labels: Sequence[s
         # a zero/negative weight silently collapses splits (review r10)
         raise ValueError(f"weights must be positive, got {list(weights)}")
     total = sum(weights)
+    bounds = []
+    acc = 0.0
+    for w in weights:
+        acc += w / total
+        bounds.append(int(round(acc * N_BUCKETS)))
+    collapsed = [
+        label
+        for label, lo, hi in zip(labels, [0, *bounds], bounds)
+        if hi <= lo
+    ]
+    if collapsed:
+        # a positive weight below the bucket resolution rounds to an empty
+        # range — the same silent-collapse failure the w <= 0 guard closes
+        # (review r11); raise instead of emitting an unreachable when-arm
+        raise ValueError(
+            f"weights round to empty bucket ranges for labels {collapsed} "
+            f"(resolution is 1/{N_BUCKETS} of the total weight)"
+        )
     bucket = hash_bucket(key)
     expr = None
-    acc = 0.0
-    for w, label in zip(weights, labels):
-        acc += w / total
-        bound = int(round(acc * N_BUCKETS))
+    for bound, label in zip(bounds, labels):
         cond = bucket < F.lit(bound)
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     return expr  # last bound == N_BUCKETS, so no otherwise needed
@@ -91,6 +120,10 @@ def train_val_test(
     split_col: str = "split",
 ) -> DataFrame:
     """Attach a deterministic split label; same key => same split, always."""
+    if split_col in df.columns:
+        # same reserved-name contract as temperature_sample/cap_per_stratum:
+        # silently overwriting a caller's column destroys data (review r11)
+        raise ValueError(f"output column {split_col!r} already exists in the input")
     return df.withColumn(split_col, split_column(key, weights, labels))
 
 
@@ -128,6 +161,14 @@ def shuffled_shards(
 
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    clash = {shard_col, pos_col} & set(df.columns)
+    if clash:
+        # same reserved-name contract as temperature_sample/cap_per_stratum
+        # (review r11): 'shard' is a common upstream column name
+        raise ValueError(f"output columns already exist in the input: {sorted(clash)}")
+    if "|" in seed:
+        # seed|key namespacing — same injectivity argument as hash_bucket
+        raise ValueError(f"seed must not contain '|': {seed!r}")
     c = F.col(key).cast("string")
     skey = F.md5(F.concat(F.lit(f"{seed}|"), c))
     shard = (F.conv(F.substring(skey, 1, 8), 16, 10).cast("long") % n_shards).cast("int")

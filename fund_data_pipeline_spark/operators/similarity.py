@@ -51,13 +51,6 @@ def _round_half_away(a):
     return (np.where(a < 0, -r, r)).astype("int64")
 
 
-_OUT = T.StructType(
-    [
-        T.StructField("vec_id", T.LongType(), False),
-        T.StructField("label", T.IntegerType(), True),
-        T.StructField("cosine", T.DoubleType(), True),
-    ]
-)
 
 
 def banded_pairs_skew_bounded(
@@ -180,9 +173,24 @@ def topk_cosine(
     label_col: str = "label",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors of ``query_vec``, Arrow-batched."""
+    """Exact top-k cosine neighbors of ``query_vec``, Arrow-batched.
+
+    Output schema: ``(id_col, label_col, cosine)`` with the id/label
+    columns keeping the INPUT's names and Spark types — previously the
+    mapInPandas schema was hardcoded to (vec_id long, label int), so any
+    table with different id/label names or types either failed at Arrow
+    conversion, silently truncated, or came back renamed (review r11)."""
     import numpy as np
 
+    if "cosine" in (id_col, label_col):
+        raise ValueError("'cosine' is reserved for the output score column")
+    out_schema = T.StructType(
+        [
+            emb.schema[id_col],
+            emb.schema[label_col],
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
     q = _round_half_away(np.asarray(list(query_vec), dtype="float64") * 1e6)
     qnorm = float(np.sqrt(float((q * q).sum())))
     if qnorm == 0.0:
@@ -213,8 +221,8 @@ def topk_cosine(
             cos = dots[mask].astype("float64") / (norms[mask] * qnorm)
             out = pd.DataFrame(
                 {
-                    "vec_id": ids,
-                    "label": labels,
+                    id_col: ids,
+                    label_col: labels,
                     "cosine": cos,
                 }
             )
@@ -223,7 +231,7 @@ def topk_cosine(
             # (review r10 — per-batch yields were k x n_batches)
             best = out if best is None else pd.concat([best, out], ignore_index=True)
             best = best.sort_values(
-                ["cosine", "vec_id"], ascending=[False, True]
+                ["cosine", id_col], ascending=[False, True]
             ).head(k)
         if best is not None:
             yield best
@@ -231,5 +239,5 @@ def topk_cosine(
     src = emb
     if exclude_vec_id is not None:
         src = src.filter(F.col(id_col) != exclude_vec_id)
-    partial = src.select(id_col, label_col, vec_col).mapInPandas(kernel, _OUT)
-    return partial.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+    partial = src.select(id_col, label_col, vec_col).mapInPandas(kernel, out_schema)
+    return partial.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

@@ -90,6 +90,31 @@ def test_connected_components_transitive(spark):
     assert cc == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
 
 
+def test_connected_components_endpoint_only_nodes_phase_independent(spark):
+    """An edge endpoint absent from ``nodes`` must appear in the result
+    with the same label whichever phase finishes: the star fallback
+    previously rebuilt labels from ``nodes`` alone, so the row existed
+    under converged propagation but vanished when the fallback ran
+    (review r11 — the same phase-dependence class as the r10
+    endpoint-seed fix)."""
+    from fund_data_pipeline_spark.operators import graph
+
+    # chain 0-1-...-9 where only even ids are declared nodes; odd ids
+    # exist solely as edge endpoints. Diameter 9 with fallback after 2
+    # rounds forces the star-contraction path.
+    nodes = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "node long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
+    via_fallback = {
+        r.node: r.cluster_id
+        for r in graph.connected_components(nodes, edges, star_fallback_after=2).collect()
+    }
+    via_propagation = {
+        r.node: r.cluster_id
+        for r in graph.connected_components(nodes, edges, star_fallback_after=30).collect()
+    }
+    assert via_fallback == via_propagation == {i: 0 for i in range(10)}
+
+
 def test_connected_components_long_chain_converges(spark):
     from fund_data_pipeline_spark.operators import graph
 
@@ -98,6 +123,63 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
     cc = graph.connected_components(nodes, edges).collect()
     assert all(r.cluster_id == 0 for r in cc) and len(cc) == n
+
+
+def test_topk_cosine_honors_caller_column_names_and_types(spark):
+    """id_col/label_col are honored in the OUTPUT schema too: a string
+    label and a renamed id column must come back with the caller's names
+    and Spark types — the mapInPandas schema was previously hardcoded to
+    (vec_id long, label int), failing or silently renaming anything else
+    (review r11)."""
+    import random
+
+    import pytest
+
+    from fund_data_pipeline_spark.operators.similarity import topk_cosine
+
+    rng = random.Random(3)
+    rows = [
+        (i, ["en", "fr", "de"][i % 3], [rng.uniform(-1, 1) for _ in range(4)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "doc_id long, lang string, embedding array<float>")
+    out = topk_cosine(emb, rows[0][2], k=3, id_col="doc_id", label_col="lang")
+    assert out.columns == ["doc_id", "lang", "cosine"]
+    assert dict(out.dtypes) == {"doc_id": "bigint", "lang": "string", "cosine": "double"}
+    got = out.collect()
+    assert len(got) == 3 and got[0].doc_id == 0  # self-match ranks first
+    assert all(isinstance(r.lang, str) for r in got)
+    with pytest.raises(ValueError, match="reserved"):
+        topk_cosine(emb.withColumnRenamed("doc_id", "cosine"), rows[0][2], id_col="cosine")
+
+
+def test_sampling_guards_reject_misuse(spark):
+    """r11 guard sweep: out-of-range fraction, sub-resolution weights,
+    pre-existing output columns, and pipe-bearing salts/seeds all raise
+    instead of silently corrupting the sample (each previously failed
+    silently — review r11)."""
+    import pytest
+
+    from fund_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "shard"])
+    with pytest.raises(ValueError, match="fraction"):
+        sampling.deterministic_sample(df, "k", 50.0)
+    with pytest.raises(ValueError, match="fraction"):
+        sampling.deterministic_sample(df, "k", -0.2)
+    with pytest.raises(ValueError, match="empty bucket"):
+        sampling.split_column("k", (0.8, 0.00001, 0.19999), ("train", "val", "test"))
+    with pytest.raises(ValueError, match="already exist"):
+        sampling.shuffled_shards(df, "k")  # df carries a 'shard' column
+    with pytest.raises(ValueError, match="already exists"):
+        sampling.train_val_test(df.withColumnRenamed("shard", "split"), "k")
+    with pytest.raises(ValueError, match="salt"):
+        sampling.hash_bucket("k", salt="a|b")
+    with pytest.raises(ValueError, match="seed"):
+        sampling.shuffled_shards(df.drop("shard"), "k", seed="4|2")
+    # boundary values stay legal
+    assert sampling.deterministic_sample(df, "k", 1.0).count() == 2
+    assert sampling.deterministic_sample(df, "k", 0.0).count() == 0
 
 
 def test_topk_cosine_matches_jvm_expression_path(spark):
