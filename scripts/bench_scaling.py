@@ -60,6 +60,12 @@ EXTRA_QUERIES = [
     # every round is vocabulary-sized, so its exponent should collapse
     # toward the scan term as SF grows (vocabulary saturates)
     "bpe_train_merges",
+    # r11: the LM-quality capstone — BPE train + encode + bigram LM +
+    # per-doc scoring + percentile gate. Corpus-sized terms: the word
+    # count and the per-doc word-tf shuffle; everything else is
+    # vocabulary-sized, so its exponent should sit near bpe_train's
+    # plus a small linear scoring term
+    "bigram_lm_quality_gate",
 ]
 
 
