@@ -703,8 +703,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_supplier_revenue",
     doc="TPC-H Q15 flavor: supplier(s) achieving the maximum quarterly "
-    "revenue — aggregate, then compare to the global max via an unpartitioned "
-    "window over the (tiny) aggregate, never over the fact table.",
+    "revenue — aggregate, then compare to the global max as a broadcast "
+    "ONE-ROW aggregate over the per-supplier relation (r11: previously an "
+    "unpartitioned window, which serializes every supplier through a "
+    "single task; the rev relation is |suppliers|-sized — small at test "
+    "SFs but worth millions of rows at warehouse scale). The max-compare "
+    "stays exact decimal; only the final projection casts.",
     oracle="""
 WITH rev AS (
   SELECT l_suppkey AS suppkey,
@@ -728,10 +732,9 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.sum(revenue).alias("total_revenue")
     )
-    # max-compare stays exact decimal; only the final projection casts.
-    best = rev.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy())).filter(
-        F.col("total_revenue") == F.col("max_rev")
-    )
+    best = rev.crossJoin(
+        F.broadcast(rev.agg(F.max("total_revenue").alias("max_rev")))
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return best.join(supp, best.suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")

@@ -262,6 +262,10 @@ _ONE_ROW_BNLJ_OK = {
     # r11: crossJoins the ONE-row (total, v) LM-stats aggregate over the
     # per-doc scored relation — O(n), same shape as unigram_likelihood
     "bigram_lm_quality_gate",
+    # r11: crossJoins the ONE-row global-max aggregate over the
+    # |suppliers|-sized rev relation — replaces an unpartitioned window
+    # that serialized every supplier through a single task
+    "top_supplier_revenue",
 }
 
 
