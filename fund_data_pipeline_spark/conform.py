@@ -52,7 +52,13 @@ DEFAULT_RENAMES = {
 
 
 def normalize_headers(df: DataFrame) -> DataFrame:
-    """P1: strip + lowercase + underscore-join every column name."""
+    """P1: strip + lowercase every column name — deliberately NOT
+    underscore-joining internal spaces, matching the reference cleaner's
+    ``col.strip().lower()`` exactly; space-bearing headers are conformed
+    by the synonym map ('fund name', 'adj close' in ``DEFAULT_RENAMES``),
+    so a novel spaced header surfaces as an unmapped column rather than
+    being silently guessed at (review r11: the docstring promised joining
+    the implementation never did)."""
     return df.toDF(*[c.strip().lower() for c in df.columns])
 
 
@@ -141,7 +147,13 @@ SOURCE_MAP = {
     "yf": "yahoo_finance",
     "sa": "stock_analysis",
     "finantial_times": "financial_times",
+    # the reference's CamelCase scraper spellings (00_master_list_cleaner.py
+    # :68-73 maps 'FinancialTimes'/'YahooFinance'/'StockAnalysis'), seen
+    # here after lower_trim; 'yahoofinance' alone was handled while the
+    # other two passed through unmapped and split the natural key (r11)
+    "financialtimes": "financial_times",
     "yahoofinance": "yahoo_finance",
+    "stockanalysis": "stock_analysis",
     "financial times": "financial_times",
     "yahoo finance": "yahoo_finance",
     "stock analysis": "stock_analysis",

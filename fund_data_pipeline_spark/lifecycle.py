@@ -71,11 +71,24 @@ def apply_status_transitions(
     return out.withColumn("status", F.col("__new_status")).drop("__new_status")
 
 
-def stamp_first_last_seen(df: DataFrame, as_of: Column | None = None) -> DataFrame:
-    """L1 (source side): a fresh batch carries first_seen = last_seen = as_of;
-    the merge preserves target.first_seen on matched rows."""
+def stamp_first_last_seen(
+    df: DataFrame, as_of: Column | None = None, date_added_col: str = "date_added"
+) -> DataFrame:
+    """L1 (source side): ``first_seen`` seeds from the batch's own
+    ``date_added`` when that column is present — the reference inserts
+    first_seen = row.date_added, falling back to today only when the feed
+    carries none (04_master_list_loader.py:55-66; review r11 — stamping
+    as_of unconditionally lost the historical onboarding date, and the
+    preserve_cols merge then froze the wrong value forever). ``last_seen``
+    is always ``as_of``; the merge preserves target.first_seen on matched
+    rows."""
     as_of = F.current_date() if as_of is None else as_of
-    return df.withColumn("first_seen", as_of.cast("date")).withColumn("last_seen", as_of.cast("date"))
+    first = (
+        F.coalesce(F.col(date_added_col).try_cast("date"), as_of.cast("date"))
+        if date_added_col in df.columns
+        else as_of.cast("date")
+    )
+    return df.withColumn("first_seen", first).withColumn("last_seen", as_of.cast("date"))
 
 
 def scd2_apply(

@@ -315,6 +315,16 @@ def delete_keys(
         else ("manifest" if layout == "manifest" else "flat")
     )
     _check_layout_compatible(path, intended)
+    # heal orphaned swap backups BEFORE reading (review r11, same as
+    # merge_upsert): a crash between a previous swap's renames leaves only
+    # the backup — reading past it would see a missing table/partition and
+    # delete against the wrong state
+    if layout != "manifest":
+        from .merge import _heal_partition_backups, heal_backup_swap
+
+        heal_backup_swap(path)
+        if partition_col is not None:
+            _heal_partition_backups(path, partition_col)
     keys_df = keys_df.select(*key_cols).dropDuplicates(key_cols)
     df = read_table(spark, table_path)
     if partition_col is None:

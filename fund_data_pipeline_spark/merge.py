@@ -120,7 +120,12 @@ def merge_upsert(
       guard runs inside the merge's own full-outer join, so it costs no extra
       target scan.
     - ``dedupe_order``: tiebreak columns making the batch one-row-per-key
-      (required for a deterministic merge; defaults to the key itself).
+      (required for a deterministic merge). Default: all NON-key source
+      columns — a deterministic total order over whatever distinguishes
+      the duplicate rows. The previous default was the key itself, which
+      is CONSTANT inside its own dedup partition, i.e. an arbitrary
+      survivor whose row hash could flip on a rerun and re-fire the
+      hash guard on a no-op (review r11; same class as dedup_min).
     - ``partition_col``: hive-partition column of the target; when set, only
       the partitions present in ``source`` are read and rewritten (all other
       partitions' files are untouched on disk). Must be one of ``keys``.
@@ -160,26 +165,53 @@ def merge_upsert(
             raise ValueError(f"source is missing partition_col {partition_col!r}")
     if precedence_col is not None and precedence_col not in source.columns:
         raise ValueError(f"source is missing precedence_col {precedence_col!r}")
-    source = dedup_keyed(source, keys, list(dedupe_order) if dedupe_order else keys, keep="last")
+    source = dedup_keyed(source, keys, _dedupe_order(source, keys, dedupe_order), keep="last")
 
     path = Path(target_path)
+    # heal BEFORE existence/read: a crash between a previous swap's two
+    # renames leaves only the backup — without this, _table_exists sees no
+    # table, the merge takes the CREATE branch, and the heal inside the
+    # writer restores the full old table just in time for the source-only
+    # staging to be swapped over it (silent loss of every pre-crash row
+    # not in the batch; review r11 — rollup.refresh_rollup already healed
+    # on entry for exactly this reason). Same for hive partition backups:
+    # a missing live partition dir reads back as empty, misclassifying
+    # every batch row as insert.
+    if layout == "rename":
+        heal_backup_swap(path)
+        if partition_col is not None:
+            _heal_partition_backups(path, partition_col)
     exists = _table_exists(path, layout)
     if not exists:
-        stats = MergeStats(inserted=source.count() if collect_stats else -1, updated=0, unchanged=0)
-        _write_table(source, path, layout, partition_col, history)
-        if partition_col is not None:
-            # same capped collect as the merge path below, so the create
-            # batch reports its touched partitions too (a streaming loader's
-            # FIRST micro-batch must not be the one case the field is absent)
-            created = [
-                r[0]
-                for r in source.select(partition_col)
-                .distinct()
-                .limit(_ISIN_PRUNE_MAX + 1)
-                .collect()
-            ]
-            if len(created) <= _ISIN_PRUNE_MAX:
-                stats.touched_partitions = created
+        # pin the source when more than one consumer will evaluate it (the
+        # stats count, the write, the touched-partition collect): without
+        # this a non-deterministic or mid-job-changing source could make
+        # the reported stats/partitions disagree with the rows actually
+        # written — the hazard the merge path's result.persist() already
+        # guards (review r11)
+        pinned = source if (not collect_stats and partition_col is None) else source.persist()
+        try:
+            stats = MergeStats(
+                inserted=pinned.count() if collect_stats else -1, updated=0, unchanged=0
+            )
+            _write_table(pinned, path, layout, partition_col, history)
+            if partition_col is not None:
+                # same capped collect as the merge path below, so the create
+                # batch reports its touched partitions too (a streaming
+                # loader's FIRST micro-batch must not be the one case the
+                # field is absent)
+                created = [
+                    r[0]
+                    for r in pinned.select(partition_col)
+                    .distinct()
+                    .limit(_ISIN_PRUNE_MAX + 1)
+                    .collect()
+                ]
+                if len(created) <= _ISIN_PRUNE_MAX:
+                    stats.touched_partitions = created
+        finally:
+            if pinned is not source:
+                pinned.unpersist()
         return stats
 
     if partition_col is not None:
@@ -571,6 +603,34 @@ def _atomic_write(df: DataFrame, path: Path, partition_by: str | None = None) ->
         shutil.rmtree(backup)
 
 
+def _dedupe_order(source: DataFrame, keys: Sequence[str], dedupe_order) -> list:
+    """The batch-dedup tiebreak: the caller's columns, else all NON-key
+    columns (a deterministic total order over whatever distinguishes the
+    duplicates), else the keys themselves (rows are identical per key, so
+    any survivor is the same row)."""
+    if dedupe_order:
+        return list(dedupe_order)
+    others = [c for c in source.columns if c not in keys]
+    return others or list(keys)
+
+
+def _heal_partition_backups(path: Path, partition_col: str) -> None:
+    """Restore-or-discard orphaned hive partition backups (both the
+    dot-prefixed and the legacy un-dotted spelling) — shared by the swap
+    writer and the merge/delete entry points, which must heal BEFORE
+    reading the target (review r11)."""
+    if not path.exists():
+        return
+    for pattern, strip_dot in ((f".{partition_col}=*.__old__", True), (f"{partition_col}=*.__old__", False)):
+        for backup in list(path.glob(pattern)):
+            name = backup.name[1:] if strip_dot else backup.name
+            dest = path / name[: -len(".__old__")]
+            if dest.exists():
+                shutil.rmtree(backup)  # crash after the swap: backup is stale
+            else:
+                backup.rename(dest)  # crash between renames: backup IS the data
+
+
 def heal_backup_swap(path: Path) -> None:
     """Entry-point crash heal shared by every rename-swap writer AND by
     readers/refreshers that touch a swap-managed table before writing: a
@@ -636,12 +696,15 @@ def list_versions(table_path: str) -> list[int]:
     if not (path / MANIFEST_NAME).exists():
         return []
     out = []
-    for snap in sorted(path.glob("_v_*")):
+    for snap in path.glob("_v_*"):
         try:
             out.append(int(snap.name.rsplit("_", 1)[-1]))
         except ValueError:
             continue
-    return out
+    # sort the PARSED ints, not the names: the zero-padded %05d widens past
+    # 99999, where lexicographic order breaks the documented "live version
+    # is the last entry" contract (review r11)
+    return sorted(out)
 
 
 def table_changes(
@@ -740,25 +803,10 @@ def _partition_swap_write(df: DataFrame, path: Path, partition_col: str) -> set[
     # backup, and waiting for the same partition to be touched again would
     # leave the table missing that partition indefinitely. Backup names are
     # dot-prefixed so Spark's partition discovery never parses one as a
-    # real partition (a visible '<pcol>=<v>.__old__' dir would read back as
-    # rows under a corrupted partition value).
-    for backup in list(path.glob(f".{partition_col}=*.__old__")):
-        dest = path / backup.name[1 : -len(".__old__")]
-        if dest.exists():
-            shutil.rmtree(backup)  # crash after the swap: backup is stale
-        else:
-            backup.rename(dest)  # crash between renames: backup IS the data
-    # also heal the LEGACY un-dotted backup name ('<pcol>=v.__old__') that
-    # pre-dot-prefix releases wrote: a crash leftover in that format is
-    # otherwise parsed by partition discovery as a real partition with
-    # value 'v.__old__' — the exact corruption the dot prefix was
-    # introduced to prevent (review r9). Same restore-or-delete rule.
-    for backup in list(path.glob(f"{partition_col}=*.__old__")):
-        dest = path / backup.name[: -len(".__old__")]
-        if dest.exists():
-            shutil.rmtree(backup)
-        else:
-            backup.rename(dest)
+    # real partition; the legacy un-dotted spelling is healed too (r9).
+    # Shared with the merge/delete entry points, which heal BEFORE reading
+    # the target (review r11).
+    _heal_partition_backups(path, partition_col)
     swapped: set[str] = set()
     for part_dir in sorted(staging.glob(f"{partition_col}=*")):
         dest = path / part_dir.name
@@ -867,6 +915,12 @@ def apply_changes(
     from .maintenance import delete_keys
 
     keys = list(keys)
+    # pin the feed ONCE: the change feed is typically table_changes(...) —
+    # a full keyed diff of two snapshots — and without the pin the three
+    # isEmpty() probes plus the delete and upsert consumers would each
+    # re-run that diff join, ~5 evaluations of the dominant shuffle per
+    # feed applied (review r11). Checkpoint size is the feed, not a table.
+    changes = changes.localCheckpoint(eager=True)
     if changes.isEmpty():
         return  # no-op feed: burn no snapshot version, touch nothing
     if detect_layout(target_path) == "manifest":
@@ -882,7 +936,7 @@ def apply_changes(
         path = Path(target_path)
         current = read_table(spark, target_path)
         survivors = current.join(deletes.dropDuplicates(keys), keys, "left_anti")
-        batch = dedup_keyed(upserts, keys, keys, keep="last")
+        batch = dedup_keyed(upserts, keys, _dedupe_order(upserts, keys, None), keep="last")
         merged = merge_as_dataframe(survivors, batch, keys, hash_col=hash_col)
         _manifest_write(merged, path, history=history)
         return

@@ -137,9 +137,16 @@ def split_ticker(col: Column | str) -> tuple[Column, Column]:
 def format_amount(col: Column | str, decimals: int = 6) -> Column:
     """X17: fixed-point format used inside hash keys ('%.6f').
 
-    Parity: bulk_import_from_hashed.py:102.
+    Parity: bulk_import_from_hashed.py:102. NULL stays NULL: Java
+    ``String.format`` renders a NULL argument as the six characters
+    'null', which as a hash-key component would collide every NULL-amount
+    row on a literal string (review r11; ``normalized_key_hash`` carries
+    its own '' guard because concat_ws needs the FIELD preserved).
     """
-    return F.format_string(f"%.{decimals}f", _c(col).try_cast("double"))
+    c = _c(col).try_cast("double")
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.format_string(f"%.{decimals}f", c)
+    )
 
 
 def filename_stem_ticker(path_col: Column | str | None = None, stop: str = "_") -> Column:

@@ -231,6 +231,49 @@ def test_driver_window_is_first_fifty_registered():
     assert not undocumented
 
 
+def test_r11_expression_review_fixes(spark):
+    """r11 expression-library review: CamelCase source spellings map to
+    canonical values (they split the natural key before); format_amount
+    keeps NULL NULL (Java format_string renders NULL as the literal
+    'null'); stamp_first_last_seen seeds first_seen from the batch's
+    date_added (reference 04_master_list_loader.py:55-66) falling back to
+    as_of."""
+    from fund_data_pipeline_spark import conform, lifecycle
+    from fund_data_pipeline_spark.parse import format_amount
+
+    df = spark.createDataFrame(
+        [("FinancialTimes",), ("StockAnalysis",), ("YahooFinance",), ("Financial Times",)],
+        ["src"],
+    )
+    got = {
+        r.m
+        for r in df.select(
+            conform.map_values(conform.lower_trim("src"), conform.SOURCE_MAP).alias("m")
+        ).collect()
+    }
+    assert got == {"financial_times", "stock_analysis", "yahoo_finance"}
+
+    amt = spark.createDataFrame([(1.5,), (None,)], "v double").select(
+        format_amount("v", 2).alias("s")
+    )
+    assert [r.s for r in amt.orderBy(F.col("s").asc_nulls_last()).collect()] == ["1.50", None]
+
+    batch = spark.createDataFrame(
+        [("AAA", "2024-01-05"), ("BBB", None)], ["ticker", "date_added"]
+    )
+    stamped = lifecycle.stamp_first_last_seen(batch, F.lit("2026-08-15").cast("date"))
+    got2 = {(r.ticker, str(r.first_seen), str(r.last_seen)) for r in stamped.collect()}
+    assert got2 == {
+        ("AAA", "2024-01-05", "2026-08-15"),
+        ("BBB", "2026-08-15", "2026-08-15"),
+    }
+    # no date_added column: unchanged behavior
+    stamped2 = lifecycle.stamp_first_last_seen(
+        batch.drop("date_added"), F.lit("2026-08-15").cast("date")
+    )
+    assert {str(r.first_seen) for r in stamped2.collect()} == {"2026-08-15"}
+
+
 def test_parse_path_helpers_edge_cases(spark):
     """Dotted tickers survive stem extraction, path dates must be whole
     components, split_ticker takes the LAST part as currency, and the

@@ -628,6 +628,96 @@ def test_partition_pruned_merge_keeps_null_partition_rows(spark, tmp_path):
     ]
 
 
+def test_merge_heals_crashed_flat_swap_before_create_decision(spark, tmp_path):
+    """A crash between _atomic_write's two renames leaves ONLY the backup
+    dir. merge_upsert must heal BEFORE its existence check — otherwise it
+    sees no table, takes the CREATE branch, and the heal inside the writer
+    restores the full old table just in time for the source-only staging
+    to be swapped over it, silently deleting every pre-crash row not in
+    the batch (review r11)."""
+    from fund_data_pipeline_spark.merge import merge_upsert, read_table
+
+    path = tmp_path / "t"
+    base = _snapshot(spark, [("AAA", "2024-01", 1.0), ("BBB", "2024-02", 2.0)])
+    merge_upsert(spark, str(path), base, keys=["ticker"])
+    path.rename(tmp_path / "t.__old__")  # simulate the crash state
+    batch = _snapshot(spark, [("CCC", "2024-03", 3.0)])
+    merge_upsert(spark, str(path), batch, keys=["ticker"])
+    got = sorted((r.ticker, r.value) for r in read_table(spark, str(path)).collect())
+    assert got == [("AAA", 1.0), ("BBB", 2.0), ("CCC", 3.0)]
+    assert not (tmp_path / "t.__old__").exists()
+
+
+def test_merge_heals_crashed_partition_swap_on_same_partition(spark, tmp_path):
+    """The orphaned-backup heal must run BEFORE the merge reads the target:
+    when the next batch touches the SAME partition as the orphan, the
+    pruned read would see that partition as empty, classify every batch
+    row as insert, and the in-writer heal would restore the backup only
+    for the swap to drop it (review r11 — the existing foreign-orphan
+    test touches a different partition and so never hit this)."""
+    from fund_data_pipeline_spark.merge import merge_upsert, read_table
+
+    path = tmp_path / "t"
+    base = _snapshot(spark, [("AAA", "2024-01", 1.0), ("BBB", "2024-01", 2.0)])
+    merge_upsert(spark, str(path), base, keys=["ticker", "dt"], partition_col="dt")
+    (path / "dt=2024-01").rename(path / ".dt=2024-01.__old__")
+    batch = _snapshot(spark, [("BBB", "2024-01", 5.0)])  # SAME partition
+    merge_upsert(spark, str(path), batch, keys=["ticker", "dt"], partition_col="dt")
+    got = sorted((r.ticker, r.value) for r in read_table(spark, str(path)).collect())
+    assert got == [("AAA", 1.0), ("BBB", 5.0)]  # AAA survived the heal+merge
+    assert not (path / ".dt=2024-01.__old__").exists()
+
+
+def test_delete_keys_heals_crashed_swap_before_read(spark, tmp_path):
+    """delete_keys reads the target to find victims; against a crashed-swap
+    table it must heal first or it deletes against the wrong state
+    (review r11)."""
+    from fund_data_pipeline_spark.maintenance import delete_keys
+    from fund_data_pipeline_spark.merge import merge_upsert, read_table
+
+    path = tmp_path / "t"
+    base = _snapshot(spark, [("AAA", "2024-01", 1.0), ("BBB", "2024-02", 2.0)])
+    merge_upsert(spark, str(path), base, keys=["ticker"])
+    path.rename(tmp_path / "t.__old__")
+    victims = spark.createDataFrame([("AAA",)], "ticker string")
+    n = delete_keys(spark, str(path), victims, ["ticker"])
+    assert n == 1
+    got = [(r.ticker, r.value) for r in read_table(spark, str(path)).collect()]
+    assert got == [("BBB", 2.0)]
+
+
+def test_merge_default_dedupe_order_is_deterministic(spark, tmp_path):
+    """With no dedupe_order, a duplicate-key batch must keep the same
+    survivor on every run and partitioning: the default now orders by the
+    NON-key columns (keep='last' -> max tuple). The old default ordered by
+    the key itself — constant within its own window partition, i.e. an
+    arbitrary survivor that could flip a rerun's row hash (review r11)."""
+    from fund_data_pipeline_spark.merge import merge_upsert, read_table
+
+    rows = [("AAA", "2024-01", 1.0), ("AAA", "2024-01", 9.0), ("AAA", "2024-01", 4.0)]
+    for n_parts in (1, 5):
+        path = tmp_path / f"t{n_parts}"
+        merge_upsert(
+            spark, str(path), _snapshot(spark, rows).repartition(n_parts), keys=["ticker"]
+        )
+        got = [(r.ticker, r.value) for r in read_table(spark, str(path)).collect()]
+        assert got == [("AAA", 9.0)], n_parts  # max (dt, value) tuple
+
+
+def test_list_versions_sorts_numerically(spark, tmp_path):
+    """Version order must be numeric, not lexicographic: _v_100000 (6
+    digits, written once %05d widens) sorts before _v_99999 by name, and
+    the documented 'live version is the last entry' breaks (review r11)."""
+    from fund_data_pipeline_spark.merge import MANIFEST_NAME, list_versions
+
+    path = tmp_path / "t"
+    path.mkdir()
+    (path / MANIFEST_NAME).write_text("{}")
+    for v in (99999, 100000, 7):
+        (path / f"_v_{v:05d}").mkdir()
+    assert list_versions(str(path)) == [7, 99999, 100000]
+
+
 def test_partition_swap_heals_foreign_orphan_backup(spark, tmp_path):
     """A crash between the two swap renames of an EARLIER batch leaves only
     the (dot-prefixed) backup; the next merge — touching a DIFFERENT
