@@ -6,8 +6,8 @@ batches exist; the standard form is a sliding token window with overlap
 This is a pure JVM explode — split once, generate the window starts with
 ``sequence``, ``posexplode`` them, ``slice`` the token array per window:
 
-    tokens = split(trim(text), WS_RE)   # explicit [ \t\n\x0B\f\r]+ class
-    starts = sequence(0, size(tokens) - 1, stride)
+    tokens = filter(split(trim(text), WS_RE), t -> t <> '')  # explicit class, no phantom '' tokens
+    starts = sequence(0, last_start, stride)  # bounded so no window is contained in the previous
     chunk  = slice(tokens, start + 1, chunk_size)
 
 Scale (100 TB): no shuffle, no UDF, no state — chunking is exactly as
@@ -40,6 +40,16 @@ from pyspark.sql import functions as F
 WS_RE = r"[ \t\n\x0B\f\r]+"
 
 
+def _tokens_arr(col) -> F.Column:
+    """Document tokens with empty strings removed: ``trim()`` strips only
+    ASCII spaces, so a doc bounded by tab/newline splits to leading/
+    trailing '' tokens — off-by-one token counts, a trailing space in the
+    last chunk's text, and whitespace-only docs passing the emptiness
+    check (review r11; same phantom-token class operators/bpe.py
+    initial_vocab already filters). Oracles mirror with ``list_filter``."""
+    return F.filter(F.split(F.trim(col), WS_RE), lambda t: F.length(t) > 0)
+
+
 def chunk_by_tokens(
     df: DataFrame,
     text_col: str = "text",
@@ -62,16 +72,24 @@ def chunk_by_tokens(
             f"stride {stride} > chunk_size {chunk_size} would skip tokens entirely"
         )
     ids = list(id_cols)
-    tokens = F.split(F.trim(F.col(text_col)), WS_RE)
-    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        *ids, tokens.alias("__tokens")
+    base = df.select(*ids, _tokens_arr(F.col(text_col)).alias("__tokens")).filter(
+        F.size("__tokens") > 0
     )
+    # last window start: a start s > 0 whose PREVIOUS window already reached
+    # the document end (s - stride + chunk_size >= n) would emit a window
+    # fully contained in that previous one — duplicated training content
+    # (review r11); bound the grid at n - chunk_size + stride - 1 instead
+    # of n - 1. stride == chunk_size (no overlap) keeps the old grid.
+    n = F.size("__tokens")
+    last_start = F.when(
+        n > chunk_size, n - F.lit(chunk_size) + F.lit(stride) - 1
+    ).otherwise(F.lit(0))
     exploded = base.select(
         *ids,
         "__tokens",
-        F.posexplode(
-            F.sequence(F.lit(0), F.size("__tokens") - 1, F.lit(stride))
-        ).alias("chunk_idx", "__start"),
+        F.posexplode(F.sequence(F.lit(0), last_start, F.lit(stride))).alias(
+            "chunk_idx", "__start"
+        ),
     )
     chunk = F.slice(F.col("__tokens"), F.col("__start") + 1, chunk_size)
     return exploded.select(
@@ -113,9 +131,8 @@ def chunk_content_defined(
     if divisor <= 1:
         raise ValueError("divisor must be > 1 (expected chunk length)")
     ids = list(id_cols)
-    tokens = F.split(F.trim(F.col(text_col)), WS_RE)
-    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        *ids, tokens.alias("__tokens")
+    base = df.select(*ids, _tokens_arr(F.col(text_col)).alias("__tokens")).filter(
+        F.size("__tokens") > 0
     )
     n = F.size("__tokens")
     # one linear pass marks every token's (1-based pos, is-boundary) —
@@ -173,28 +190,41 @@ def scrub_boilerplate_segments(
 
     Plan shape (100 TB): segment via :func:`chunk_by_tokens` with
     stride == size (scan + explode, no shuffle); ONE aggregate builds the
-    hot-segment set, which is small by construction (distinct segments
-    with doc-frequency > K — bounded by corpus_size/K) and is broadcast
-    into a map-side anti-join, so no second shuffle of the corpus against
-    the hot set; one final aggregate per document reassembles. The
+    hot-segment set (distinct segments with doc-frequency > K — bounded
+    by total_segments/K, usually small but NOT guaranteed so on a
+    boilerplate-heavy corpus, hence no forced broadcast: AQE picks the
+    anti-join strategy from the observed size); one final aggregate per
+    document reassembles. The
     in-order reassembly uses ``array_sort`` over (chunk_idx, text) structs
     inside the aggregate — no window, no per-doc sort shuffle beyond the
     groupBy itself.
     """
+    from functools import reduce
+    from operator import and_
+
     ids = list(id_cols)
     # materialize the segment relation once: it feeds three subtrees (hot-set
     # aggregate, anti-join probe, per-doc totals) that would otherwise each
-    # re-run the corpus scan + explode — two redundant full passes at scale
+    # re-run the corpus scan + explode — two redundant full passes at scale.
+    # persist, not localCheckpoint (review r11): the relation is
+    # corpus-sized, and a checkpoint stores non-replicated blocks with the
+    # lineage truncated — one lost executor kills the job; persisted blocks
+    # are recomputable and the plan needs no truncation here (no iteration).
     segs = chunk_by_tokens(
         df, text_col, ids, chunk_size=segment_tokens, stride=segment_tokens
-    ).localCheckpoint(eager=True)
+    ).persist()
     hot = (
         segs.groupBy("chunk_text")
         .agg(F.countDistinct(*ids).alias("__df"))
         .filter(F.col("__df") > max_doc_freq)
         .select("chunk_text")
     )
-    kept = segs.join(F.broadcast(hot), "chunk_text", "left_anti")
+    # no forced broadcast (review r11): hot is bounded only by
+    # total_segments / max_doc_freq — on a boilerplate-heavy corpus that is
+    # a large fraction of all distinct segments, and a pinned broadcast
+    # would OOM the driver at scale; AQE runtime-broadcasts whenever the
+    # set is genuinely small, which is strictly safer
+    kept = segs.join(hot, "chunk_text", "left_anti")
     totals = segs.groupBy(*ids).agg(F.count(F.lit(1)).alias("n_segments"))
     reassembled = kept.groupBy(*ids).agg(
         F.count(F.lit(1)).alias("__n_kept"),
@@ -206,8 +236,13 @@ def scrub_boilerplate_segments(
             ),
         ).alias("clean_text"),
     )
-    return totals.join(reassembled, ids, "left").select(
-        *ids,
+    # NULL-safe id join (review r11): a document with a NULL id survives
+    # groupBy on both sides but a plain equi-join never matches NULL = NULL,
+    # which would blank its entire reassembled text
+    t, r = totals.alias("__t"), reassembled.alias("__r")
+    cond = reduce(and_, [F.col(f"__t.{c}").eqNullSafe(F.col(f"__r.{c}")) for c in ids])
+    return t.join(r, cond, "left").select(
+        *[F.col(f"__t.{c}").alias(c) for c in ids],
         "n_segments",
         (F.col("n_segments") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
             "n_removed"

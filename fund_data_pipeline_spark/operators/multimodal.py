@@ -34,6 +34,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Resolve optional codec availability ONCE per interpreter: the decode
+# stubs run per payload inside the Arrow kernels, and Python does NOT
+# cache failed imports — probing PIL/soundfile per row made the import
+# machinery (finder lookups + ImportError construction) the dominant
+# kernel cost in library-absent environments (review r11).
+try:  # pragma: no cover - depends on the environment
+    from PIL import Image as _PIL_IMAGE  # type: ignore
+except ImportError:
+    _PIL_IMAGE = None
+try:  # pragma: no cover - depends on the environment
+    import soundfile as _SOUNDFILE  # type: ignore
+except ImportError:
+    _SOUNDFILE = None
+
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
@@ -112,9 +126,7 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float, str]:
     Derived purely from the payload bytes so results are stable across
     runs/engines. Replace with a Pillow decode when the library exists.
     """
-    try:
-        from PIL import Image  # type: ignore
-    except ImportError:
+    if _PIL_IMAGE is None:
         # library absent (this container): deterministic fake
         digest = hashlib.md5(payload or b"").digest()
         w = 64 + digest[0] * 4  # plausible 64..1084 px
@@ -125,7 +137,7 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float, str]:
     # silently become plausible fake stats that pass downstream gates
     import io  # pragma: no cover - library absent in this container
 
-    img = Image.open(io.BytesIO(payload))
+    img = _PIL_IMAGE.open(io.BytesIO(payload))
     w, h = img.size
     luma = sum(img.convert("L").getdata()) / (w * h)
     return w, h, float(luma), hashlib.md5(img.tobytes()).hexdigest()[:16]
@@ -266,9 +278,7 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, int, float, float]:
     codec. rms/clip_frac are the standard speech-corpus quality gates
     (silence and clipping filters).
     """
-    try:
-        import soundfile  # type: ignore
-    except ImportError:
+    if _SOUNDFILE is None:
         # library absent (this container): deterministic fake
         digest = hashlib.md5(payload or b"").digest()
         rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
@@ -280,7 +290,7 @@ def _decode_audio_stub(payload: bytes) -> tuple[int, int, float, float]:
     # silently become plausible fake stats that pass the quality gates
     import io  # pragma: no cover - library absent in this container
 
-    data, rate = soundfile.read(io.BytesIO(payload))
+    data, rate = _SOUNDFILE.read(io.BytesIO(payload))
     n = len(data)
     rms = float((data**2).mean() ** 0.5) if n else 0.0
     clip = float((abs(data) >= 0.999).mean()) if n else 0.0

@@ -689,11 +689,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk text is md5'd so the checked result stays narrow.",
     oracle=r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
-  FROM documents
-  WHERE length(trim(text)) > 0
+  SELECT doc_id, toks FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) > 0
 ), s AS (
-  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN len(toks) > 32 THEN len(toks) - 32 + 24 ELSE 1 END, 24)) AS start
   FROM t
 )
 SELECT doc_id,
@@ -727,9 +730,11 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kernels; no shuffle, no window, no per-index element_at.",
     oracle=r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
-  FROM documents
-  WHERE length(trim(text)) > 0
+  SELECT doc_id, toks FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) > 0
 ), m AS (
   SELECT doc_id, toks, len(toks) AS n,
          list_filter(range(1, len(toks)),
@@ -778,11 +783,14 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: doc_chunking, with source carried through for the pack grouping)
 _CHUNK_CTE = r"""
 WITH t AS (
-  SELECT doc_id, source, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
-  FROM documents
-  WHERE length(trim(text)) > 0
+  SELECT doc_id, source, toks FROM (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) > 0
 ), s AS (
-  SELECT doc_id, source, toks, unnest(range(0, len(toks), 24)) AS start
+  SELECT doc_id, source, toks,
+         unnest(range(0, CASE WHEN len(toks) > 32 THEN len(toks) - 32 + 24 ELSE 1 END, 24)) AS start
   FROM t
 ), chunks AS (
   SELECT doc_id, source,
@@ -1257,14 +1265,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scrub_boilerplate_segments): token segments appearing in more than 5 "
     "distinct documents are removed everywhere and documents reassembled "
     "in order — the RefinedWeb/CCNet repeated-line dedup re-expressed over "
-    "token segments. Hot-segment set is small by construction and "
-    "broadcast into a map-side anti-join; checked per-doc via the md5 of "
-    "the reassembled text.",
+    "token segments. Hot-segment set is usually small (bounded by "
+    "total_segments/K) but not guaranteed so — AQE picks the anti-join "
+    "strategy at runtime (r11: forced broadcast dropped); checked per-doc "
+    "via the md5 of the reassembled text.",
     oracle=r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
-  FROM documents
-  WHERE length(trim(text)) > 0
+  SELECT doc_id, toks FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) > 0
 ), segs AS (
   SELECT doc_id,
          CAST(start / 2 AS BIGINT) AS chunk_idx,
@@ -1285,7 +1296,7 @@ SELECT totals.doc_id,
        n_segments,
        CAST(n_segments - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
        md5(COALESCE(clean_text, '')) AS clean_md5
-FROM totals LEFT JOIN reass USING (doc_id)
+FROM totals LEFT JOIN reass ON totals.doc_id IS NOT DISTINCT FROM reass.doc_id
 """,
 )
 def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

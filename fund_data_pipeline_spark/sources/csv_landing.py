@@ -150,11 +150,15 @@ def read_landing_jsonl(
     recursive: bool = True,
     path_glob: str | None = "*.jsonl",
     with_provenance: bool = True,
+    exclude_name_parts: Sequence[str] = DEFAULT_EXCLUDE_NAME_PARTS,
 ) -> DataFrame:
     """JSON-lines landing scan (scraper output beyond CSV): same contract as
     :func:`read_landing_csvs` — one distributed scan, permissive parse
     (malformed lines land in ``_corrupt_record`` instead of failing the job),
-    provenance from ``input_file_name()``."""
+    provenance from ``input_file_name()``, and the SAME error/log sentinel
+    filename filter (review r11: 'same contract' previously lacked the
+    filter, so an errors.jsonl dropped next to the data files by a scraper
+    was ingested as data — the exact class r10 fixed for the CSV stream)."""
     reader = (
         spark.read.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
@@ -163,8 +167,11 @@ def read_landing_jsonl(
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     df = reader.json(list(paths))
+    file_col = F.input_file_name()
+    if exclude_name_parts:
+        df = df.filter(~name_excluded_col(file_col, exclude_name_parts))
     if with_provenance:
-        df = df.withColumn("origin_file", F.input_file_name())
+        df = df.withColumn("origin_file", file_col)
     return df
 
 

@@ -496,11 +496,14 @@ def test_chunk_by_tokens_overlap_and_boundaries(spark):
     out = chunk_by_tokens(docs, chunk_size=4, stride=3)
     rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
 
-    # doc 1: starts 0,3,6,9 -> windows [0:4],[3:7],[6:10],[9:10]
-    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2), (1, 3)]
+    # doc 1: starts 0,3,6 -> windows [0:4],[3:7],[6:10]. Start 9 is NOT
+    # emitted: its window [9:10] is fully contained in [6:10], which
+    # already reached the document end — the duplicated-content tail the
+    # r11 start-grid bound removes
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2)]
     assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
     assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6"  # overlap of 1 token
-    assert rows[(1, 3)].chunk_text == "t9" and rows[(1, 3)].n_tokens == 1
+    assert rows[(1, 2)].chunk_text == "t6 t7 t8 t9" and rows[(1, 2)].n_tokens == 4
     # every token appears in at least one chunk
     seen = set()
     for k, r in rows.items():
@@ -513,6 +516,20 @@ def test_chunk_by_tokens_overlap_and_boundaries(spark):
 
     with pytest.raises(ValueError, match="stride"):
         chunk_by_tokens(docs, chunk_size=4, stride=5)
+
+    # phantom-token guard (review r11): trim() strips only SPACES, so a
+    # tab/newline-bounded doc used to gain '' tokens (off-by-one counts, a
+    # trailing space in chunk_text) and a '\n' doc passed the emptiness
+    # filter and emitted a phantom chunk
+    dirty = spark.createDataFrame(
+        [(10, "hello world\n"), (11, "\n"), (12, "\ta b\t")],
+        "doc_id long, text string",
+    )
+    drows = {(r.doc_id, r.chunk_idx): r for r in chunk_by_tokens(dirty, chunk_size=4, stride=3).collect()}
+    assert drows[(10, 0)].chunk_text == "hello world"
+    assert drows[(10, 0)].n_tokens == 2
+    assert not any(k[0] == 11 for k in drows)  # whitespace-only: dropped
+    assert drows[(12, 0)].chunk_text == "a b" and drows[(12, 0)].n_tokens == 2
 
 
 def test_chunk_content_defined_model_and_edit_stability(spark):
