@@ -181,7 +181,6 @@ def run_all(
     but it does abort everything after the group. With ``fail_stop=False``
     later stages still run.
     """
-    import time
     from concurrent.futures import ThreadPoolExecutor
 
     t_run0 = time.perf_counter()

@@ -173,9 +173,13 @@ FROM events
 )
 def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    v = F.get_json_object("props", "$.k")
+    # the integer-text guard must live on BOTH engines: Spark's try_cast
+    # alone accepts '+5' / ' 5 ' (ANSI cast trims and allows a leading +)
+    # that the oracle's ^-?[0-9]+$ rejects (review r11)
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_value"),
+        F.when(v.rlike("^-?[0-9]+$"), v.try_cast("bigint")).alias("k_value"),
     )
 
 

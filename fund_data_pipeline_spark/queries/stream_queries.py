@@ -71,17 +71,18 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approximation is dropDuplicatesWithinWatermark (review r10: a "
     "watermark declared next to a plain dropDuplicates is silently "
     "ignored — Spark only evicts when the event-time column is part of "
-    "the dedup subset). NULL user_ids are excluded up front to match "
-    "COUNT(DISTINCT), which never counts NULL.",
+    "the dedup subset). NULL user_ids stay in the dedup (one NULL row per "
+    "type, bounded state) and are skipped by the final count(user_id) — "
+    "previously they were filtered before dedup, so an event_type whose "
+    "EVERY user_id is NULL vanished from the result while the oracle's "
+    "GROUP BY keeps the group with n_users = 0 (review r11).",
     oracle="SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
 )
 def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
-    deduped = ev.filter(F.col("user_id").isNotNull()).dropDuplicates(
-        ["user_id", "event_type"]
-    )
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
     sink = run_to_memory(deduped.select("user_id", "event_type"), "append")
-    return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return sink.groupBy("event_type").agg(F.count("user_id").alias("n_users"))
 
 
 _STATE_SCHEMA = StructType(

@@ -43,8 +43,17 @@ def start_nav_stream(
     errors_path: str | None = None,
     exclude_name_parts: tuple[str, ...] | None = None,
     processing_time: str | None = None,
+    partitioned: bool | None = None,
 ):
     """Drain new landing CSVs into the NAV table; returns the StreamingQuery.
+
+    ``partitioned``: use the ``as_of_date``-partitioned merge layout.
+    Default ``None`` keeps the historical inference (partitioned iff
+    ``rollup_path`` is set); pass ``True`` to get per-batch costs bounded
+    by the batch's dates WITHOUT a rollup — previously the layout was
+    coupled to the rollup feature, so a continuous loader with no rollup
+    rewrote the whole table every micro-batch (review r11). Rollup mode
+    requires the partitioned layout (the refresh prunes on the date).
 
     Call ``.awaitTermination()`` on the result for a one-shot availableNow
     drain (the daily-batch analog).
@@ -124,6 +133,18 @@ def start_nav_stream(
     )
     if parts:
         raw = raw.filter(~name_excluded_col(F.input_file_name(), parts))
+    # provenance parity with the batch reader (review r11): without
+    # origin_file, clean()'s keep-last dedup tiebreak degrades to
+    # (scrape_date, nav_price) and a micro-batch with two same-key rows
+    # differing only in an untied column picks a shuffle-order survivor —
+    # a crash replay could pick the OTHER row, flip its hash, and update
+    # the target, breaking the replay-idempotence claim. The quarantine
+    # rows gain the same provenance the batch path carries.
+    raw = raw.withColumn("origin_file", F.input_file_name())
+
+    use_partition = (rollup_path is not None) if partitioned is None else partitioned
+    if rollup_path is not None and not use_partition:
+        raise ValueError("rollup_path requires the date-partitioned layout")
 
     def load_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -160,7 +181,7 @@ def start_nav_stream(
                 batch,
                 DAILY_NAV_KEY,
                 precedence_col="scrape_date",
-                partition_col="as_of_date" if rollup_path is not None else None,
+                partition_col="as_of_date" if use_partition else None,
             )
             if rollup_path is None:
                 return

@@ -23,10 +23,17 @@ Design notes for scale:
 from __future__ import annotations
 
 import itertools
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
 _SINK_IDS = itertools.count()
+
+#: serializes drains that pin the session-global shuffle-partitions conf:
+#: two concurrent save/set/restore sequences can interleave so one drain
+#: "restores" the OTHER's pinned value, leaving the shared session at 8
+#: partitions for every later batch query (review r11)
+_CONF_LOCK = threading.Lock()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
@@ -61,6 +68,8 @@ def run_to_memory(sdf: DataFrame, mode: str, shuffle_partitions: int | None = 8)
     shuffles are not adaptive."""
     spark = sdf.sparkSession
     name = f"stream_sink_{next(_SINK_IDS)}"
+    if shuffle_partitions is not None:
+        _CONF_LOCK.acquire()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -86,6 +95,7 @@ def run_to_memory(sdf: DataFrame, mode: str, shuffle_partitions: int | None = 8)
         finally:
             if shuffle_partitions is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
+                _CONF_LOCK.release()
         return spark.table(name).localCheckpoint()
     finally:
         spark.catalog.dropTempView(name)
