@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .numeric import dec as _dec
+from .numeric import split_scaled_decimal as _split
 from .registry import register, table
 
 
@@ -33,11 +34,17 @@ from .registry import register, table
 
 @register(
     "grouping_sets_revenue",
-    doc="A: explicit GROUPING SETS ((flag,status),(flag),()) with grouping_id.",
+    doc="A: explicit GROUPING SETS ((flag,status),(flag),()) with grouping_id. "
+    "The grand-total () set sums the WHOLE corpus, so the decimal->double "
+    "conversion goes through the floor-split kernel (numeric.py) — a direct "
+    "cast is 1 ULP off DuckDB beyond 2^53 scaled units (review r11; same "
+    "trap pricing_summary fixed in r9).",
     oracle="""
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS gid,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) AS DOUBLE)
+         + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
@@ -52,7 +59,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+            _split(F.sum(_dec("l_extendedprice"))).alias("revenue"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "revenue")
     )
@@ -86,7 +93,9 @@ def priority_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "below half the part's average quantity. The threshold compare is kept "
     "exact (qty*2*cnt < sum as decimals) so no float-average boundary flaps.",
     oracle="""
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+SELECT CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))) AS DOUBLE)
+         + CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                - FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))) AS DOUBLE) AS total_price,
        COUNT(*) AS n
 FROM lineitem l
 JOIN (SELECT l_partkey,
@@ -109,7 +118,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(g, F.col("l.l_partkey") == F.col("g.l_partkey"))
         .filter(_dec("l.l_quantity") * 2 * F.col("g.cnt") < F.col("g.qty_sum"))
         .agg(
-            F.sum(_dec("l.l_extendedprice")).cast("double").alias("total_price"),
+            # corpus-wide sum: floor-split conversion (review r11)
+            _split(F.sum(_dec("l.l_extendedprice"))).alias("total_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -212,7 +222,9 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical to the plain join (the oracle runs the unsalted SQL).",
     oracle="""
 SELECT o_orderstatus,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+         + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))
+                - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
@@ -234,7 +246,8 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderstatus")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            # 3 status groups over the whole corpus: floor-split (review r11)
+            _split(F.sum(revenue)).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -272,7 +285,14 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     # F.last(ignorenulls) calls could take ts and value from DIFFERENT click
     # rows when a click's value is NULL (review r9) — the oracle's ranked
     # form returns both fields from the single rn=1 row, so must we.
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    # NULL-ts clicks are excluded (review r11): the window orders ts ASC
+    # NULLS FIRST, so a NULL-ts click's NON-NULL struct would sort first
+    # and last(ignorenulls) would carry it to a purchase with no other
+    # prior click — while the oracle's c.ts <= p.ts never matches NULL ts
+    # (same latent-null class as the r10 NULL-user guard).
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("ts").isNotNull()
+    ).select(
         "user_id",
         "ts",
         F.lit(None).cast("long").alias("event_id"),
@@ -399,6 +419,9 @@ def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         epoch_day.alias("epoch_day"),
+        # direct cast is safe HERE: the frame sum is one customer's trailing
+        # 30 days — structurally bounded far below 2^53 scaled units, unlike
+        # the corpus-wide sums that use the floor-split kernel (review r11)
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(w)
         .cast("double")
@@ -571,5 +594,8 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("day_revenue").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_gap_days"),
+        # per-customer span sum: bounded far below 2^53 scaled units, so the
+        # direct cast stays engine-exact (review r11; contrast the
+        # corpus-wide floor-split sums above)
         F.sum("carried").cast("double").alias("carried_revenue"),
     )

@@ -89,21 +89,31 @@ def _bucket_col(qe, n_bits: int = N_LSH_BITS):
     qe = F.col(qe) if isinstance(qe, str) else qe
     bucket = F.lit(0).cast("long")
     for j in range(n_bits):
-        signs = F.array(
-            *[
-                F.lit(1 if ((i * _LSH_A + j * _LSH_B) % _LSH_MOD) < _LSH_T else -1).cast("long")
-                for i in range(1, EMB_DIM + 1)
-            ]
-        )
-        proj = F.aggregate(
-            F.zip_with(qe, signs, lambda x, s: x * s),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        proj = _plane_projection(qe, j)
         bucket = bucket + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return bucket
+
+
+def _plane_projection(qe, j: int):
+    """Exact integer projection of a quantized vector onto derandomized ±1
+    plane ``j`` — the ONE Python copy of the sign-array + zip_with kernel,
+    shared by the LSH bucketer and the JL random projection (review r11:
+    it previously existed in two Python spellings plus the SQL twin
+    ``_bucket_sql``; a change to the LSH family must land here and in the
+    SQL string, not in three places)."""
+    signs = F.array(
+        *[
+            F.lit(1 if ((i * _LSH_A + j * _LSH_B) % _LSH_MOD) < _LSH_T else -1).cast("long")
+            for i in range(1, EMB_DIM + 1)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(qe, signs, lambda x, s: x * s),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def _quant(col):
@@ -165,15 +175,23 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qnorm",
         _dot(F.col("qe2"), F.col("qe2")).alias("enorm"),
     )
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("enorm").cast("double"))
+    # zero-norm guard (review r11): under the session's ANSI default a
+    # double division by zero THROWS (DIVIDE_BY_ZERO), it does not yield
+    # NaN — a zero-quantized padding row would abort the whole query.
+    # NULL-on-zero matches the DuckDB oracle exactly (x/0 is NULL there),
+    # and NULLs rank last under every desc ordering both engines use.
+    cosine = F.when(
+        (F.col("qnorm") > 0) & (F.col("enorm") > 0),
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("enorm").cast("double"))),
     )
-    # zero-norm candidates have no defined cosine: 0/0 = NaN, and Spark
-    # ranks NaN ABOVE every real value in a desc sort — a padding/default
-    # row would take rank 1. Excluded on BOTH sides (and in the Arrow
-    # kernel, operators/similarity.py), so the three variants agree
-    # (review r10: only the Arrow kernel filtered; one zero vector would
-    # have made the 'identical' variants return different top-20 sets).
+    # zero-norm candidates have no defined cosine — and under the session's
+    # ANSI default an unguarded 0/0 double division ABORTS the query
+    # (r11 correction of this comment's old NaN-ranking rationale).
+    # Excluded on BOTH sides (and in the Arrow kernel,
+    # operators/similarity.py), so the three variants agree (review r10:
+    # only the Arrow kernel filtered; one zero vector would have made the
+    # 'identical' variants return different top-20 sets).
     return (
         scored.filter(F.col("enorm") > 0)
         .select("vec_id", "label", cosine.alias("cosine"))
@@ -299,8 +317,15 @@ def ann_bucketed_topk(
             _dot(F.col("qe"), F.col("qe")).alias("enorm"),
         )
     )
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("enorm").cast("double"))
+    # zero-norm guard (review r11): under the session's ANSI default a
+    # double division by zero THROWS (DIVIDE_BY_ZERO), it does not yield
+    # NaN — a zero-quantized padding row would abort the whole query.
+    # NULL-on-zero matches the DuckDB oracle exactly (x/0 is NULL there),
+    # and NULLs rank last under every desc ordering both engines use.
+    cosine = F.when(
+        (F.col("qnorm") > 0) & (F.col("enorm") > 0),
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("enorm").cast("double"))),
     )
     return (
         scored.select("vec_id", "label", cosine.alias("cosine"))
@@ -347,24 +372,32 @@ def cosine_near_dup(
     within-bucket pair count is ~(N/2**n_bits)**2 per bucket, so raise
     ``n_bits`` with corpus size (:func:`lsh_bits_for_corpus`) to keep the
     self-join local and bounded."""
+    from ..operators.similarity import blocked_self_join
+
     emb = table(spark, sf_dir, "embeddings")
     # qe projected once per side, bucket derived from it (see ann_bucketed_topk)
     b = emb.select("vec_id", _quant("embedding").alias("qe")).select(
         "vec_id", "qe", _bucket_col("qe", n_bits).alias("bucket")
     )
-    a, c = b.alias("a"), b.alias("c")
-    pairs = a.join(
-        c,
-        (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")),
-    ).select(
+    # skew-bounded triangular self-join (review r11): the plain bucket
+    # self-equi-join put m^2/2 pairs of a hot bucket in ONE task — the
+    # exact quadratic straggler semantic_dedup already routes around;
+    # blocked_self_join emits the identical i<j pair set with <= 4096
+    # rows per side per task
+    pairs = blocked_self_join(b, ["bucket"], "vec_id", payload_cols=["qe"]).select(
         F.col("a.vec_id").alias("vec_a"),
-        F.col("c.vec_id").alias("vec_b"),
-        _dot(F.col("a.qe"), F.col("c.qe")).alias("dot"),
+        F.col("b.vec_id").alias("vec_b"),
+        _dot(F.col("a.qe"), F.col("b.qe")).alias("dot"),
         _dot(F.col("a.qe"), F.col("a.qe")).alias("anorm"),
-        _dot(F.col("c.qe"), F.col("c.qe")).alias("cnorm"),
+        _dot(F.col("b.qe"), F.col("b.qe")).alias("cnorm"),
     )
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("anorm").cast("double")) * F.sqrt(F.col("cnorm").cast("double"))
+    # zero-norm guard (review r11): ANSI double 0/0 aborts; NULL cosine
+    # fails the >= threshold on both engines (DuckDB x/0 is NULL), so a
+    # zero-quantized vector is excluded from pairs instead of crashing
+    cosine = F.when(
+        (F.col("anorm") > 0) & (F.col("cnorm") > 0),
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("anorm").cast("double")) * F.sqrt(F.col("cnorm").cast("double"))),
     )
     return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(
         F.col("cosine") >= threshold
@@ -530,8 +563,15 @@ def ivf_topk(
             _dot(F.col("qe"), F.col("qe")).alias("enorm"),
         )
     )
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("enorm").cast("double"))
+    # zero-norm guard (review r11): under the session's ANSI default a
+    # double division by zero THROWS (DIVIDE_BY_ZERO), it does not yield
+    # NaN — a zero-quantized padding row would abort the whole query.
+    # NULL-on-zero matches the DuckDB oracle exactly (x/0 is NULL there),
+    # and NULLs rank last under every desc ordering both engines use.
+    cosine = F.when(
+        (F.col("qnorm") > 0) & (F.col("enorm") > 0),
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(F.col("enorm").cast("double"))),
     )
     return (
         scored.select("vec_id", "label", cosine.alias("cosine"))
@@ -740,8 +780,12 @@ def semantic_dedup(
     if restrict_ids is not None:
         emb = emb.join(restrict_ids.select("vec_id"), "vec_id", "semi")
     cells = emb.withColumn("cell", F.array_min(_cell_dist_arr(cents))["cid"])
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("hnorm").cast("double")) * F.sqrt(F.col("lnorm").cast("double"))
+    # zero-norm guard (review r11): ANSI double 0/0 aborts; NULL fails the
+    # threshold on both engines, so zero vectors drop out of the dedup
+    cosine = F.when(
+        (F.col("hnorm") > 0) & (F.col("lnorm") > 0),
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("hnorm").cast("double")) * F.sqrt(F.col("lnorm").cast("double"))),
     )
     # a (lower id) is the witness side, b the candidate-duplicate side
     pairs = (
@@ -805,22 +849,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _quant("embedding").alias("qe")
     )
-    def coord(j: int):
-        # literal ±1 sign array + zip_with, same kernel as _bucket_col
-        # (element_at-over-sequence is ~8x slower; see _bucket_col doc)
-        signs = F.array(
-            *[
-                F.lit(1 if ((i * _LSH_A + j * _LSH_B) % _LSH_MOD) < _LSH_T else -1).cast("long")
-                for i in range(1, EMB_DIM + 1)
-            ]
-        )
-        return F.aggregate(
-            F.zip_with(F.col("qe"), signs, lambda x, s: x * s),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    proj = F.array(*[coord(j) for j in range(RP_DIM)])
+    # the shared sign-array + zip_with kernel (_plane_projection) — one
+    # Python copy for the bucketer and this projection (review r11)
+    proj = F.array(*[_plane_projection(F.col("qe"), j) for j in range(RP_DIM)])
     out = emb.select("vec_id", proj.alias("p"))
     return out.select(
         "vec_id",
@@ -1047,8 +1078,14 @@ def hybrid_bm25_cosine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     enorm = _dot(F.col("qe2"), F.col("qe2"))
-    cosine = _dot(F.col("q"), F.col("qe2")).cast("double") / (
-        F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(enorm.cast("double"))
+    # zero-norm guard (review r11): a zero-quantized candidate embedding
+    # keeps NULL cosine and ranks last — the docstring's NULL contract,
+    # previously honored only for MISSING embeddings; unguarded it would
+    # abort under ANSI while the oracle yields NULL (x/0)
+    cosine = F.when(
+        (F.col("qnorm") > 0) & (enorm > 0),
+        _dot(F.col("q"), F.col("qe2")).cast("double")
+        / (F.sqrt(F.col("qnorm").cast("double")) * F.sqrt(enorm.cast("double"))),
     )
     scored = (
         cand.join(F.broadcast(fetched), cand["doc_id"] == fetched["vec_id"], "left")

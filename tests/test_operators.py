@@ -1579,6 +1579,56 @@ def test_bigram_lm_quality_gate_exact_python_model(spark, sf_dir):
         assert r.mean_bigram_likelihood == w[4], r.doc_id
 
 
+def test_vector_queries_survive_zero_norm_embeddings(spark, tmp_path):
+    """A zero-quantized embedding must not abort the vector queries: under
+    the session's ANSI default an unguarded 0/0 double division throws
+    DIVIDE_BY_ZERO (review r11 — only embedding_topk_cosine carried the
+    r10 enorm > 0 guard; the ANN/near-dup/SemDeDup variants crashed).
+    Each guarded query must also still hash-match its DuckDB oracle on the
+    doctored corpus (DuckDB yields NULL for x/0, so NULL-on-zero is the
+    parity-correct form)."""
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fund_data_pipeline_spark.oracle import TABLES, compare_query, duckdb_connect
+    from fund_data_pipeline_spark.queries import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    rng = random.Random(5)
+    vecs = [[rng.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(29)]
+    vecs.append([0.0] * 64)  # the zero-norm padding row
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([i % 3 for i in range(30)], pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    con = duckdb_connect(str(d))
+    for name in (
+        "embedding_topk_cosine",
+        "embedding_ann_bucketed_topk",
+        "embedding_ivf_topk",
+        "embedding_cosine_near_dup",
+        "semantic_dedup_cells",
+    ):
+        problems, n_rows = compare_query(spark, con, QUERIES[name], str(d))
+        assert not problems, (name, problems)
+        if name != "embedding_cosine_near_dup":  # random vectors rarely pair >= 0.35
+            assert n_rows > 0, name
+
+
 def test_asof_headline_query_null_user_carries_nothing(spark, tmp_path):
     """The HEADLINE as-of query (not just the asof_join operator) must give
     a NULL-user purchase NULL click info on both engines: the LOCF window
