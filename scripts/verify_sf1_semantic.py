@@ -38,7 +38,11 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def replay(sf_dir: str) -> list[tuple]:
+def replay(sf_dir: str, restrict_ids=None) -> list[tuple]:
+    """``restrict_ids`` (a set of vec_ids, or None) mirrors the operator's
+    ``restrict_ids`` hook: the centroid codebook still comes from the FULL
+    table (stable cell geometry), membership is restricted — the
+    corpus-dedup pipeline's stage-3 contract."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -55,6 +59,9 @@ def replay(sf_dir: str) -> list[tuple]:
     cent_mask = vec_ids < N_IVF_CELLS
     cids = vec_ids[cent_mask]
     C = q[cent_mask]
+    if restrict_ids is not None:
+        keep = np.asarray([int(v) in restrict_ids for v in vec_ids])
+        vec_ids, q = vec_ids[keep], q[keep]
     # exact integer distance, row's own term dropped; argmin -> first
     # occurrence = smallest cid (cids ascend with the sort above)
     dists = (C.astype(object) ** 2).sum(axis=1)[None, :] - 2 * (q @ C.T).astype(object)
