@@ -44,19 +44,33 @@ from . import mlops  # noqa: E402,F401
 #:      recomputes both sides from the committed CORRECTNESS_r*.json
 #:      history, so a rotation that parks a stale query past position 50
 #:      fails the suite, not just the judge's audit.
+#:   6. Tie-break (codified r12 per the r11 VERDICT): when rules 1+2+5
+#:      together claim MORE than ``DRIVER_WINDOW`` slots, the excess is
+#:      deferred from the due (oldest) cohort — choosing the query(ies)
+#:      whose kernels are most completely exercised by members of the NEW
+#:      window (ideally a permanent headliner). Each deferral carries a
+#:      ``rule-6 deferral at r{ROTATION_ROUND}`` marker in
+#:      _OUT_OF_WINDOW_WHY naming the covering in-window queries, and takes
+#:      the first non-headline slot at the NEXT rotation (ahead of rule-3
+#:      refills, behind rule-2 zero-evidence queries). The staleness test
+#:      verifies the deferral count equals exactly the oversubscription
+#:      excess — rule 6 can never park a query that would have fit.
 #:
-#: Round-11 rotation: IN — ``bpe_train_merges`` + ``bpe_encode_token_stats``
-#: (the two r10 late additions, first non-headline slots per rule 2) and
-#: all 40 queries whose latest green is r7 (rule 3 — they are the entire
-#: oldest cohort and exactly fill the window). OUT — the 42 non-headline
-#: members of the r10 window (all green r10) and the 42 queries whose
-#: latest green is r8; the r8 cohort is now the oldest evidence in the
-#: catalog and must come back in at the r12 rotation (rule 5: r8 evidence
-#: reaches age 4 then). Every excluded query is listed in
+#: Round-12 rotation: IN — ``bigram_lm_quality_gate`` (the r11 late
+#: addition, zero driver evidence, first non-headline slot per rule 2) and
+#: 41 of the 42 queries whose latest green is r8 (rule 5: their evidence
+#: reaches age 4 this round). That cohort plus rules 1+2 is 51 claims on
+#: 50 slots; per rule 6 the deferred query is ``streaming_tumbling_counts``
+#: — its oracle SQL and aggregation expression are byte-identical to the
+#: permanent headliner ``tumbling_window_stats`` and its only other kernel
+#: (the availableNow streaming drain) is exercised in-window by
+#: ``streaming_stateful_user_stats``; it takes the first non-headline slot
+#: at r13. OUT — the 42 non-headline members of the r11 window (all green
+#: r11) and the 42 r10-green queries. Every excluded query is listed in
 #: _OUT_OF_WINDOW_WHY below with the CORRECTNESS round(s) that checked it
 #: green, still registered, and still gated by scripts/verify_local.py +
 #: tests/test_catalog_oracle.py.
-ROTATION_ROUND = 11
+ROTATION_ROUND = 12
 MAX_EVIDENCE_AGE = 4
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
@@ -69,50 +83,51 @@ _CHECKED_FIRST = [
     "tumbling_window_stats",
     "text_statistics",
     "exact_dedup",
-    # ---- rule 2: r10 late additions, zero driver evidence ----
-    "bpe_train_merges",
-    "bpe_encode_token_stats",
-    # ---- rule 3: the 40 queries whose latest green is r7 ----
-    "audio_quality_gate",
-    "boilerplate_scrub",
-    "characteristic_terms",
-    "churned_buyers_except",
-    "cohort_retention",
-    "daily_order_anomaly",
-    "deterministic_shuffle_order",
-    "distinct_counts",
-    "duplicate_key_stats",
-    "embedding_centroid_stats",
-    "grouping_sets_revenue",
-    "hierarchy_flatten",
-    "incremental_near_dup",
-    "key_skew_profile",
-    "nation_pair_revenue",
-    "ngram_jaccard_pairs",
-    "null_sentinel_cleanup",
-    "order_fulfillment_outer",
-    "order_price_lead_lag",
-    "price_histogram",
-    "price_quartiles_by_segment",
-    "priority_orders_exists",
-    "promo_revenue_share",
-    "record_linkage_fuzzy",
-    "repeat_buyers_intersect",
-    "rolling_30d_revenue",
-    "rollup_revenue",
-    "running_distinct_users",
-    "salted_join_revenue",
-    "scd2_priority_history",
-    "semantic_dedup_cells",
-    "sessionization",
-    "sliding_window_stats",
-    "small_quantity_revenue",
-    "snapshot_diff",
-    "streaming_click_purchase_join",
-    "streaming_enriched_purchases",
-    "token_vocabulary",
-    "top_supplier_revenue",
-    "video_frame_sample_stats",
+    # ---- rule 2: r11 late addition, zero driver evidence ----
+    "bigram_lm_quality_gate",
+    # ---- rule 5: the r8-latest cohort (evidence reaches age 4), minus the
+    # rule-6 deferral streaming_tumbling_counts ----
+    "benchmark_contamination",
+    "buyer_set_ops",
+    "calendar_gap_fill",
+    "changelog_compact",
+    "clicks_before_purchase_range_join",
+    "conversion_funnel",
+    "corpus_dedup_pipeline",
+    "cube_order_stats",
+    "dedup_clusters",
+    "dedup_keep_best_quality",
+    "dedup_keep_list",
+    "doc_chunking",
+    "doc_quality_profile",
+    "embedding_ann_bucketed_topk",
+    "embedding_cosine_near_dup",
+    "embedding_random_projection",
+    "event_type_summary",
+    "fk_integrity_audit",
+    "image_decode_features",
+    "json_props_extraction",
+    "language_id_heuristic",
+    "language_rebalance_mixture",
+    "leakage_safe_split",
+    "length_percentile_gate",
+    "minhash_lsh_candidates",
+    "multimodal_binary_meta",
+    "order_price_percentiles",
+    "pii_redaction",
+    "pii_scrub_stats",
+    "pivot_status_by_segment",
+    "quality_score",
+    "repair_feed_merge",
+    "repetition_filter_stats",
+    "sequence_packing",
+    "simhash_near_dup",
+    "streaming_stateful_user_stats",
+    "table_profile",
+    "token_count_regex",
+    "train_val_test_split",
+    "unpivot_part_metrics",
+    "winsorized_price_stats",
 ]
 
 
@@ -125,97 +140,95 @@ _CHECKED_FIRST = [
 #: "family in-window via X" names its kernel representative in the CURRENT
 #: (r11) window.
 _OUT_OF_WINDOW_WHY = {
-    # ---- new in round 11: never driver-checked; verified by
-    # scripts/verify_local.py and gated every round by
-    # tests/test_catalog_oracle.py; first window slot next rotation
-    # (rule 2) ----
-    "bigram_lm_quality_gate": "new r11, local-oracle verified; LM-quality capstone — composes the in-window bpe_train_merges/bpe_encode_token_stats kernels with the unigram-likelihood rational scoring form and the percentile-gate window (price_quartiles_by_segment family)",
-    # ---- latest green r10 (the full r10 window rotated out; headliners stay) ----
-    "active_customers_semi": "driver-green r1+r2+r3+r4+r5+r6+r10; semi-join family in-window via priority_orders_exists + repeat_buyers_intersect",
-    "bm25_doc_search": "driver-green r10; tf-idf retrieval family in-window via characteristic_terms (same tokenize+df/idf kernel) + token_vocabulary",
-    "bpe_pair_stats": "driver-green r10; pair-count family in-window via bpe_train_merges (iterates the SAME pair-count kernel) + bpe_encode_token_stats",
-    "conform_master_list": "driver-green r1+r2+r3+r4+r5+r6+r10; conform family in-window via null_sentinel_cleanup (same conform kernel chain)",
-    "content_defined_chunking": "driver-green r10; chunking family in-window via boilerplate_scrub (same scan+explode segment kernel)",
-    "corpus_mix_drift": "driver-green r10; exact-integer corpus-stats family in-window via text_statistics (headline) + token_vocabulary",
-    "customers_without_orders": "driver-green r1+r2+r3+r4+r5+r6+r10; anti-join family in-window via churned_buyers_except (same anti form) + order_fulfillment_outer",
-    "date_parsing_and_arithmetic": "driver-green r1+r2+r3+r4+r5+r6+r10; date-expression family in-window via scd2_priority_history (date logic) + sessionization (timestamp arithmetic)",
-    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6+r10; keyed-dedup family in-window via duplicate_key_stats + exact_dedup (headline)",
-    "doc_fingerprint": "driver-green r5+r6+r10; hash-signature family in-window via deterministic_shuffle_order (md5 kernel) + incremental_near_dup (signature kernel)",
-    "duplicated_span_dedup": "driver-green r10; span-hash blocked-join family in-window via ngram_jaccard_pairs (blocked shingle-join kernel) + incremental_near_dup",
-    "embedding_int8_quantization": "driver-green r10; vector-kernel family in-window via embedding_centroid_stats (same posexplode agg kernel) + embedding_topk_cosine (headline)",
-    "embedding_ivf_topk": "driver-green r5+r6+r10; IVF/ANN family in-window via embedding_centroid_stats (same cell-assign kernel) + embedding_topk_cosine (headline)",
-    "embedding_lsh_buckets": "driver-green r5+r6+r10; LSH-projection family in-window via semantic_dedup_cells (cell-blocked kernel) + embedding_topk_cosine (headline)",
-    "embedding_topk_pandas": "driver-green r5+r6+r10; Arrow-kernel family in-window via audio_quality_gate + video_frame_sample_stats (same mapInPandas kernel) + embedding_topk_cosine (headline)",
-    "fee_rescale_and_repair": "driver-green r1+r2+r3+r4+r5+r6+r10; numeric-repair family in-window via daily_order_anomaly (outlier kernel) + null_sentinel_cleanup",
-    "group_count_breakdown": "driver-green r1+r2+r3+r4+r5+r6+r10; grouped-agg family in-window via distinct_counts + grouping_sets_revenue + rollup_revenue",
-    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6+r10; hash-guarded merge family in-window via snapshot_diff (same hash-compare kernel) + scd2_priority_history",
-    "hybrid_bm25_cosine_rerank": "driver-green r10; retrieval-fusion family in-window via characteristic_terms (idf kernel) + embedding_topk_cosine (headline)",
-    "incremental_rollup_revenue": "driver-green r7+r10; incremental-agg family in-window via rollup_revenue (same ROLLUP kernel) + snapshot_diff (merge kernel)",
-    "latest_order_per_customer": "driver-green r3+r4+r5+r6+r10; latest-per-key family in-window via scd2_priority_history (same keyed window) + cohort_retention",
-    "lifecycle_status_transitions": "driver-green r1+r2+r3+r4+r5+r6+r10; lifecycle/status family in-window via scd2_priority_history + snapshot_diff",
-    "locf_last_valid_value": "driver-green r1+r2+r3+r4+r5+r6+r10; LOCF window family in-window via order_price_lead_lag (same keyed window kernel) + rolling_30d_revenue",
-    "master_validation_issues": "driver-green r1+r2+r3+r4+r5+r6+r10; validation-split family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_pipelines.py",
-    "nav_validation_errors": "driver-green r1+r2+r3+r4+r5+r6+r10; validation-split family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_pipelines.py",
-    "ngram_novelty": "driver-green r10; shingle-index family in-window via ngram_jaccard_pairs (same shingle kernel) + incremental_near_dup",
-    "ntile_quartiles": "driver-green r3+r4+r5+r6+r10; ranking-window family in-window via price_quartiles_by_segment (same ntile kernel) + price_histogram",
-    "numeric_string_parsing": "driver-green r1+r2+r3+r4+r5+r6+r10; numeric-parse family in-window via null_sentinel_cleanup (conform/parse chain) + daily_order_anomaly",
-    "price_quantity_stats": "driver-green r7+r10; robust-stats family in-window via daily_order_anomaly + price_histogram",
-    "retention_cutoff_prune": "driver-green r1+r2+r3+r4+r5+r6+r10; date-cutoff maintenance family in-window via cohort_retention (same date-bucket cutoff kernel)",
-    "row_hash_change_detection": "driver-green r1+r2+r3+r4+r5+r6+r10; CDC hash family in-window via snapshot_diff (same hash-compare kernel) + scd2_priority_history",
-    "row_hash_surfaces": "driver-green r10; hash-surface family in-window via snapshot_diff + deterministic_shuffle_order (md5 kernels)",
-    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6+r10; running-window family in-window via rolling_30d_revenue (range frame) + order_price_lead_lag",
-    "source_frequency_cap": "driver-green r10; capped-sampling family in-window via key_skew_profile (stratum kernel) + deterministic_shuffle_order (md5-bucket kernel)",
-    "stratified_hash_sample": "driver-green r5+r6+r10; md5-bucket split family in-window via deterministic_shuffle_order (same kernel)",
-    "streaming_dedup_users": "driver-green r5+r6+r10; streaming-dedup family in-window via running_distinct_users + streaming_enriched_purchases",
-    "streaming_session_counts": "driver-green r5+r6+r10; streaming-session family in-window via sessionization (same session kernel) + streaming_click_purchase_join",
-    "string_compose_format": "driver-green r10; string-expression family in-window via null_sentinel_cleanup + token_vocabulary",
-    "temperature_rebalance_mixture": "driver-green r10; mixture-sampling family in-window via deterministic_shuffle_order (md5 kernel) + key_skew_profile (stratum kernel)",
-    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6+r10; per-key top-k family in-window via price_quartiles_by_segment (ranking window) + top_supplier_revenue",
-    "unigram_likelihood_quality": "driver-green r10; text-quality family in-window via characteristic_terms (token-df kernel) + text_statistics (headline)",
-    "union_mixed_schemas": "driver-green r10; column-union family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
-    # ---- latest green r8 (come back in at the r12 rotation at the latest) ----
-    "benchmark_contamination": "driver-green r5+r6+r8; shingle-join family in-window via ngram_jaccard_pairs (same shingle-join kernel) + incremental_near_dup",
-    "buyer_set_ops": "driver-green r2+r3+r4+r5+r8; set-ops family in-window via repeat_buyers_intersect + churned_buyers_except (same INTERSECT/EXCEPT forms)",
-    "calendar_gap_fill": "driver-green r8; LOCF/densify family in-window via rolling_30d_revenue + order_price_lead_lag (keyed window kernels)",
-    "changelog_compact": "driver-green r8; SCD2/CDC family in-window via scd2_priority_history + snapshot_diff",
-    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5+r8; range-join family in-window via asof_last_click_before_purchase (headline) + sessionization",
-    "conversion_funnel": "driver-green r5+r6+r8; funnel/session family in-window via sessionization + cohort_retention",
-    "corpus_dedup_pipeline": "driver-green r8; dedup-pipeline stages in-window via exact_dedup (headline) + incremental_near_dup (minhash-band stage) + semantic_dedup_cells (cell-pruned stage)",
-    "cube_order_stats": "driver-green r2+r3+r4+r5+r8; multi-level agg family in-window via grouping_sets_revenue + rollup_revenue",
-    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8; connected-components family in-window via hierarchy_flatten (same iterative min-label kernel)",
-    "dedup_keep_best_quality": "driver-green r8; keyed-dedup family in-window via duplicate_key_stats + exact_dedup (headline)",
-    "dedup_keep_list": "driver-green r5+r6+r8; dedup-attribution family in-window via duplicate_key_stats + exact_dedup (headline)",
-    "doc_chunking": "driver-green r6+r8; chunking family in-window via boilerplate_scrub (same scan+explode segment kernel)",
-    "doc_quality_profile": "driver-green r2+r3+r4+r8; text-quality family in-window via text_statistics (headline) + token_vocabulary",
-    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8; ANN family in-window via embedding_centroid_stats (cell-assign kernel) + embedding_topk_cosine (headline)",
-    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8; vector near-dup family in-window via semantic_dedup_cells (same blocked-cosine kernel) + embedding_topk_cosine (headline)",
-    "embedding_random_projection": "driver-green r8; projection family in-window via semantic_dedup_cells (cell-assign over projected vectors) + embedding_topk_cosine (headline)",
-    "event_type_summary": "driver-green r2+r4+r8; grouped-agg family in-window via distinct_counts + grouping_sets_revenue + pricing_summary (headline)",
-    "fk_integrity_audit": "driver-green r8; semi/anti audit family in-window via priority_orders_exists + churned_buyers_except",
-    "image_decode_features": "driver-green r6+r8; multimodal family in-window via audio_quality_gate + video_frame_sample_stats (Arrow mapInPandas kernels)",
-    "json_props_extraction": "driver-green r1+r2+r3+r4+r8; expression-extraction family in-window via null_sentinel_cleanup (conform expressions) + text_statistics (headline)",
-    "language_id_heuristic": "driver-green r1+r2+r3+r4+r8; text family in-window via text_statistics (headline) + characteristic_terms (token-frequency kernel)",
-    "language_rebalance_mixture": "driver-green r6+r8; mixture/split family in-window via deterministic_shuffle_order + key_skew_profile (stratum kernel)",
-    "leakage_safe_split": "driver-green r6+r8; content-hash split family in-window via deterministic_shuffle_order (same md5-bucket kernel)",
-    "length_percentile_gate": "driver-green r6+r8; percentile-gate family in-window via price_quartiles_by_segment (ntile kernel) + text_statistics (headline)",
-    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8; minhash-band family in-window via incremental_near_dup (same band kernel) + exact_dedup (headline)",
-    "multimodal_binary_meta": "driver-green r6+r8; multimodal family in-window via audio_quality_gate + video_frame_sample_stats (Arrow mapInPandas kernels)",
-    "order_price_percentiles": "driver-green r5+r6+r8; percentile family in-window via price_quartiles_by_segment + price_histogram",
-    "pii_redaction": "driver-green r8; regexp-chain family in-window via null_sentinel_cleanup (conform/regexp kernels) + token_vocabulary (regexp tokenize)",
-    "pii_scrub_stats": "driver-green r6+r8; regexp-chain family in-window via null_sentinel_cleanup + token_vocabulary",
-    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8; pivot family in-window via grouping_sets_revenue (same grouped-agg kernel) + distinct_counts",
-    "quality_score": "driver-green r5+r6+r8; text-quality family in-window via text_statistics (headline) + characteristic_terms",
-    "repair_feed_merge": "driver-green r5+r6+r8; keyed-merge family in-window via snapshot_diff (hash-compare kernel) + scd2_priority_history",
-    "repetition_filter_stats": "driver-green r5+r6+r8; text-gate family in-window via text_statistics (headline) + ngram_jaccard_pairs (shingle kernel)",
-    "sequence_packing": "driver-green r6+r8; packing family in-window via boilerplate_scrub (segment kernel) + text_statistics (headline)",
-    "simhash_near_dup": "driver-green r2+r3+r4+r8; hamming near-dup family in-window via incremental_near_dup (signature-band kernel) + ngram_jaccard_pairs (shingle kernel)",
-    "streaming_stateful_user_stats": "driver-green r6+r8; stateful-streaming family in-window via running_distinct_users + streaming_enriched_purchases",
-    "streaming_tumbling_counts": "driver-green r2+r4+r8; streaming family in-window via tumbling_window_stats (headline) + streaming_enriched_purchases",
-    "table_profile": "driver-green r5+r6+r8; profiling family in-window via key_skew_profile + distinct_counts",
-    "token_count_regex": "driver-green r5+r6+r8; tokenize family in-window via token_vocabulary (same trim+\\s+ tokenize kernel)",
-    "train_val_test_split": "driver-green r2+r3+r4+r8; md5-bucket split family in-window via deterministic_shuffle_order (same kernel)",
-    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8; reshape/stack family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
-    "winsorized_price_stats": "driver-green r8; robust-stats family in-window via daily_order_anomaly + price_quartiles_by_segment",
+    # ---- rule-6 deferral (r12 window oversubscribed 51-on-50): first
+    # non-headline slot at r13 ----
+    "streaming_tumbling_counts": "driver-green r2+r4+r8; rule-6 deferral at r12 — its oracle SQL and aggregation expression are byte-identical to the permanent headliner tumbling_window_stats (same 5-minute window/decimal-sum kernel) and its only other kernel, the availableNow streaming drain, is exercised in-window by streaming_stateful_user_stats; takes the first non-headline slot at r13",
+    # ---- latest green r10 (rotated out at r11; re-pointed at r12-window reps) ----
+    "active_customers_semi": "driver-green r1+r2+r3+r4+r5+r6+r10; semi-join family in-window via fk_integrity_audit (same left-semi audit kernel) + buyer_set_ops",
+    "bm25_doc_search": "driver-green r10; tf-idf retrieval family in-window via token_count_regex (same tokenize kernel) + bigram_lm_quality_gate (per-doc likelihood scoring form)",
+    "bpe_pair_stats": "driver-green r10; pair-count family in-window via bigram_lm_quality_gate (composes the SAME BPE pair-count kernel in its train stage)",
+    "conform_master_list": "driver-green r1+r2+r3+r4+r5+r6+r10; conform family in-window via json_props_extraction (expression-extraction chain) + pii_scrub_stats (regexp/conform kernels)",
+    "content_defined_chunking": "driver-green r10; chunking family in-window via doc_chunking (same scan+explode segment kernel) + sequence_packing",
+    "corpus_mix_drift": "driver-green r10; exact-integer corpus-stats family in-window via text_statistics (headline) + doc_quality_profile",
+    "customers_without_orders": "driver-green r1+r2+r3+r4+r5+r6+r10; anti-join family in-window via fk_integrity_audit (same left-anti kernel) + buyer_set_ops (EXCEPT form)",
+    "date_parsing_and_arithmetic": "driver-green r1+r2+r3+r4+r5+r6+r10; date-expression family in-window via calendar_gap_fill (date arithmetic/densify kernel) + conversion_funnel (timestamp ordering)",
+    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6+r10; keyed-dedup family in-window via dedup_keep_best_quality (same keyed survivor window) + exact_dedup (headline)",
+    "doc_fingerprint": "driver-green r5+r6+r10; hash-signature family in-window via train_val_test_split (md5-bucket kernel) + simhash_near_dup (signature kernel)",
+    "duplicated_span_dedup": "driver-green r10; span-hash blocked-join family in-window via benchmark_contamination (same shingle-join kernel) + minhash_lsh_candidates",
+    "embedding_int8_quantization": "driver-green r10; vector-kernel family in-window via embedding_random_projection (same posexplode projection kernel) + embedding_topk_cosine (headline)",
+    "embedding_ivf_topk": "driver-green r5+r6+r10; IVF/ANN family in-window via embedding_ann_bucketed_topk (same cell-assign ANN kernel) + embedding_topk_cosine (headline)",
+    "embedding_lsh_buckets": "driver-green r5+r6+r10; LSH-projection family in-window via embedding_random_projection (same plane-projection kernel) + embedding_ann_bucketed_topk",
+    "embedding_topk_pandas": "driver-green r5+r6+r10; Arrow-kernel family in-window via image_decode_features + multimodal_binary_meta (same mapInPandas kernel) + embedding_topk_cosine (headline)",
+    "fee_rescale_and_repair": "driver-green r1+r2+r3+r4+r5+r6+r10; numeric-repair family in-window via winsorized_price_stats (outlier kernel) + json_props_extraction (parse chain)",
+    "group_count_breakdown": "driver-green r1+r2+r3+r4+r5+r6+r10; grouped-agg family in-window via event_type_summary (same grouped-count kernel) + cube_order_stats",
+    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6+r10; hash-guarded merge family in-window via changelog_compact (same hash-compare CDC kernel) + repair_feed_merge",
+    "hybrid_bm25_cosine_rerank": "driver-green r10; retrieval-fusion family in-window via embedding_topk_cosine (headline cosine kernel) + token_count_regex (tokenize/idf inputs)",
+    "incremental_rollup_revenue": "driver-green r7+r10; incremental-agg family in-window via cube_order_stats (same multi-level agg kernel) + changelog_compact (incremental merge)",
+    "latest_order_per_customer": "driver-green r3+r4+r5+r6+r10; latest-per-key family in-window via dedup_keep_best_quality (same keyed ranking window) + conversion_funnel",
+    "lifecycle_status_transitions": "driver-green r1+r2+r3+r4+r5+r6+r10; lifecycle/status family in-window via changelog_compact (same status/CDC transition kernel) + repair_feed_merge",
+    "locf_last_valid_value": "driver-green r1+r2+r3+r4+r5+r6+r10; LOCF window family in-window via calendar_gap_fill (same last(ignorenulls) densify kernel)",
+    "master_validation_issues": "driver-green r1+r2+r3+r4+r5+r6+r10; validation-split family in-window via fk_integrity_audit (rule-audit split kernel); also gated by tests/test_pipelines.py",
+    "nav_validation_errors": "driver-green r1+r2+r3+r4+r5+r6+r10; validation-split family in-window via fk_integrity_audit (rule-audit split kernel); also gated by tests/test_pipelines.py",
+    "ngram_novelty": "driver-green r10; shingle-index family in-window via benchmark_contamination (same shingle-index kernel) + repetition_filter_stats",
+    "ntile_quartiles": "driver-green r3+r4+r5+r6+r10; ranking-window family in-window via order_price_percentiles (same percentile kernel) + length_percentile_gate (ntile gate)",
+    "numeric_string_parsing": "driver-green r1+r2+r3+r4+r5+r6+r10; numeric-parse family in-window via json_props_extraction (same parse/extract chain) + winsorized_price_stats",
+    "price_quantity_stats": "driver-green r7+r10; robust-stats family in-window via winsorized_price_stats (same robust-stats kernel) + order_price_percentiles",
+    "retention_cutoff_prune": "driver-green r1+r2+r3+r4+r5+r6+r10; date-cutoff maintenance family in-window via calendar_gap_fill (date-bucket kernel) + changelog_compact (retention compaction)",
+    "row_hash_change_detection": "driver-green r1+r2+r3+r4+r5+r6+r10; CDC hash family in-window via changelog_compact (same hash-compare kernel) + repair_feed_merge",
+    "row_hash_surfaces": "driver-green r10; hash-surface family in-window via train_val_test_split + leakage_safe_split (same md5 kernels)",
+    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6+r10; running-window family in-window via calendar_gap_fill (keyed window kernel) + conversion_funnel (ordered window)",
+    "source_frequency_cap": "driver-green r10; capped-sampling family in-window via language_rebalance_mixture (same stratum-cap kernel) + train_val_test_split (md5-bucket kernel)",
+    "stratified_hash_sample": "driver-green r5+r6+r10; md5-bucket split family in-window via train_val_test_split (same kernel) + leakage_safe_split",
+    "streaming_dedup_users": "driver-green r5+r6+r10; streaming-dedup family in-window via streaming_stateful_user_stats (same streaming state kernel) + exact_dedup (headline)",
+    "streaming_session_counts": "driver-green r5+r6+r10; streaming-session family in-window via streaming_stateful_user_stats (same stateful stream kernel) + conversion_funnel (session logic)",
+    "string_compose_format": "driver-green r10; string-expression family in-window via json_props_extraction (same string-expression chain) + pii_redaction",
+    "temperature_rebalance_mixture": "driver-green r10; mixture-sampling family in-window via language_rebalance_mixture (same mixture-rebalance kernel) + train_val_test_split (md5 kernel)",
+    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6+r10; per-key top-k family in-window via dedup_keep_best_quality (same keyed ranking window) + top_unshipped_orders (headline)",
+    "unigram_likelihood_quality": "driver-green r10; text-quality family in-window via bigram_lm_quality_gate (same rational likelihood scoring form) + quality_score",
+    "union_mixed_schemas": "driver-green r10; column-union family in-window via unpivot_part_metrics (reshape/stack kernel); also gated by tests/test_catalog_oracle.py",
+    # ---- latest green r11 (the r11 window's non-headline members rotated out) ----
+    "audio_quality_gate": "driver-green r7+r11; multimodal family in-window via image_decode_features + multimodal_binary_meta (same Arrow mapInPandas kernel)",
+    "boilerplate_scrub": "driver-green r7+r11; chunking family in-window via doc_chunking (same scan+explode segment kernel) + sequence_packing",
+    "bpe_encode_token_stats": "driver-green r11; BPE family in-window via bigram_lm_quality_gate (runs the SAME BPE encode kernel as its first stage)",
+    "bpe_train_merges": "driver-green r11; BPE family in-window via bigram_lm_quality_gate (runs the SAME BPE train kernel as its first stage)",
+    "characteristic_terms": "driver-green r7+r11; token-df/idf family in-window via doc_quality_profile (token-frequency kernel) + token_count_regex (tokenize)",
+    "churned_buyers_except": "driver-green r1+r7+r11; set-difference family in-window via buyer_set_ops (same EXCEPT form) + fk_integrity_audit (anti-join)",
+    "cohort_retention": "driver-green r7+r11; cohort/date-bucket family in-window via conversion_funnel (same event-sequence kernel) + calendar_gap_fill (date-bucket)",
+    "daily_order_anomaly": "driver-green r7+r11; outlier family in-window via winsorized_price_stats (same robust-stats/outlier kernel) + order_price_percentiles",
+    "deterministic_shuffle_order": "driver-green r7+r11; md5-order family in-window via train_val_test_split + leakage_safe_split (same md5-bucket kernel)",
+    "distinct_counts": "driver-green r1+r7+r11; grouped-distinct family in-window via event_type_summary (same grouped kernel) + table_profile (distinct-count profiling)",
+    "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7+r11; dedup-attribution family in-window via dedup_keep_list (same duplicate-attribution kernel) + exact_dedup (headline)",
+    "embedding_centroid_stats": "driver-green r7+r11; vector-agg family in-window via embedding_ann_bucketed_topk (same cell-assign/centroid kernel) + embedding_random_projection",
+    "grouping_sets_revenue": "driver-green r1+r7+r11; multi-level agg family in-window via cube_order_stats (same GROUPING SETS kernel) + pivot_status_by_segment",
+    "hierarchy_flatten": "driver-green r7+r11; iterative min-label family in-window via dedup_clusters (same iterative label-propagation kernel)",
+    "incremental_near_dup": "driver-green r7+r11; minhash-band family in-window via minhash_lsh_candidates (same band kernel) + benchmark_contamination (shingle-join)",
+    "key_skew_profile": "driver-green r7+r11; profiling family in-window via table_profile (same profiling kernel) + language_rebalance_mixture (stratum kernel)",
+    "nation_pair_revenue": "driver-green r2+r7+r11; join-agg family in-window via regional_supplier_volume (headline join-agg) + cube_order_stats",
+    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7+r11; shingle-join family in-window via benchmark_contamination (same shingle-join kernel) + minhash_lsh_candidates",
+    "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7+r11; conform family in-window via json_props_extraction (expression chain) + pii_scrub_stats (regexp conform)",
+    "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7+r11; outer-join family in-window via fk_integrity_audit (same integrity-join kernel) + clicks_before_purchase_range_join",
+    "order_price_lead_lag": "driver-green r3+r4+r7+r11; keyed-window family in-window via calendar_gap_fill (same keyed window kernel) + conversion_funnel",
+    "price_histogram": "driver-green r7+r11; bucketed-distribution family in-window via order_price_percentiles (same distribution kernel) + winsorized_price_stats",
+    "price_quartiles_by_segment": "driver-green r1+r7+r11; percentile family in-window via order_price_percentiles (same percentile kernel) + length_percentile_gate (ntile gate)",
+    "priority_orders_exists": "driver-green r1+r7+r11; semi-join family in-window via fk_integrity_audit (same EXISTS/semi kernel) + buyer_set_ops",
+    "promo_revenue_share": "driver-green r1+r2+r7+r11; conditional-agg family in-window via pricing_summary (headline conditional-agg kernel) + event_type_summary",
+    "record_linkage_fuzzy": "driver-green r7+r11; fuzzy-join family in-window via benchmark_contamination (blocked similarity join) + simhash_near_dup",
+    "repeat_buyers_intersect": "driver-green r1+r7+r11; set-intersection family in-window via buyer_set_ops (same INTERSECT form) + fk_integrity_audit",
+    "rolling_30d_revenue": "driver-green r7+r11; range-frame window family in-window via calendar_gap_fill (same date-window kernel) + conversion_funnel",
+    "rollup_revenue": "driver-green r1+r7+r11; ROLLUP family in-window via cube_order_stats (same ROLLUP/CUBE kernel) + pivot_status_by_segment",
+    "running_distinct_users": "driver-green r7+r11; incremental-distinct family in-window via streaming_stateful_user_stats (same incremental user-state kernel) + event_type_summary",
+    "salted_join_revenue": "driver-green r1+r7+r11; skew-remedy family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py + the plan-hygiene audit",
+    "scd2_priority_history": "driver-green r7+r11; SCD2 family in-window via changelog_compact (same SCD2 compaction kernel) + repair_feed_merge",
+    "semantic_dedup_cells": "driver-green r7+r11; blocked-cosine family in-window via embedding_cosine_near_dup (same blocked-cosine kernel) + embedding_ann_bucketed_topk (cell-pruned)",
+    "sessionization": "driver-green r3+r4+r7+r11; session family in-window via conversion_funnel (same event-sequence kernel) + streaming_stateful_user_stats",
+    "sliding_window_stats": "driver-green r3+r4+r7+r11; hopping-window family in-window via tumbling_window_stats (headline; same window() kernel, hop variant)",
+    "small_quantity_revenue": "driver-green r1+r2+r7+r11; filtered-agg family in-window via pricing_summary (headline filtered-agg kernel)",
+    "snapshot_diff": "driver-green r7+r11; snapshot-CDC family in-window via changelog_compact (same hash-compare snapshot kernel) + repair_feed_merge",
+    "streaming_click_purchase_join": "driver-green r7+r11; stream-join family in-window via streaming_stateful_user_stats (streaming state kernel) + clicks_before_purchase_range_join (same join semantics, batch)",
+    "streaming_enriched_purchases": "driver-green r7+r11; stream-static join family in-window via streaming_stateful_user_stats (streaming kernel) + asof_last_click_before_purchase (headline enrichment join)",
+    "token_vocabulary": "driver-green r7+r11; tokenize family in-window via token_count_regex (same trim+\\s+ tokenize kernel) + doc_quality_profile",
+    "top_supplier_revenue": "driver-green r1+r2+r7+r11; global-extreme agg family in-window via top_unshipped_orders (headline ranking) + event_type_summary",
+    "video_frame_sample_stats": "driver-green r7+r11; multimodal family in-window via image_decode_features + multimodal_binary_meta (same Arrow mapInPandas kernel)",
 }
 
 

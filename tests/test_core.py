@@ -477,18 +477,56 @@ def test_window_rotation_staleness_policy():
 
     # rule 5: every excluded query's evidence age must be < MAX_EVIDENCE_AGE.
     # This round's late additions (zero evidence BY DEFINITION — registered
-    # after the rotation) are governed by rule 2 below instead.
+    # after the rotation) are governed by rule 2 below instead; rule-6
+    # deferrals (explicitly marked, verified below) are the codified
+    # exception when the window is oversubscribed.
     late_marker = f"new r{q.ROTATION_ROUND}"
+    defer_marker = f"rule-6 deferral at r{q.ROTATION_ROUND}"
+    deferred = sorted(
+        name for name, why in q._OUT_OF_WINDOW_WHY.items() if defer_marker in why
+    )
     stale = {
         name: latest_green.get(name)
         for name, why in q._OUT_OF_WINDOW_WHY.items()
         if late_marker not in why
+        and defer_marker not in why
         and q.ROTATION_ROUND - latest_green.get(name, 0) >= q.MAX_EVIDENCE_AGE
     }
     assert not stale, (
         f"out-of-window queries with evidence >= {q.MAX_EVIDENCE_AGE} rounds "
         f"old at r{q.ROTATION_ROUND} (must rotate in): {stale}"
     )
+
+    # rule 6: a deferral is legal ONLY when rules 1+2+5 oversubscribe the
+    # window — the deferral count must equal exactly the excess, and every
+    # deferred query must itself be due under rule 5 (a marker with an old
+    # round number fails the stale check above, so deferrals cannot roll
+    # forward silently).
+    headline = [n for n in q._CHECKED_FIRST if q.QUERIES[n].headline]
+    zero_evidence_due = [
+        n
+        for n in q.QUERIES
+        if n not in latest_green
+        and not (n in q._OUT_OF_WINDOW_WHY and late_marker in q._OUT_OF_WINDOW_WHY[n])
+    ]
+    due_cohort = [
+        n
+        for n in q.QUERIES
+        if n in latest_green
+        and n not in headline
+        and q.ROTATION_ROUND - latest_green[n] >= q.MAX_EVIDENCE_AGE
+    ]
+    excess = max(
+        0, len(headline) + len(zero_evidence_due) + len(due_cohort) - q.DRIVER_WINDOW
+    )
+    assert len(deferred) == excess, (
+        f"rule-6 deferrals ({deferred}) must equal the oversubscription "
+        f"excess ({excess}): {len(headline)} headliners + "
+        f"{len(zero_evidence_due)} zero-evidence + {len(due_cohort)} due "
+        f"cohort members on {q.DRIVER_WINDOW} slots"
+    )
+    not_due = [n for n in deferred if n not in due_cohort]
+    assert not not_due, f"rule-6 deferred queries that are not due: {not_due}"
 
     # rule 2: zero-evidence queries either sit right after the headliners
     # in the window, or carry a "new r{ROTATION_ROUND}" late-addition
