@@ -269,11 +269,18 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "streaming_enriched_purchases",
     doc="Stream-static join: the purchase stream enriched against the "
-    "static customer dimension (broadcast per micro-batch — the standard "
-    "streaming-enrichment shape; no state, no watermark needed on the "
+    "static customer dimension (no state, no watermark needed on the "
     "static side), drained append-mode, then aggregated to exact per-"
     "segment totals. With stream-stream (streaming_click_purchase_join) "
-    "this completes the streaming join surface.",
+    "this completes the streaming join surface. The join strategy is "
+    "deliberately left to the planner's size estimate: the customer "
+    "dimension is SF-LINEAR (150k rows x SF — billions of rows at the "
+    "100 TB design point), so a forced broadcast hint would turn scale "
+    "growth into a driver OOM re-shipped every micro-batch; Spark "
+    "broadcasts it only while it genuinely fits under the threshold and "
+    "falls back to a shuffled stream-static join otherwise (r12, per the "
+    "r11 verdict — the same hint class removed from top_unshipped_orders "
+    "and benchmark_contamination in r10).",
     oracle="""
 SELECT c.c_mktsegment AS segment,
        COUNT(*) AS n_purchases,
@@ -288,7 +295,7 @@ def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "inner")
+    joined = ev.join(cust, ev["user_id"] == cust["c_custkey"], "inner")
     sink = run_to_memory(joined.select("c_mktsegment", "value"), "append")
     return sink.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_purchases"),

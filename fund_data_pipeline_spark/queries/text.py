@@ -1179,8 +1179,13 @@ def bigram_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # wpl is word-vocabulary-sized, but real web-corpus word vocabularies
+    # grow without bound (typos, URLs) — no forced broadcast: AQE picks
+    # broadcast while the relation fits the threshold and degrades to a
+    # shuffled join instead of a driver OOM when it doesn't (r12, per the
+    # r11 verdict)
     scored = (
-        wtf.join(F.broadcast(wpl), "w")
+        wtf.join(wpl, "w")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum(F.col("tf") * F.col("np")).cast("long").alias("n_bigrams"),
@@ -1349,7 +1354,11 @@ def characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _ws_tokens(docs, "doc_id")
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_rel = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    ranked = tf.join(F.broadcast(df_rel), "token").withColumn(
+    # df_rel is token-vocabulary-sized; broadcast is the right runtime
+    # strategy while it fits, but the decision is left to AQE's measured
+    # size rather than forced — an unbounded vocabulary must degrade to a
+    # shuffled join, not a driver OOM (r12, per the r11 verdict)
+    ranked = tf.join(df_rel, "token").withColumn(
         "rank",
         F.row_number()
         .over(
@@ -1721,8 +1730,11 @@ def unigram_likelihood_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ct").alias("total"), F.count(F.lit(1)).alias("v")
     )
     numer = F.sum(F.col("tf") * (F.col("ct") + 1))
+    # lm is token-vocabulary-sized — join strategy left to AQE's measured
+    # size (broadcast while it fits, shuffled join when the vocabulary
+    # outgrows the threshold); g stays a forced 1-row broadcast (r12)
     return (
-        tf.join(F.broadcast(lm), "token")
+        tf.join(lm, "token")
         .crossJoin(F.broadcast(g))
         .groupBy("doc_id", "total", "v")
         .agg(

@@ -216,10 +216,20 @@ def test_deterministic_shuffle_has_no_global_sort(spark, sf_dir):
 
 
 def test_characteristic_terms_broadcasts_df_relation(spark, sf_dir):
-    """The doc-frequency relation is vocabulary-sized — it must broadcast
-    into the per-doc join rather than shuffling the tf relation."""
-    plan = plan_of(spark, sf_dir, "characteristic_terms")
-    assert "BroadcastHashJoin" in plan
+    """The doc-frequency relation is vocabulary-sized. r12 (per the r11
+    verdict): the broadcast is no longer FORCED — a hint turns an
+    unbounded vocabulary into a driver OOM — so the static plan may show a
+    sort-merge join; what the design requires is that AQE's measured size
+    converts it to broadcast at runtime while the relation genuinely fits,
+    which is what this asserts on the executed (final adaptive) plan."""
+    df = QUERIES["characteristic_terms"].spark(spark, sf_dir)
+    df.collect()  # materialize so AQE finalizes the plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "AdaptiveSparkPlan" in plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
 
 
