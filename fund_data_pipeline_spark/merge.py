@@ -603,14 +603,37 @@ def _atomic_write(df: DataFrame, path: Path, partition_by: str | None = None) ->
         shutil.rmtree(backup)
 
 
+def _orderable(dt) -> bool:
+    """Whether Spark can sort on the type: maps are unorderable, and a
+    struct/array is only orderable if everything inside it is."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def _dedupe_order(source: DataFrame, keys: Sequence[str], dedupe_order) -> list:
     """The batch-dedup tiebreak: the caller's columns, else all NON-key
-    columns (a deterministic total order over whatever distinguishes the
-    duplicates), else the keys themselves (rows are identical per key, so
-    any survivor is the same row)."""
+    ORDERABLE columns (a deterministic total order over whatever
+    distinguishes the duplicates), else the keys themselves (rows are
+    identical per key up to unorderable columns, so any survivor is the
+    same row). Unorderable columns (maps, and structs/arrays containing
+    them) are excluded from the DEFAULT rather than failing analysis — a
+    source carrying a map column keeps the old keys-only-era behavior for
+    that column (arbitrary survivor among rows tied on every orderable
+    column); callers needing a total order over map contents must pass an
+    explicit dedupe_order of derived orderable expressions (ADVICE r11)."""
     if dedupe_order:
         return list(dedupe_order)
-    others = [c for c in source.columns if c not in keys]
+    fields = {f.name: f.dataType for f in source.schema.fields}
+    others = [
+        c for c in source.columns if c not in keys and _orderable(fields[c])
+    ]
     return others or list(keys)
 
 
@@ -919,44 +942,56 @@ def apply_changes(
     # a full keyed diff of two snapshots — and without the pin the three
     # isEmpty() probes plus the delete and upsert consumers would each
     # re-run that diff join, ~5 evaluations of the dominant shuffle per
-    # feed applied (review r11). Checkpoint size is the feed, not a table.
-    changes = changes.localCheckpoint(eager=True)
-    if changes.isEmpty():
-        return  # no-op feed: burn no snapshot version, touch nothing
-    if detect_layout(target_path) == "manifest":
-        layout = "manifest"  # replica is a manifest table: follow its layout
-    deletes = changes.filter(F.col("_change_type") == "delete").select(*keys)
-    upserts = changes.filter(F.col("_change_type") != "delete").drop("_change_type")
-    if layout == "manifest" and detect_layout(target_path) == "manifest":
-        # single-commit path: one read, one anti-join, one pure-DataFrame
-        # merge, one snapshot publish — no intermediate delete-only version.
-        # No broadcast hint on the delete set: a CDC feed can carry an
-        # unbounded delete set (GDPR sweeps), so let AQE pick broadcast vs
-        # shuffled anti-join from the observed size.
-        path = Path(target_path)
-        current = read_table(spark, target_path)
-        survivors = current.join(deletes.dropDuplicates(keys), keys, "left_anti")
-        batch = dedup_keyed(upserts, keys, _dedupe_order(upserts, keys, None), keep="last")
-        merged = merge_as_dataframe(survivors, batch, keys, hash_col=hash_col)
-        _manifest_write(merged, path, history=history)
-        return
-    # bootstrap replay: a feed applied to a not-yet-existing replica has
-    # nothing to delete from — skip straight to the upserts instead of
-    # crashing inside delete_keys' read of the missing path
-    if not Path(target_path).exists():
-        deletes = deletes.limit(0)
-    if not deletes.isEmpty():
-        delete_keys(
-            spark, target_path, deletes, keys, partition_col=partition_col, history=history
-        )
-    if not upserts.isEmpty():
-        merge_upsert(
-            spark,
-            target_path,
-            upserts,
-            keys,
-            hash_col=hash_col,
-            layout=layout,
-            partition_col=partition_col,
-            history=history,
-        )
+    # feed applied (review r11). persist(), not localCheckpoint(): there is
+    # no iteration here needing lineage truncation, and checkpoint blocks
+    # are non-replicated — one lost executor would kill the whole apply,
+    # while persisted blocks recompute from the feed (ADVICE r11; the same
+    # rationale applied in scrub_boilerplate_segments). Cache size is the
+    # feed, not a table. Recompute safety: a table_changes() feed reads
+    # immutable manifest snapshots, so an evicted block recomputes
+    # identically even while this apply rewrites the target; a caller who
+    # hand-builds a feed by scanning a rename/hive-layout target IN PLACE
+    # must materialize it first (those files are replaced mid-apply).
+    changes = changes.persist()
+    try:
+        if changes.isEmpty():
+            return  # no-op feed: burn no snapshot version, touch nothing
+        if detect_layout(target_path) == "manifest":
+            layout = "manifest"  # replica is a manifest table: follow its layout
+        deletes = changes.filter(F.col("_change_type") == "delete").select(*keys)
+        upserts = changes.filter(F.col("_change_type") != "delete").drop("_change_type")
+        if layout == "manifest" and detect_layout(target_path) == "manifest":
+            # single-commit path: one read, one anti-join, one pure-DataFrame
+            # merge, one snapshot publish — no intermediate delete-only version.
+            # No broadcast hint on the delete set: a CDC feed can carry an
+            # unbounded delete set (GDPR sweeps), so let AQE pick broadcast vs
+            # shuffled anti-join from the observed size.
+            path = Path(target_path)
+            current = read_table(spark, target_path)
+            survivors = current.join(deletes.dropDuplicates(keys), keys, "left_anti")
+            batch = dedup_keyed(upserts, keys, _dedupe_order(upserts, keys, None), keep="last")
+            merged = merge_as_dataframe(survivors, batch, keys, hash_col=hash_col)
+            _manifest_write(merged, path, history=history)
+            return
+        # bootstrap replay: a feed applied to a not-yet-existing replica has
+        # nothing to delete from — skip straight to the upserts instead of
+        # crashing inside delete_keys' read of the missing path
+        if not Path(target_path).exists():
+            deletes = deletes.limit(0)
+        if not deletes.isEmpty():
+            delete_keys(
+                spark, target_path, deletes, keys, partition_col=partition_col, history=history
+            )
+        if not upserts.isEmpty():
+            merge_upsert(
+                spark,
+                target_path,
+                upserts,
+                keys,
+                hash_col=hash_col,
+                layout=layout,
+                partition_col=partition_col,
+                history=history,
+            )
+    finally:
+        changes.unpersist()

@@ -70,9 +70,17 @@ def run_to_memory(sdf: DataFrame, mode: str, shuffle_partitions: int | None = 8)
     name = f"stream_sink_{next(_SINK_IDS)}"
     if shuffle_partitions is not None:
         _CONF_LOCK.acquire()
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # anything that throws between acquire and the inner finally below
+        # (e.g. conf.get/set on a stopped session) must still release the
+        # lock, or every later drain with pinned partitions deadlocks
+        try:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        except BaseException:
+            _CONF_LOCK.release()
+            raise
+    else:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
     # detach the result from the memory sink: the sink table would
     # otherwise stay registered (and pinned in driver memory) for the life
     # of the session — one leaked result set per streaming query run. The

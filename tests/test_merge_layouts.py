@@ -704,6 +704,29 @@ def test_merge_default_dedupe_order_is_deterministic(spark, tmp_path):
         assert got == [("AAA", 9.0)], n_parts  # max (dt, value) tuple
 
 
+def test_merge_default_dedupe_order_skips_unorderable_columns(spark, tmp_path):
+    """A source carrying a map column must still merge with the DEFAULT
+    tiebreak: maps are unorderable in Spark, so the all-non-key-columns
+    default (review r11) would fail at analysis where the old keys-only
+    default worked — a silent API regression for generic callers. The
+    default now filters to orderable columns; the survivor is still the
+    deterministic max over those (ADVICE r11)."""
+    from fund_data_pipeline_spark.merge import _dedupe_order, merge_upsert, read_table
+
+    df = spark.createDataFrame(
+        [("AAA", "2024-01", 1.0, {"s": "x"}), ("AAA", "2024-02", 9.0, {"s": "y"})],
+        "ticker string, dt string, value double, props map<string,string>",
+    )
+    assert _dedupe_order(df, ["ticker"], None) == ["dt", "value"]
+    path = tmp_path / "t"
+    merge_upsert(spark, str(path), df, keys=["ticker"])
+    got = [(r.ticker, r.dt, r.value, dict(r.props)) for r in read_table(spark, str(path)).collect()]
+    assert got == [("AAA", "2024-02", 9.0, {"s": "y"})]
+    # every column unorderable except the key: falls back to the keys
+    only_map = df.select("ticker", "props")
+    assert _dedupe_order(only_map, ["ticker"], None) == ["ticker"]
+
+
 def test_list_versions_sorts_numerically(spark, tmp_path):
     """Version order must be numeric, not lexicographic: _v_100000 (6
     digits, written once %05d widens) sorts before _v_99999 by name, and

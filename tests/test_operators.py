@@ -1151,6 +1151,31 @@ def test_scrub_pii_is_streaming_safe(spark, sf_dir):
     )
 
 
+def test_run_to_memory_releases_conf_lock_on_failure(spark, sf_dir, monkeypatch):
+    """run_to_memory pins shuffle_partitions under _CONF_LOCK; if conf
+    get/set throws after the acquire (e.g. a stopped session), the lock
+    must still be released or every later pinned drain deadlocks forever
+    (ADVICE r11)."""
+    from fund_data_pipeline_spark.streaming import streams
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    def boom(self, *a, **k):
+        raise RuntimeError("stopped session")
+
+    monkeypatch.setattr(type(spark.conf), "set", boom)
+    with pytest.raises(RuntimeError, match="stopped session"):
+        streams.run_to_memory(sdf.select("event_type"), mode="append")
+    acquired = streams._CONF_LOCK.acquire(blocking=False)
+    assert acquired, "conf lock leaked by the failed drain"
+    streams._CONF_LOCK.release()
+
+
 def test_topk_cosine_excludes_zero_norm_vectors(spark):
     """A zero-norm (padding) vector has no defined cosine: 0/0 NaN sorts
     LAST in the pandas partial top-k but FIRST in Spark's orderBy — so it
