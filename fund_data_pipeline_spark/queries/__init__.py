@@ -140,6 +140,11 @@ _CHECKED_FIRST = [
 #: "family in-window via X" names its kernel representative in the CURRENT
 #: (r11) window.
 _OUT_OF_WINDOW_WHY = {
+    # ---- new in round 12: never driver-checked; verified by
+    # scripts/verify_local.py and gated every round by
+    # tests/test_catalog_oracle.py; first window slot next rotation
+    # (rule 2) ----
+    "model_quality_filter": "new r12, local-oracle verified; model-based quality-filtering capstone (CCNet/LLaMA classifier stage) — exact integer hard-sigmoid logistic regression trained in-engine, composing the in-window text_statistics/quality feature kernels with the BPE-style iterate-and-collect training shape (bigram_lm_quality_gate family)",
     # ---- rule-6 deferral (r12 window oversubscribed 51-on-50): first
     # non-headline slot at r13 ----
     "streaming_tumbling_counts": "driver-green r2+r4+r8; rule-6 deferral at r12 — its oracle SQL and aggregation expression are byte-identical to the permanent headliner tumbling_window_stats (same 5-minute window/decimal-sum kernel) and its only other kernel, the availableNow streaming drain, is exercised in-window by streaming_stateful_user_stats; takes the first non-headline slot at r13",

@@ -16,6 +16,8 @@ from ..operators import graph, multimodal, sampling
 from ..operators.redaction import scrub_expr, scrub_pii_sql
 from .registry import register, table
 from .text import (
+    _SW_SQL,
+    STOPWORDS,
     fingerprint_expr,
     fingerprint_sql,
     minhash_bands,
@@ -763,3 +765,180 @@ def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_key="doc_id",
     )
     return capped.select("doc_id", "source", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filtering (r12 capstone): train a tiny hard-sigmoid
+# logistic-regression classifier IN-ENGINE on weak rule labels, then gate
+# the corpus with it — the CCNet / LLaMA-style classifier-filtering stage.
+# ---------------------------------------------------------------------------
+
+_MQF_STEPS = 32
+_MQF_NF = 6  # bias + 5 quality features
+
+
+def _mqf_feats_sql() -> str:
+    """Feature CTE body: integer micro-unit features in [0, 1e6] + the 0/1
+    weak rule label, all pure integer arithmetic (integer division on
+    positives is identical in both engines)."""
+    nt = "len(string_split(text, ' '))"
+    nstop = f"len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL}))"
+    nnosp = "length(replace(text, ' ', ''))"
+    return f"""
+  SELECT doc_id, lang, source,
+         CAST(1000000 AS BIGINT) AS f0,
+         CAST(least({nt}, 500) * 2000 - 500000 AS BIGINT) AS f1,
+         CAST((1000000 * {nstop}) // {nt} - 500000 AS BIGINT) AS f2,
+         CAST(least((50000 * {nnosp}) // {nt}, 1000000) - 500000 AS BIGINT) AS f3,
+         CAST((1000000 * length(regexp_replace(text, '[^a-z]', '', 'g'))) // length(text) - 500000 AS BIGINT) AS f4,
+         CAST((1000000 * len(list_distinct(string_split(text, ' ')))) // {nt} - 500000 AS BIGINT) AS f5,
+         CAST(CASE WHEN {nt} BETWEEN 30 AND 400
+                    AND 100 * {nstop} >= 3 * {nt}
+                    AND {nnosp} BETWEEN 3 * {nt} AND 8 * {nt}
+               THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents
+  WHERE length(text) > 0"""
+
+
+def _mqf_oracle() -> str:
+    """Unrolled gradient-step CTEs (the BPE-oracle pattern): step k reads
+    the weight row w{k-1}, aggregates the d exact gradient sums, and emits
+    w{k} via a portable FLOOR-division update (DuckDB's ``//`` truncates
+    toward zero, so the floor form is spelled out) plus the same box clamp
+    as the engine. Every step CTE is MATERIALIZED: w{k} is referenced
+    by BOTH s{k+1} and w{k+1}, so an inlining planner would double the
+    expression tree per step — a 2^32 planning blowup; materialization
+    keeps the chain linear (w/s CTEs are 1 row each)."""
+    from ..operators import classifier as C
+
+    def z(w: str) -> str:
+        return " + ".join(f"{w}.w{i} * f.f{i}" for i in range(_MQF_NF))
+
+    parts = [f"WITH feats AS MATERIALIZED ({_mqf_feats_sql()})"]
+    parts.append(
+        "d AS MATERIALIZED (SELECT CAST(1000000000000 AS HUGEINT) * (SELECT count(*) FROM feats) AS d)"
+    )
+    parts.append(
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0 AS HUGEINT) AS w{i}" for i in range(_MQF_NF))
+        + ")"
+    )
+    for k in range(1, _MQF_STEPS + 1):
+        q = f"least(greatest({C.Q_MID} + ({z('w')}), 0), {C.Q_MAX})"
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"SUM(({q} - {C.Q_MAX} * f.y) * f.f{i}) AS g{i}"
+                for i in range(_MQF_NF)
+            )
+            + f" FROM feats f, w{k - 1} w)"
+        )
+        fd = "(s.g{i} - ((s.g{i} % d.d) + d.d) % d.d) // d.d"
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"greatest(least(w.w{i} - ({fd.format(i=i)}), {C.W_CAP}), {-C.W_CAP}) AS w{i}"
+                for i in range(_MQF_NF)
+            )
+            + f" FROM s{k} s, w{k - 1} w, d)"
+        )
+    parts.append(
+        "scored AS MATERIALIZED (SELECT f.lang, f.source, f.y, "
+        f"CASE WHEN ({z('w')}) >= 0 THEN 1 ELSE 0 END AS keep "
+        f"FROM feats f, w{_MQF_STEPS} w)"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_label_pos,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN y = keep THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM scored
+GROUP BY lang, source"""
+    )
+
+
+def _mqf_features(docs: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_mqf_feats_sql` — same names, same integer
+    micro-units. floor(long/long) on non-negative values is exact here:
+    numerators <= ~1e13 and quotients <= 1e6 sit far inside double's 2^53
+    integer range, so the correctly-rounded double division cannot cross
+    an integer boundary (|m*b - a| >= 1 > b * ulp(m) / 2)."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_nosp = F.length(F.regexp_replace("text", " ", ""))
+    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
+    n_chars = F.length("text")
+    n_dist = F.size(F.array_distinct(toks))
+
+    def idiv(a, b):
+        return F.floor(a / b).cast("long")
+
+    y = (
+        n_tok.between(30, 400)
+        & (n_stop * F.lit(100) >= n_tok * F.lit(3))
+        & n_nosp.between(n_tok * 3, n_tok * 8)
+    ).cast("long")
+    return docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(1_000_000).cast("long").alias("f0"),
+        (F.least(n_tok, F.lit(500)) * 2000 - 500_000).cast("long").alias("f1"),
+        (idiv(n_stop * 1_000_000, n_tok) - 500_000).alias("f2"),
+        (F.least(idiv(n_nosp * 50_000, n_tok), F.lit(1_000_000)) - 500_000).alias("f3"),
+        (idiv(n_alpha * 1_000_000, n_chars) - 500_000).alias("f4"),
+        (idiv(n_dist * 1_000_000, n_tok) - 500_000).alias("f5"),
+        y.alias("y"),
+    )
+
+
+@register(
+    "model_quality_filter",
+    doc="Model-based quality filtering (the CCNet/LLaMA classifier stage): "
+    "train a hard-sigmoid logistic-regression quality classifier IN-ENGINE "
+    "— 32 exact full-batch integer gradient steps over 6 micro-unit "
+    "features (length band, stopword share, mean token length, alpha "
+    "ratio, distinct-token ratio, bias) against the weak rule label — "
+    "then gate the corpus map-side with the trained logit (keep iff "
+    "z >= 0, the hard-sigmoid 0.5 point) and report per-(lang, source) "
+    "gate stats. Training is operators.classifier.train_hardsig_logreg: "
+    "per step ONE map-side partial aggregate + a 6-integer driver collect "
+    "+ an exact Python weight update (BPE cost shape — corpus-sized "
+    "scans, d-sized driver state); the oracle replays the identical "
+    "schedule as 32 unrolled CTE steps with portable floor division. No "
+    "exp/ln anywhere: the hard sigmoid keeps every step in exact integer "
+    "arithmetic, which is why the trained weights are bit-identical "
+    "across engines at every SF.",
+    oracle=_mqf_oracle(),
+)
+def model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB: features are one map-side projection; each of the 32
+    training steps is one partial-aggregate shuffle of 6 longs per
+    partition; scoring re-uses the persisted features map-side. The
+    persist keeps the corpus passes (count + 32 steps + final agg) from
+    re-reading parquet; blocks are recomputable so executor loss costs
+    recompute, not correctness."""
+    from ..operators import classifier as C
+
+    docs = table(spark, sf_dir, "documents")
+    feats = _mqf_features(docs).persist()
+    try:
+        fcols = [f"f{i}" for i in range(_MQF_NF)]
+        weights = C.train_hardsig_logreg(feats, fcols, "y", steps=_MQF_STEPS)
+        keep = (C.z_expr(weights, fcols) >= 0).cast("long")
+        return (
+            feats.select("lang", "source", "y", keep.alias("keep"))
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("y").alias("n_label_pos"),
+                F.sum("keep").alias("n_kept"),
+                F.sum((F.col("y") == F.col("keep")).cast("long")).alias("n_agree"),
+            )
+        )
+    finally:
+        feats.unpersist()

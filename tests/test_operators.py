@@ -1604,6 +1604,81 @@ def test_bigram_lm_quality_gate_exact_python_model(spark, sf_dir):
         assert r.mean_bigram_likelihood == w[4], r.doc_id
 
 
+def test_model_quality_filter_exact_python_model(spark, sf_dir):
+    """model_quality_filter vs a from-scratch exact replay: the engine's
+    trained weights must equal train_hardsig_logreg_python's (pure-Python
+    integer arithmetic over the collected feature rows) bit-for-bit, and
+    the per-(lang, source) gate stats must match a Python rescore with
+    those weights. Any drift in the feature micro-units, the hard-sigmoid
+    clamp, the floor-division update, or the box constraint flips an
+    integer somewhere and fails this."""
+    from fund_data_pipeline_spark.operators import classifier as C
+    from fund_data_pipeline_spark.queries import QUERIES
+    from fund_data_pipeline_spark.queries.mlops import (
+        _MQF_NF,
+        _MQF_STEPS,
+        _mqf_features,
+    )
+    from fund_data_pipeline_spark.queries.registry import table
+
+    fcols = [f"f{i}" for i in range(_MQF_NF)]
+    feats = _mqf_features(table(spark, sf_dir, "documents"))
+    rows = feats.collect()
+    py_w = C.train_hardsig_logreg_python(
+        [[r[c] for c in fcols] for r in rows], [r.y for r in rows], steps=_MQF_STEPS
+    )
+    sp_w = C.train_hardsig_logreg(feats, fcols, "y", steps=_MQF_STEPS)
+    assert sp_w == py_w
+
+    want: dict[tuple, list[int]] = {}
+    for r in rows:
+        z = sum(w * r[c] for w, c in zip(py_w, fcols))
+        keep = 1 if z >= 0 else 0
+        st = want.setdefault((r.lang, r.source), [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += r.y
+        st[2] += keep
+        st[3] += 1 if keep == r.y else 0
+    got = QUERIES["model_quality_filter"].spark(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert [r.n_docs, r.n_label_pos, r.n_kept, r.n_agree] == want[(r.lang, r.source)]
+    # the gate must be non-degenerate on the fixture: some docs dropped,
+    # some kept (an all-keep gate is the base-rate classifier — the bug
+    # the centered features exist to prevent)
+    kept = sum(r.n_kept for r in got)
+    assert 0 < kept < sum(r.n_docs for r in got)
+
+
+def test_train_hardsig_logreg_saturation_and_edges(spark):
+    """Spark-vs-Python weight parity on crafted rows that drive the hard
+    sigmoid into BOTH clamp rails and the weights into the box constraint
+    (extreme +/-P features, 40 steps), plus the empty-input edge. The
+    floor-division update must agree at negative gradients (Python //
+    floors; a truncating update would diverge on the first negative odd
+    gradient)."""
+    from fund_data_pipeline_spark.operators import classifier as C
+
+    rows = [
+        (1_000_000, 1_000_000, -1_000_000, 1),
+        (1_000_000, 1_000_000, -999_999, 1),
+        (1_000_000, -1_000_000, 1_000_000, 0),
+        (1_000_000, -999_999, 999_999, 0),
+        (1_000_000, 7, -13, 1),
+    ]
+    df = spark.createDataFrame(rows, "f0 long, f1 long, f2 long, y long")
+    sp_w = C.train_hardsig_logreg(df, ["f0", "f1", "f2"], "y", steps=40)
+    py_w = C.train_hardsig_logreg_python(
+        [r[:3] for r in rows], [r[3] for r in rows], steps=40
+    )
+    assert sp_w == py_w
+    # saturation actually exercised: z must exceed the +/-2WP rails
+    z_max = max(abs(sum(w * x for w, x in zip(py_w, r[:3]))) for r in rows)
+    assert z_max > C.Q_MID
+    # empty input: defined zero vector, no division by zero
+    assert C.train_hardsig_logreg(df.limit(0), ["f0", "f1", "f2"], "y") == [0, 0, 0]
+
+
 def test_vector_queries_survive_zero_norm_embeddings(spark, tmp_path):
     """A zero-quantized embedding must not abort the vector queries: under
     the session's ANSI default an unguarded 0/0 double division throws
