@@ -87,6 +87,15 @@ def bucketed_merge(
     """
     from .merge import merge_as_dataframe
 
+    # overwriting the table the merge plan is reading would either throw
+    # mid-write or corrupt, depending on format internals — refuse up
+    # front with the actual contract (write to a NEW table, flip readers
+    # via view/manifest) instead (review r12)
+    if out_table.strip().lower() == target_table.strip().lower():
+        raise ValueError(
+            "bucketed_merge writes a NEW table and flips readers to it; "
+            f"out_table must differ from target_table ({target_table!r})"
+        )
     target = spark.table(target_table)
     merged = merge_as_dataframe(
         target,

@@ -38,6 +38,13 @@ def approx_profile(
     count per column = ``n_rows - <col>__n_nonnull``, derivable without a
     second scan. Single scan, single reduce, O(KB) state per column
     regardless of table size."""
+    from pyspark.sql import types as T
+
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.NumericType, T.DateType, T.TimestampType))
+    }
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
@@ -45,8 +52,14 @@ def approx_profile(
             F.min(F.col(c)).alias(f"{c}__min"),
             F.max(F.col(c)).alias(f"{c}__max"),
             F.approx_count_distinct(c, rsd).alias(f"{c}__approx_distinct"),
-            F.percentile_approx(c, list(percentiles), accuracy).alias(
-                f"{c}__percentiles"
-            ),
         ]
+        # GK quantiles are numeric/temporal-only; a string column must not
+        # abort the whole profile at analysis (review r12) — it still gets
+        # count/min/max/HLL above
+        if c in numeric:
+            aggs.append(
+                F.percentile_approx(c, list(percentiles), accuracy).alias(
+                    f"{c}__percentiles"
+                )
+            )
     return df.agg(*aggs)

@@ -42,6 +42,11 @@ def gap_fill_locf(
     seed the carry: the newest observation at-or-before the capped start
     is joined back per key, so ``carried`` on an in-range gap day is
     identical to what the unbounded spine would produce.
+
+    Keys must be non-NULL (review r12): a NULL key groups into its own
+    span row but the spine-observation equi-join drops it (SQL equality,
+    matching the calendar_gap_fill oracle's join semantics), so its spine
+    days would all read as gaps. Filter or sentinel-fill NULL keys first.
     """
     keys = list(keys)
     if last_n_days is not None and last_n_days < 1:
@@ -64,8 +69,12 @@ def gap_fill_locf(
         # two consumers in the capped branch (the spine explode and the
         # carry-in seed join) — pin the |keys|-sized relation so the
         # full-scan aggregate behind it runs once, not once per consumer
-        # (review r10; same rule as temperature_sample's counts relation)
-        spans = spans.localCheckpoint(eager=True)
+        # (review r10; same rule as temperature_sample's counts relation).
+        # persist(), not localCheckpoint: no iteration needs lineage
+        # truncation, and persisted blocks recompute after executor loss
+        # where checkpoint blocks would kill the job (review r12, the
+        # apply_changes/scrub_boilerplate rationale)
+        spans = spans.persist()
     spine = spans.select(
         *keys,
         F.col("__d0"),

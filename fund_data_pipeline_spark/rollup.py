@@ -113,6 +113,15 @@ def refresh_rollup(
     # rmtree's the ignored backup. Restore-or-discard exactly like the
     # write paths do on entry.
     heal_backup_swap(Path(rollup_path))
+    # refresh-before-build is the same incomplete-root hazard by API misuse
+    # (review r12): the swap would mkdir a fresh root holding ONLY this
+    # batch's partitions — a rollup that reads as valid while silently
+    # missing all history. Refuse instead of manufacturing it.
+    if not Path(rollup_path).exists():
+        raise FileNotFoundError(
+            f"rollup table {rollup_path!r} does not exist — run build_rollup "
+            "once before incremental refresh_rollup calls"
+        )
     # hive layouts read the partition column back as STRING (this engine
     # pins partitionColumnTypeInference off), while callers often hold the
     # source-side values (e.g. DATEs). Coerce the literals to the column's

@@ -40,6 +40,10 @@ SF_DIRS = {
     # third decade: locally generated (scripts/gen_sf1.py — key-remapped
     # 10x sf0.1 with shingle-safe document copies); skipped if absent
     1.0: str(Path(__file__).resolve().parents[1] / ".localdata" / "sf1"),
+    # fourth decade (r12): scripts/gen_sf10.py — 100x sf0.1, distinct
+    # per-length permutation tables so even 10-token documents cannot
+    # collide across the 99 copies; skipped if absent
+    10.0: str(Path(__file__).resolve().parents[1] / ".localdata" / "sf10"),
 }
 
 
@@ -111,6 +115,19 @@ def main() -> None:
         # evidence its docstring's scale claims rest on (review r10)
         print(f"bench_scaling: EXTRA_QUERIES not registered: {missing}", file=sys.stderr)
     names = headline + [n for n in EXTRA_QUERIES if n in Q.QUERIES] + list(EXTRA_FNS)
+    # subset hooks for targeted sweeps (r12: the heavy dedup chains are
+    # timed at the big SFs in their own single-run invocation instead of
+    # tripling the full-grid wall-clock):
+    #   SPARK_GRAFT_SCALING_ONLY=q1,q2  — time only these catalog queries
+    #   SPARK_GRAFT_SCALING_SFS=1.0,10.0 — restrict the SF grid
+    only = os.environ.get("SPARK_GRAFT_SCALING_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in Q.QUERIES and n not in EXTRA_FNS]
+        if unknown:
+            print(f"bench_scaling: unknown ONLY queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
+        headline = [n for n in names if n in headline]
 
     def plan(name, sf_dir):
         fn = EXTRA_FNS.get(name)
@@ -124,6 +141,10 @@ def main() -> None:
         for sf, d in sorted(SF_DIRS.items())
         if all((Path(d) / f"{t}.parquet").exists() for t in expected)
     ]
+    sf_filter = os.environ.get("SPARK_GRAFT_SCALING_SFS")
+    if sf_filter:
+        wanted = {float(x) for x in sf_filter.split(",") if x.strip()}
+        sfs = [sf for sf in sfs if sf in wanted]
     per_query: dict[str, dict[float, float]] = {n: {} for n in names}
     totals: dict[float, float | None] = {}
     failed: dict[float, list[str]] = {}

@@ -740,6 +740,31 @@ def test_approx_profile_accuracy_bounds(spark, sf_dir):
     assert row["o_totalprice__max"] == exact_max
 
 
+def test_approx_profile_handles_string_columns(spark, sf_dir):
+    """A string column in the profile set must not abort at analysis
+    (percentile_approx is numeric-only — review r12): it still gets
+    count/min/max/HLL, just no percentile field."""
+    from fund_data_pipeline_spark.operators.profiling import approx_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = approx_profile(docs, ["lang", "n_chars"]).first()
+    assert row["lang__n_nonnull"] > 0
+    assert row["lang__approx_distinct"] > 0
+    assert "lang__percentiles" not in row.asDict()
+    assert row["n_chars__percentiles"] is not None
+
+
+def test_bucketed_merge_refuses_in_place_overwrite(spark):
+    """out_table == target_table would overwrite the relation being read;
+    the contract is write-new-then-flip, enforced up front (review r12)."""
+    from fund_data_pipeline_spark import bucketing
+
+    with pytest.raises(ValueError, match="out_table must differ"):
+        bucketing.bucketed_merge(
+            spark, "some_t", "SOME_T", spark.range(1), ["id"]
+        )
+
+
 def test_semantic_dedup_drop_rule_and_trained_codebook(spark, sf_dir):
     """SemDeDup drop-list invariants, checked independently of the oracle:
     every dropped vector cites a strictly-lower witness in its own cell with

@@ -158,6 +158,27 @@ def test_refresh_empty_touched_is_noop(spark, tmp_path):
     assert _file_state(rollup_path) == before
 
 
+def test_refresh_before_build_refuses(spark, tmp_path):
+    """refresh_rollup against a never-built rollup must refuse: the swap
+    would mkdir a root holding ONLY the batch's partitions — a rollup that
+    reads as valid while silently missing all history (review r12; the
+    API-misuse twin of the crashed-build heal case)."""
+    import pytest
+
+    base_path = tmp_path / "base"
+    _base_rows(spark).write.partitionBy("dt").parquet(str(base_path))
+    with pytest.raises(FileNotFoundError, match="build_rollup"):
+        refresh_rollup(
+            spark.read.parquet(str(base_path)),
+            str(tmp_path / "never_built"),
+            partition_col="dt",
+            group_cols=["ticker"],
+            measures=_measures(),
+            touched=["2024-01-01"],
+        )
+    assert not (tmp_path / "never_built").exists()
+
+
 def test_delete_keys_prunes_partitions_and_drops_empties(spark, tmp_path):
     """GDPR keyed delete (maintenance.delete_keys): only partitions holding
     victim rows are rewritten, untouched partition files stay byte-identical,
