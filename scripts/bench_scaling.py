@@ -101,8 +101,35 @@ def _gap_fill_locf_capped(spark, sf_dir):
     )
 
 
+def _counted(name):
+    """Heavy-chain timing wrapper (r12): executes the full catalog chain but
+    reduces the result to one COUNT row. The chains' cost is the upstream
+    shuffles/joins (signature build, band join, hamming/cosine filters),
+    all of which a count still executes; what it skips is materializing a
+    10^8-row pair relation onto the driver — at sf10 simhash emits ~10^8
+    candidate pairs, and collect() would time driver deserialization (and
+    OOM), not the engine."""
+
+    def fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        return Q.QUERIES[name].spark(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+
+    return fn
+
+
 #: non-catalog extras timed alongside EXTRA_QUERIES: name -> (spark, sf_dir)
 EXTRA_FNS = {"gap_fill_locf_capped_90d": _gap_fill_locf_capped}
+
+#: opt-in heavies, NOT part of the default grid (they would triple its
+#: wall-clock): the three heavy dedup chains, count-shaped (see _counted).
+#: Run via SPARK_GRAFT_SCALING_ONLY=...,SPARK_GRAFT_SCALING_SFS=... in a
+#: dedicated invocation.
+HEAVY_FNS = {
+    "corpus_dedup_pipeline_n": _counted("corpus_dedup_pipeline"),
+    "simhash_near_dup_n": _counted("simhash_near_dup"),
+    "semantic_dedup_cells_n": _counted("semantic_dedup_cells"),
+}
 
 
 def main() -> None:
@@ -123,14 +150,18 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_SCALING_ONLY")
     if only:
         names = [n.strip() for n in only.split(",") if n.strip()]
-        unknown = [n for n in names if n not in Q.QUERIES and n not in EXTRA_FNS]
+        unknown = [
+            n
+            for n in names
+            if n not in Q.QUERIES and n not in EXTRA_FNS and n not in HEAVY_FNS
+        ]
         if unknown:
             print(f"bench_scaling: unknown ONLY queries: {unknown}", file=sys.stderr)
             sys.exit(2)
         headline = [n for n in names if n in headline]
 
     def plan(name, sf_dir):
-        fn = EXTRA_FNS.get(name)
+        fn = EXTRA_FNS.get(name) or HEAVY_FNS.get(name)
         return fn(spark, sf_dir) if fn else Q.QUERIES[name].spark(spark, sf_dir)
 
     # an sf enters only with the COMPLETE table set: a dir left behind by
