@@ -92,6 +92,7 @@ def refresh_rollup(
     group_cols: Sequence[str],
     measures: Mapping[str, Column],
     touched: Sequence,
+    create_if_missing: bool = False,
 ) -> None:
     """Recompute the ``touched`` partitions of the rollup from the base table
     and swap them in; every other rollup partition is left byte-untouched.
@@ -101,6 +102,13 @@ def refresh_rollup(
     prunes the scan to the touched partitions at the source. ``touched`` is
     the batch's partition values — bounded (a daily batch touches a handful
     of partitions), so passing it as literals keeps planning cheap.
+
+    ``create_if_missing``: a missing rollup root is refused by default
+    (refresh-before-build would mint a table silently missing all history
+    — see below); an INCREMENTALLY-BOOTSTRAPPED flow (the NAV stream's
+    first micro-batch, where the base table itself was just created from
+    this batch and ``touched`` therefore covers every base partition)
+    passes True to opt in to creating the root.
     """
     touched = list(touched)
     if not touched:
@@ -117,10 +125,12 @@ def refresh_rollup(
     # (review r12): the swap would mkdir a fresh root holding ONLY this
     # batch's partitions — a rollup that reads as valid while silently
     # missing all history. Refuse instead of manufacturing it.
-    if not Path(rollup_path).exists():
+    if not create_if_missing and not Path(rollup_path).exists():
         raise FileNotFoundError(
             f"rollup table {rollup_path!r} does not exist — run build_rollup "
-            "once before incremental refresh_rollup calls"
+            "once before incremental refresh_rollup calls (or pass "
+            "create_if_missing=True from a flow that bootstraps the base "
+            "table and rollup together)"
         )
     # hive layouts read the partition column back as STRING (this engine
     # pins partitionColumnTypeInference off), while callers often hold the

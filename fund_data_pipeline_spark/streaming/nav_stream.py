@@ -206,6 +206,11 @@ def start_nav_stream(
                     group_cols=list(rollup_group_cols),
                     measures=measures,
                     touched=touched[i : i + 64],
+                    # this flow creates the BASE table from the first
+                    # micro-batch too, so the first refresh legitimately
+                    # bootstraps the rollup root (touched covers every
+                    # base partition at that point)
+                    create_if_missing=True,
                 )
         finally:
             cleaned.unpersist()
