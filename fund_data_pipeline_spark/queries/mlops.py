@@ -863,16 +863,25 @@ GROUP BY lang, source"""
 def _mqf_features(docs: DataFrame) -> DataFrame:
     """Spark twin of :func:`_mqf_feats_sql` — same names, same integer
     micro-units. floor(long/long) on non-negative values is exact here:
-    numerators <= ~1e13 and quotients <= 1e6 sit far inside double's 2^53
-    integer range, so the correctly-rounded double division cannot cross
-    an integer boundary (|m*b - a| >= 1 > b * ulp(m) / 2)."""
+    numerators are bounded by n_tok * 1e6 and quotients by 1e6, so for any
+    document under ~9e9 tokens (2^53 / 1e6 — a 40 GB single document) both
+    sit inside double's exact-integer range and the correctly-rounded
+    double division cannot cross an integer boundary
+    (|m*b - a| >= 1 > b * ulp(m) / 2)."""
     toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    n_nosp = F.length(F.regexp_replace("text", " ", ""))
-    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", ""))
-    n_chars = F.length("text")
-    n_dist = F.size(F.array_distinct(toks))
+    # Counts are cast to long at the source: F.size/F.length return int32,
+    # and the micro-unit scalings below (count * 1_000_000 / * 50_000)
+    # overflow int32 for any document with >= 2148 alpha chars / stopwords /
+    # distinct tokens — under ANSI (the session default) that ABORTS the
+    # query on realistic web documents even though the fixture's short docs
+    # pass (r12 ADVICE, reproduced with a single 2.5 KB doc). The DuckDB
+    # oracle computes the same features in BIGINT throughout.
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    n_nosp = F.length(F.regexp_replace("text", " ", "")).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_dist = F.size(F.array_distinct(toks)).cast("long")
 
     def idiv(a, b):
         return F.floor(a / b).cast("long")
@@ -930,7 +939,7 @@ def model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         fcols = [f"f{i}" for i in range(_MQF_NF)]
         weights = C.train_hardsig_logreg(feats, fcols, "y", steps=_MQF_STEPS)
         keep = (C.z_expr(weights, fcols) >= 0).cast("long")
-        return (
+        gate = (
             feats.select("lang", "source", "y", keep.alias("keep"))
             .groupBy("lang", "source")
             .agg(
@@ -940,5 +949,12 @@ def model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum((F.col("y") == F.col("keep")).cast("long")).alias("n_agree"),
             )
         )
+        # Materialize the gate aggregation WHILE the feature blocks are
+        # live (r12 verdict item 3: returning the lazy frame and
+        # unpersisting in the finally meant the scoring pass recomputed the
+        # feature projection from parquet — one extra corpus read at
+        # 100 TB). The result is bounded by |lang| x |source| (dozens of
+        # rows), so the driver-side collect is d-sized, not corpus-sized.
+        return spark.createDataFrame(gate.collect(), gate.schema)
     finally:
         feats.unpersist()

@@ -448,6 +448,66 @@ def test_out_of_window_citations_match_correctness_records():
     assert not bad, f"citations naming non-green rounds: {bad}"
 
 
+def _latest_green_before(repo, round_cutoff):
+    """Latest fully-green driver round per query, considering only
+    CORRECTNESS files from rounds strictly BEFORE ``round_cutoff`` — the
+    evidence that existed when the ``round_cutoff`` rotation was decided."""
+    import json
+    import re
+
+    latest_green: dict[str, int] = {}
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        n = int(re.search(r"r(\d+)", f.name).group(1))
+        if n >= round_cutoff:
+            continue
+        for name, res in json.loads(f.read_text()).items():
+            if (
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match") in (True, None)
+                and not res.get("err")
+            ):
+                latest_green[name] = max(latest_green.get(name, 0), n)
+    return latest_green
+
+
+def test_rotation_evidence_cutoff_replays_r12():
+    """Regression for the r12 gate-ordering failure: the r12 rotation
+    legally deferred streaming_tumbling_counts (rule 6 — 8 headliners + 1
+    zero-evidence late addition + the 42-member r8-latest cohort = 51
+    claims on 50 slots), but once the driver wrote CORRECTNESS_r12.json the
+    unclamped evidence scan renewed the in-window cohort to r12, recomputed
+    the excess to 0, and flagged the deferral as illegal. Replayed here
+    from the committed (immutable) CORRECTNESS history with the r12
+    rotation facts hard-coded, so the scenario survives later rotations."""
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    r12_files = list(repo.glob("CORRECTNESS_r12.json"))
+    assert r12_files, "CORRECTNESS_r12.json must be committed (r12 verdict item 1)"
+
+    at_rotation = _latest_green_before(repo, 12)
+    after_driver = _latest_green_before(repo, 13)
+
+    # At rotation time: the deferred query's evidence was r8 (age 4, due),
+    # and bigram_lm_quality_gate (new r11) had zero driver evidence.
+    assert at_rotation["streaming_tumbling_counts"] == 8
+    assert "bigram_lm_quality_gate" not in at_rotation
+    # After the driver ran: the in-window r8 cohort renewed to r12 while the
+    # deferred query (out of window) stayed at r8 — so an unclamped scan
+    # sees due_cohort = {streaming_tumbling_counts} alone, excess 0, and
+    # wrongly reads the recorded deferral as illegal.
+    assert after_driver["streaming_tumbling_counts"] == 8
+    assert after_driver["bigram_lm_quality_gate"] == 12
+    renewed = [
+        n for n, r in after_driver.items() if r == 12 and at_rotation.get(n) == 8
+    ]
+    assert len(renewed) >= 40, (
+        "the r8 cohort's renewal to r12 is the evidence that must NOT count "
+        f"when validating the r12 rotation; saw only {len(renewed)} renewals"
+    )
+
+
 def test_window_rotation_staleness_policy():
     """Codified rotation rule 5 (r10 VERDICT item 3): as of ROTATION_ROUND,
     no out-of-window query's latest green driver evidence may be
@@ -463,17 +523,14 @@ def test_window_rotation_staleness_policy():
     from fund_data_pipeline_spark import queries as q
 
     repo = Path(__file__).resolve().parents[1]
-    latest_green: dict[str, int] = {}
-    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
-        n = int(re.search(r"r(\d+)", f.name).group(1))
-        for name, res in json.loads(f.read_text()).items():
-            if (
-                res.get("rows_match")
-                and res.get("schema_match")
-                and res.get("hash_match") in (True, None)
-                and not res.get("err")
-            ):
-                latest_green[name] = max(latest_green.get(name, 0), n)
+    # Evidence cutoff: the rotation at ROTATION_ROUND is decided with the
+    # CORRECTNESS history through ROTATION_ROUND-1 — round ROTATION_ROUND's
+    # own artifact is produced by the driver AFTER the rotation ships, so it
+    # must not retroactively re-judge the decision (r12 verdict item 1: the
+    # unclamped scan read CORRECTNESS_r12.json, recomputed the
+    # oversubscription excess to 0, and flagged the legal rule-6 deferral
+    # the moment the r12 artifacts were committed).
+    latest_green = _latest_green_before(repo, q.ROTATION_ROUND)
 
     # rule 5: every excluded query's evidence age must be < MAX_EVIDENCE_AGE.
     # This round's late additions (zero evidence BY DEFINITION — registered

@@ -1675,6 +1675,51 @@ def test_model_quality_filter_exact_python_model(spark, sf_dir):
     assert 0 < kept < sum(r.n_docs for r in got)
 
 
+def test_mqf_features_survive_large_documents(spark):
+    """Regression (r12 ADVICE, high): _mqf_features scaled int32 counts by
+    int32 literals (n_alpha * 1_000_000, ...), overflowing for any document
+    with >= 2148 alpha chars / stopwords / distinct tokens — under the
+    session's ANSI default that ABORTED model_quality_filter on a single
+    2.5 KB web document while the fixture's ~577-char max kept every gate
+    green. Counts are now long before scaling; this feeds a 3 KB doc
+    through the feature projection and checks the exact micro-unit values
+    against a from-scratch Python replay."""
+    import re
+
+    from fund_data_pipeline_spark.queries.mlops import _mqf_features
+    from fund_data_pipeline_spark.queries.text import STOPWORDS
+
+    # >2148 stopwords, alpha chars, AND distinct tokens in one document
+    big = " ".join(["the"] * 2500 + [f"w{i:04d}" for i in range(2200)])
+    assert len(big) > 2148 and len(re.sub("[^a-z]", "", big)) > 2148
+    docs = spark.createDataFrame(
+        [("d1", "en", "web", big), ("d2", "en", "web", "the cat sat")],
+        ["doc_id", "lang", "source", "text"],
+    )
+    got = {r.doc_id: r for r in _mqf_features(docs).collect()}
+
+    for doc_id, text in (("d1", big), ("d2", "the cat sat")):
+        toks = text.split(" ")
+        n_tok, n_dist = len(toks), len(set(toks))
+        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        n_nosp = len(text.replace(" ", ""))
+        n_alpha = len(re.sub("[^a-z]", "", text))
+        n_chars = len(text)
+        r = got[doc_id]
+        assert r.f0 == 1_000_000
+        assert r.f1 == min(n_tok, 500) * 2000 - 500_000
+        assert r.f2 == n_stop * 1_000_000 // n_tok - 500_000
+        assert r.f3 == min(n_nosp * 50_000 // n_tok, 1_000_000) - 500_000
+        assert r.f4 == n_alpha * 1_000_000 // n_chars - 500_000
+        assert r.f5 == n_dist * 1_000_000 // n_tok - 500_000
+        y = int(
+            30 <= n_tok <= 400
+            and n_stop * 100 >= n_tok * 3
+            and n_tok * 3 <= n_nosp <= n_tok * 8
+        )
+        assert r.y == y
+
+
 def test_train_hardsig_logreg_saturation_and_edges(spark):
     """Spark-vs-Python weight parity on crafted rows that drive the hard
     sigmoid into BOTH clamp rails and the weights into the box constraint
