@@ -56,21 +56,19 @@ from . import mlops  # noqa: E402,F401
 #:      verifies the deferral count equals exactly the oversubscription
 #:      excess — rule 6 can never park a query that would have fit.
 #:
-#: Round-12 rotation: IN — ``bigram_lm_quality_gate`` (the r11 late
-#: addition, zero driver evidence, first non-headline slot per rule 2) and
-#: 41 of the 42 queries whose latest green is r8 (rule 5: their evidence
-#: reaches age 4 this round). That cohort plus rules 1+2 is 51 claims on
-#: 50 slots; per rule 6 the deferred query is ``streaming_tumbling_counts``
-#: — its oracle SQL and aggregation expression are byte-identical to the
-#: permanent headliner ``tumbling_window_stats`` and its only other kernel
-#: (the availableNow streaming drain) is exercised in-window by
-#: ``streaming_stateful_user_stats``; it takes the first non-headline slot
-#: at r13. OUT — the 42 non-headline members of the r11 window (all green
-#: r11) and the 42 r10-green queries. Every excluded query is listed in
-#: _OUT_OF_WINDOW_WHY below with the CORRECTNESS round(s) that checked it
-#: green, still registered, and still gated by scripts/verify_local.py +
-#: tests/test_catalog_oracle.py.
-ROTATION_ROUND = 12
+#: Round-13 rotation: IN — ``model_quality_filter`` (the r12 late addition,
+#: zero driver evidence, first non-headline slot per rule 2),
+#: ``streaming_tumbling_counts`` (the r12 rule-6 deferral, taking its
+#: promised first non-headline slot), and 40 of the 42 r10-latest queries
+#: (rule 3 oldest-evidence refill, ties alphabetical — the window is NOT
+#: oversubscribed this round: rules 1+2+5 claim only 10 slots, so no rule-6
+#: deferral). OUT — the 42 non-headline members of the r12 window (all
+#: green r12, age 1), the r11 cohort (age 2), and the 2 alphabetically-last
+#: r10-latest queries (age 3; due at r14 alongside the r11 cohort's refill).
+#: Every excluded query is listed in _OUT_OF_WINDOW_WHY below with the
+#: CORRECTNESS round(s) that checked it green, still registered, and still
+#: gated by scripts/verify_local.py + tests/test_catalog_oracle.py.
+ROTATION_ROUND = 13
 MAX_EVIDENCE_AGE = 4
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
@@ -83,51 +81,53 @@ _CHECKED_FIRST = [
     "tumbling_window_stats",
     "text_statistics",
     "exact_dedup",
-    # ---- rule 2: r11 late addition, zero driver evidence ----
-    "bigram_lm_quality_gate",
-    # ---- rule 5: the r8-latest cohort (evidence reaches age 4), minus the
-    # rule-6 deferral streaming_tumbling_counts ----
-    "benchmark_contamination",
-    "buyer_set_ops",
-    "calendar_gap_fill",
-    "changelog_compact",
-    "clicks_before_purchase_range_join",
-    "conversion_funnel",
-    "corpus_dedup_pipeline",
-    "cube_order_stats",
-    "dedup_clusters",
-    "dedup_keep_best_quality",
-    "dedup_keep_list",
-    "doc_chunking",
-    "doc_quality_profile",
-    "embedding_ann_bucketed_topk",
-    "embedding_cosine_near_dup",
-    "embedding_random_projection",
-    "event_type_summary",
-    "fk_integrity_audit",
-    "image_decode_features",
-    "json_props_extraction",
-    "language_id_heuristic",
-    "language_rebalance_mixture",
-    "leakage_safe_split",
-    "length_percentile_gate",
-    "minhash_lsh_candidates",
-    "multimodal_binary_meta",
-    "order_price_percentiles",
-    "pii_redaction",
-    "pii_scrub_stats",
-    "pivot_status_by_segment",
-    "quality_score",
-    "repair_feed_merge",
-    "repetition_filter_stats",
-    "sequence_packing",
-    "simhash_near_dup",
-    "streaming_stateful_user_stats",
-    "table_profile",
-    "token_count_regex",
-    "train_val_test_split",
-    "unpivot_part_metrics",
-    "winsorized_price_stats",
+    # ---- rule 2: r12 late addition, zero driver evidence ----
+    "model_quality_filter",
+    # ---- rule-6 deferral from r12, taking its promised slot ----
+    "streaming_tumbling_counts",
+    # ---- rule 3: the r10-latest cohort, oldest-evidence refill (first 40
+    # of 42 alphabetically; unigram_likelihood_quality and
+    # union_mixed_schemas stay out, due r14) ----
+    "active_customers_semi",
+    "bm25_doc_search",
+    "bpe_pair_stats",
+    "conform_master_list",
+    "content_defined_chunking",
+    "corpus_mix_drift",
+    "customers_without_orders",
+    "date_parsing_and_arithmetic",
+    "dedup_keep_last",
+    "doc_fingerprint",
+    "duplicated_span_dedup",
+    "embedding_int8_quantization",
+    "embedding_ivf_topk",
+    "embedding_lsh_buckets",
+    "embedding_topk_pandas",
+    "fee_rescale_and_repair",
+    "group_count_breakdown",
+    "hash_guarded_merge",
+    "hybrid_bm25_cosine_rerank",
+    "incremental_rollup_revenue",
+    "latest_order_per_customer",
+    "lifecycle_status_transitions",
+    "locf_last_valid_value",
+    "master_validation_issues",
+    "nav_validation_errors",
+    "ngram_novelty",
+    "ntile_quartiles",
+    "numeric_string_parsing",
+    "price_quantity_stats",
+    "retention_cutoff_prune",
+    "row_hash_change_detection",
+    "row_hash_surfaces",
+    "running_revenue_by_supplier",
+    "source_frequency_cap",
+    "stratified_hash_sample",
+    "streaming_dedup_users",
+    "streaming_session_counts",
+    "string_compose_format",
+    "temperature_rebalance_mixture",
+    "top_orders_per_customer",
 ]
 
 
@@ -138,103 +138,102 @@ _CHECKED_FIRST = [
 #: round(s) that checked the query itself green (mechanically audited by
 #: tests/test_core.py::test_out_of_window_citations_match_correctness_records);
 #: "family in-window via X" names its kernel representative in the CURRENT
-#: (r11) window.
+#: (r13) window.
 _OUT_OF_WINDOW_WHY = {
-    # ---- new in round 12: never driver-checked; verified by
-    # scripts/verify_local.py and gated every round by
-    # tests/test_catalog_oracle.py; first window slot next rotation
-    # (rule 2) ----
-    "model_quality_filter": "new r12, local-oracle verified; model-based quality-filtering capstone (CCNet/LLaMA classifier stage) — exact integer hard-sigmoid logistic regression trained in-engine, composing the in-window text_statistics/quality feature kernels with the BPE-style iterate-and-collect training shape (bigram_lm_quality_gate family)",
-    # ---- rule-6 deferral (r12 window oversubscribed 51-on-50): first
-    # non-headline slot at r13 ----
-    "streaming_tumbling_counts": "driver-green r2+r4+r8; rule-6 deferral at r12 — its oracle SQL and aggregation expression are byte-identical to the permanent headliner tumbling_window_stats (same 5-minute window/decimal-sum kernel) and its only other kernel, the availableNow streaming drain, is exercised in-window by streaming_stateful_user_stats; takes the first non-headline slot at r13",
-    # ---- latest green r10 (rotated out at r11; re-pointed at r12-window reps) ----
-    "active_customers_semi": "driver-green r1+r2+r3+r4+r5+r6+r10; semi-join family in-window via fk_integrity_audit (same left-semi audit kernel) + buyer_set_ops",
-    "bm25_doc_search": "driver-green r10; tf-idf retrieval family in-window via token_count_regex (same tokenize kernel) + bigram_lm_quality_gate (per-doc likelihood scoring form)",
-    "bpe_pair_stats": "driver-green r10; pair-count family in-window via bigram_lm_quality_gate (composes the SAME BPE pair-count kernel in its train stage)",
-    "conform_master_list": "driver-green r1+r2+r3+r4+r5+r6+r10; conform family in-window via json_props_extraction (expression-extraction chain) + pii_scrub_stats (regexp/conform kernels)",
-    "content_defined_chunking": "driver-green r10; chunking family in-window via doc_chunking (same scan+explode segment kernel) + sequence_packing",
-    "corpus_mix_drift": "driver-green r10; exact-integer corpus-stats family in-window via text_statistics (headline) + doc_quality_profile",
-    "customers_without_orders": "driver-green r1+r2+r3+r4+r5+r6+r10; anti-join family in-window via fk_integrity_audit (same left-anti kernel) + buyer_set_ops (EXCEPT form)",
-    "date_parsing_and_arithmetic": "driver-green r1+r2+r3+r4+r5+r6+r10; date-expression family in-window via calendar_gap_fill (date arithmetic/densify kernel) + conversion_funnel (timestamp ordering)",
-    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6+r10; keyed-dedup family in-window via dedup_keep_best_quality (same keyed survivor window) + exact_dedup (headline)",
-    "doc_fingerprint": "driver-green r5+r6+r10; hash-signature family in-window via train_val_test_split (md5-bucket kernel) + simhash_near_dup (signature kernel)",
-    "duplicated_span_dedup": "driver-green r10; span-hash blocked-join family in-window via benchmark_contamination (same shingle-join kernel) + minhash_lsh_candidates",
-    "embedding_int8_quantization": "driver-green r10; vector-kernel family in-window via embedding_random_projection (same posexplode projection kernel) + embedding_topk_cosine (headline)",
-    "embedding_ivf_topk": "driver-green r5+r6+r10; IVF/ANN family in-window via embedding_ann_bucketed_topk (same cell-assign ANN kernel) + embedding_topk_cosine (headline)",
-    "embedding_lsh_buckets": "driver-green r5+r6+r10; LSH-projection family in-window via embedding_random_projection (same plane-projection kernel) + embedding_ann_bucketed_topk",
-    "embedding_topk_pandas": "driver-green r5+r6+r10; Arrow-kernel family in-window via image_decode_features + multimodal_binary_meta (same mapInPandas kernel) + embedding_topk_cosine (headline)",
-    "fee_rescale_and_repair": "driver-green r1+r2+r3+r4+r5+r6+r10; numeric-repair family in-window via winsorized_price_stats (outlier kernel) + json_props_extraction (parse chain)",
-    "group_count_breakdown": "driver-green r1+r2+r3+r4+r5+r6+r10; grouped-agg family in-window via event_type_summary (same grouped-count kernel) + cube_order_stats",
-    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6+r10; hash-guarded merge family in-window via changelog_compact (same hash-compare CDC kernel) + repair_feed_merge",
-    "hybrid_bm25_cosine_rerank": "driver-green r10; retrieval-fusion family in-window via embedding_topk_cosine (headline cosine kernel) + token_count_regex (tokenize/idf inputs)",
-    "incremental_rollup_revenue": "driver-green r7+r10; incremental-agg family in-window via cube_order_stats (same multi-level agg kernel) + changelog_compact (incremental merge)",
-    "latest_order_per_customer": "driver-green r3+r4+r5+r6+r10; latest-per-key family in-window via dedup_keep_best_quality (same keyed ranking window) + conversion_funnel",
-    "lifecycle_status_transitions": "driver-green r1+r2+r3+r4+r5+r6+r10; lifecycle/status family in-window via changelog_compact (same status/CDC transition kernel) + repair_feed_merge",
-    "locf_last_valid_value": "driver-green r1+r2+r3+r4+r5+r6+r10; LOCF window family in-window via calendar_gap_fill (same last(ignorenulls) densify kernel)",
-    "master_validation_issues": "driver-green r1+r2+r3+r4+r5+r6+r10; validation-split family in-window via fk_integrity_audit (rule-audit split kernel); also gated by tests/test_pipelines.py",
-    "nav_validation_errors": "driver-green r1+r2+r3+r4+r5+r6+r10; validation-split family in-window via fk_integrity_audit (rule-audit split kernel); also gated by tests/test_pipelines.py",
-    "ngram_novelty": "driver-green r10; shingle-index family in-window via benchmark_contamination (same shingle-index kernel) + repetition_filter_stats",
-    "ntile_quartiles": "driver-green r3+r4+r5+r6+r10; ranking-window family in-window via order_price_percentiles (same percentile kernel) + length_percentile_gate (ntile gate)",
-    "numeric_string_parsing": "driver-green r1+r2+r3+r4+r5+r6+r10; numeric-parse family in-window via json_props_extraction (same parse/extract chain) + winsorized_price_stats",
-    "price_quantity_stats": "driver-green r7+r10; robust-stats family in-window via winsorized_price_stats (same robust-stats kernel) + order_price_percentiles",
-    "retention_cutoff_prune": "driver-green r1+r2+r3+r4+r5+r6+r10; date-cutoff maintenance family in-window via calendar_gap_fill (date-bucket kernel) + changelog_compact (retention compaction)",
-    "row_hash_change_detection": "driver-green r1+r2+r3+r4+r5+r6+r10; CDC hash family in-window via changelog_compact (same hash-compare kernel) + repair_feed_merge",
-    "row_hash_surfaces": "driver-green r10; hash-surface family in-window via train_val_test_split + leakage_safe_split (same md5 kernels)",
-    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6+r10; running-window family in-window via calendar_gap_fill (keyed window kernel) + conversion_funnel (ordered window)",
-    "source_frequency_cap": "driver-green r10; capped-sampling family in-window via language_rebalance_mixture (same stratum-cap kernel) + train_val_test_split (md5-bucket kernel)",
-    "stratified_hash_sample": "driver-green r5+r6+r10; md5-bucket split family in-window via train_val_test_split (same kernel) + leakage_safe_split",
-    "streaming_dedup_users": "driver-green r5+r6+r10; streaming-dedup family in-window via streaming_stateful_user_stats (same streaming state kernel) + exact_dedup (headline)",
-    "streaming_session_counts": "driver-green r5+r6+r10; streaming-session family in-window via streaming_stateful_user_stats (same stateful stream kernel) + conversion_funnel (session logic)",
-    "string_compose_format": "driver-green r10; string-expression family in-window via json_props_extraction (same string-expression chain) + pii_redaction",
-    "temperature_rebalance_mixture": "driver-green r10; mixture-sampling family in-window via language_rebalance_mixture (same mixture-rebalance kernel) + train_val_test_split (md5 kernel)",
-    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6+r10; per-key top-k family in-window via dedup_keep_best_quality (same keyed ranking window) + top_unshipped_orders (headline)",
-    "unigram_likelihood_quality": "driver-green r10; text-quality family in-window via bigram_lm_quality_gate (same rational likelihood scoring form) + quality_score",
-    "union_mixed_schemas": "driver-green r10; column-union family in-window via unpivot_part_metrics (reshape/stack kernel); also gated by tests/test_catalog_oracle.py",
-    # ---- latest green r11 (the r11 window's non-headline members rotated out) ----
-    "audio_quality_gate": "driver-green r7+r11; multimodal family in-window via image_decode_features + multimodal_binary_meta (same Arrow mapInPandas kernel)",
-    "boilerplate_scrub": "driver-green r7+r11; chunking family in-window via doc_chunking (same scan+explode segment kernel) + sequence_packing",
-    "bpe_encode_token_stats": "driver-green r11; BPE family in-window via bigram_lm_quality_gate (runs the SAME BPE encode kernel as its first stage)",
-    "bpe_train_merges": "driver-green r11; BPE family in-window via bigram_lm_quality_gate (runs the SAME BPE train kernel as its first stage)",
-    "characteristic_terms": "driver-green r7+r11; token-df/idf family in-window via doc_quality_profile (token-frequency kernel) + token_count_regex (tokenize)",
-    "churned_buyers_except": "driver-green r1+r7+r11; set-difference family in-window via buyer_set_ops (same EXCEPT form) + fk_integrity_audit (anti-join)",
-    "cohort_retention": "driver-green r7+r11; cohort/date-bucket family in-window via conversion_funnel (same event-sequence kernel) + calendar_gap_fill (date-bucket)",
-    "daily_order_anomaly": "driver-green r7+r11; outlier family in-window via winsorized_price_stats (same robust-stats/outlier kernel) + order_price_percentiles",
-    "deterministic_shuffle_order": "driver-green r7+r11; md5-order family in-window via train_val_test_split + leakage_safe_split (same md5-bucket kernel)",
-    "distinct_counts": "driver-green r1+r7+r11; grouped-distinct family in-window via event_type_summary (same grouped kernel) + table_profile (distinct-count profiling)",
-    "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7+r11; dedup-attribution family in-window via dedup_keep_list (same duplicate-attribution kernel) + exact_dedup (headline)",
-    "embedding_centroid_stats": "driver-green r7+r11; vector-agg family in-window via embedding_ann_bucketed_topk (same cell-assign/centroid kernel) + embedding_random_projection",
-    "grouping_sets_revenue": "driver-green r1+r7+r11; multi-level agg family in-window via cube_order_stats (same GROUPING SETS kernel) + pivot_status_by_segment",
-    "hierarchy_flatten": "driver-green r7+r11; iterative min-label family in-window via dedup_clusters (same iterative label-propagation kernel)",
-    "incremental_near_dup": "driver-green r7+r11; minhash-band family in-window via minhash_lsh_candidates (same band kernel) + benchmark_contamination (shingle-join)",
-    "key_skew_profile": "driver-green r7+r11; profiling family in-window via table_profile (same profiling kernel) + language_rebalance_mixture (stratum kernel)",
-    "nation_pair_revenue": "driver-green r2+r7+r11; join-agg family in-window via regional_supplier_volume (headline join-agg) + cube_order_stats",
-    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7+r11; shingle-join family in-window via benchmark_contamination (same shingle-join kernel) + minhash_lsh_candidates",
-    "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7+r11; conform family in-window via json_props_extraction (expression chain) + pii_scrub_stats (regexp conform)",
-    "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7+r11; outer-join family in-window via fk_integrity_audit (same integrity-join kernel) + clicks_before_purchase_range_join",
-    "order_price_lead_lag": "driver-green r3+r4+r7+r11; keyed-window family in-window via calendar_gap_fill (same keyed window kernel) + conversion_funnel",
-    "price_histogram": "driver-green r7+r11; bucketed-distribution family in-window via order_price_percentiles (same distribution kernel) + winsorized_price_stats",
-    "price_quartiles_by_segment": "driver-green r1+r7+r11; percentile family in-window via order_price_percentiles (same percentile kernel) + length_percentile_gate (ntile gate)",
-    "priority_orders_exists": "driver-green r1+r7+r11; semi-join family in-window via fk_integrity_audit (same EXISTS/semi kernel) + buyer_set_ops",
-    "promo_revenue_share": "driver-green r1+r2+r7+r11; conditional-agg family in-window via pricing_summary (headline conditional-agg kernel) + event_type_summary",
-    "record_linkage_fuzzy": "driver-green r7+r11; fuzzy-join family in-window via benchmark_contamination (blocked similarity join) + simhash_near_dup",
-    "repeat_buyers_intersect": "driver-green r1+r7+r11; set-intersection family in-window via buyer_set_ops (same INTERSECT form) + fk_integrity_audit",
-    "rolling_30d_revenue": "driver-green r7+r11; range-frame window family in-window via calendar_gap_fill (same date-window kernel) + conversion_funnel",
-    "rollup_revenue": "driver-green r1+r7+r11; ROLLUP family in-window via cube_order_stats (same ROLLUP/CUBE kernel) + pivot_status_by_segment",
-    "running_distinct_users": "driver-green r7+r11; incremental-distinct family in-window via streaming_stateful_user_stats (same incremental user-state kernel) + event_type_summary",
+    # ---- latest green r10, left out by the rule-3 alphabetical tie-break
+    # (due at r14) ----
+    "unigram_likelihood_quality": "driver-green r10; text-quality family in-window via bm25_doc_search (same rational likelihood scoring form) + model_quality_filter (quality gate)",
+    "union_mixed_schemas": "driver-green r10; column-union family in-window via conform_master_list (schema-conform kernel); also gated by tests/test_catalog_oracle.py",
+    # ---- latest green r12 (the r12 window's non-headline members rotated
+    # out; re-pointed at r13-window reps) ----
+    "benchmark_contamination": "driver-green r5+r6+r8+r12; shingle-join contamination family in-window via duplicated_span_dedup (same shingle-join kernel) + ngram_novelty (shingle index)",
+    "bigram_lm_quality_gate": "driver-green r12; BPE/likelihood family in-window via bpe_pair_stats (same BPE pair-count kernel) + bm25_doc_search (likelihood scoring) + model_quality_filter (quality gate)",
+    "buyer_set_ops": "driver-green r2+r3+r4+r5+r8+r12; set-ops family in-window via customers_without_orders (anti-join form) + active_customers_semi (semi form)",
+    "calendar_gap_fill": "driver-green r8+r12; densify/LOCF family in-window via locf_last_valid_value (same last(ignorenulls) kernel) + date_parsing_and_arithmetic (date arithmetic); the scale-capped production form is gap_fill_locf_capped",
+    "changelog_compact": "driver-green r8+r12; CDC/compaction family in-window via row_hash_change_detection (same hash-compare kernel) + hash_guarded_merge",
+    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5+r8+r12; range-join family in-window via asof_last_click_before_purchase (headline; same event-time join kernel)",
+    "conversion_funnel": "driver-green r5+r6+r8+r12; event-sequence family in-window via latest_order_per_customer (keyed ordering window) + streaming_session_counts (session logic)",
+    "corpus_dedup_pipeline": "driver-green r8+r12; dedup-pipeline composition in-window via exact_dedup (headline) + duplicated_span_dedup + doc_fingerprint (stage kernels); sf1 replay scripts/verify_sf1_pipeline.py",
+    "cube_order_stats": "driver-green r2+r3+r4+r5+r8+r12; multi-level agg family in-window via incremental_rollup_revenue (same rollup agg kernel) + group_count_breakdown",
+    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8+r12; iterative label-propagation family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + scripts/verify_sf1_clusters.py + tests/test_catalog_oracle.py",
+    "dedup_keep_best_quality": "driver-green r8+r12; keyed-survivor family in-window via dedup_keep_last (same keyed ranking survivor) + top_orders_per_customer",
+    "dedup_keep_list": "driver-green r5+r6+r8+r12; duplicate-attribution family in-window via dedup_keep_last + exact_dedup (headline)",
+    "doc_chunking": "driver-green r6+r8+r12; chunking family in-window via content_defined_chunking (same scan+explode segment kernel)",
+    "doc_quality_profile": "driver-green r2+r3+r4+r8+r12; text-profiling family in-window via text_statistics (headline) + corpus_mix_drift (corpus stats)",
+    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8+r12; ANN family in-window via embedding_ivf_topk (same cell-assign kernel) + embedding_topk_cosine (headline)",
+    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8+r12; blocked-cosine family in-window via embedding_ivf_topk (cell-pruned cosine) + embedding_topk_cosine (headline)",
+    "embedding_random_projection": "driver-green r8+r12; projection family in-window via embedding_lsh_buckets (same plane-projection kernel) + embedding_int8_quantization",
+    "event_type_summary": "driver-green r2+r4+r8+r12; grouped-count family in-window via group_count_breakdown (same grouped kernel) + corpus_mix_drift",
+    "fk_integrity_audit": "driver-green r8+r12; integrity-join family in-window via active_customers_semi (semi kernel) + customers_without_orders (anti kernel) + master_validation_issues (rule audit)",
+    "image_decode_features": "driver-green r6+r8+r12; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
+    "json_props_extraction": "driver-green r1+r2+r3+r4+r8+r12; expression-extraction family in-window via numeric_string_parsing (same parse chain) + string_compose_format",
+    "language_id_heuristic": "driver-green r1+r2+r3+r4+r8+r12; text-heuristic family in-window via text_statistics (headline) + bm25_doc_search (tokenize kernel)",
+    "language_rebalance_mixture": "driver-green r6+r8+r12; mixture-sampling family in-window via temperature_rebalance_mixture (same mixture-rebalance kernel) + source_frequency_cap (stratum cap)",
+    "leakage_safe_split": "driver-green r6+r8+r12; md5-split family in-window via stratified_hash_sample (same md5-bucket kernel) + row_hash_surfaces",
+    "length_percentile_gate": "driver-green r6+r8+r12; percentile-gate family in-window via ntile_quartiles (same ranking-window kernel) + price_quantity_stats",
+    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8+r12; minhash-band family in-window via duplicated_span_dedup (shingle blocked join) + doc_fingerprint (signature kernel)",
+    "multimodal_binary_meta": "driver-green r6+r8+r12; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
+    "order_price_percentiles": "driver-green r5+r6+r8+r12; percentile family in-window via ntile_quartiles (same percentile kernel) + price_quantity_stats (robust stats)",
+    "pii_redaction": "driver-green r8+r12; regexp-transform family in-window via string_compose_format (same string-expression chain) + conform_master_list (conform kernels)",
+    "pii_scrub_stats": "driver-green r6+r8+r12; regexp-transform family in-window via string_compose_format (same string-expression chain) + conform_master_list (conform kernels)",
+    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8+r12; pivot family in-window via group_count_breakdown (grouped agg) + incremental_rollup_revenue (multi-level agg)",
+    "quality_score": "driver-green r5+r6+r8+r12; quality-scoring family in-window via model_quality_filter (same feature/gate kernel) + text_statistics (headline)",
+    "repair_feed_merge": "driver-green r5+r6+r8+r12; repair/merge family in-window via hash_guarded_merge (same hash-guarded merge kernel) + row_hash_change_detection",
+    "repetition_filter_stats": "driver-green r5+r6+r8+r12; repetition/shingle family in-window via ngram_novelty (same shingle-index kernel) + text_statistics (headline)",
+    "sequence_packing": "driver-green r6+r8+r12; packing family in-window via content_defined_chunking (same segment-grid kernel)",
+    "simhash_near_dup": "driver-green r2+r3+r4+r8+r12; signature near-dup family in-window via doc_fingerprint (signature kernel) + duplicated_span_dedup (blocked join); sf1 replay scripts/verify_sf1_simhash.py",
+    "streaming_stateful_user_stats": "driver-green r6+r8+r12; streaming-state family in-window via streaming_dedup_users (same stateful kernel) + streaming_session_counts + streaming_tumbling_counts (availableNow drain)",
+    "table_profile": "driver-green r5+r6+r8+r12; profiling family in-window via corpus_mix_drift (corpus stats) + group_count_breakdown (distinct counts)",
+    "token_count_regex": "driver-green r5+r6+r8+r12; tokenize family in-window via bm25_doc_search (same tokenize kernel) + text_statistics (headline)",
+    "train_val_test_split": "driver-green r2+r3+r4+r8+r12; md5-bucket split family in-window via stratified_hash_sample (same kernel) + temperature_rebalance_mixture (md5 kernel)",
+    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8+r12; reshape/stack family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
+    "winsorized_price_stats": "driver-green r8+r12; robust-stats family in-window via price_quantity_stats (same robust-stats kernel) + ntile_quartiles",
+    # ---- latest green r11 (rotated out at r12; re-pointed at r13-window
+    # reps) ----
+    "audio_quality_gate": "driver-green r7+r11; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
+    "boilerplate_scrub": "driver-green r7+r11; chunking family in-window via content_defined_chunking (same scan+explode segment kernel)",
+    "bpe_encode_token_stats": "driver-green r11; BPE family in-window via bpe_pair_stats (same BPE pair-count kernel) + bm25_doc_search (tokenize)",
+    "bpe_train_merges": "driver-green r11; BPE family in-window via bpe_pair_stats (same pair-count kernel) + model_quality_filter (same iterate-and-collect training shape)",
+    "characteristic_terms": "driver-green r7+r11; token-df/idf family in-window via bm25_doc_search (same token-df/idf kernel) + text_statistics (headline)",
+    "churned_buyers_except": "driver-green r1+r7+r11; set-difference family in-window via customers_without_orders (same anti-join form) + active_customers_semi",
+    "cohort_retention": "driver-green r7+r11; cohort/date-bucket family in-window via latest_order_per_customer (keyed ordering) + date_parsing_and_arithmetic (date-bucket)",
+    "daily_order_anomaly": "driver-green r7+r11; outlier family in-window via price_quantity_stats (same robust-stats/outlier kernel) + ntile_quartiles",
+    "deterministic_shuffle_order": "driver-green r7+r11; md5-order family in-window via stratified_hash_sample (same md5-bucket kernel) + row_hash_surfaces",
+    "distinct_counts": "driver-green r1+r7+r11; grouped-distinct family in-window via group_count_breakdown (same grouped kernel) + corpus_mix_drift (distinct-count profiling)",
+    "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7+r11; dedup-attribution family in-window via dedup_keep_last (same duplicate-attribution kernel) + exact_dedup (headline)",
+    "embedding_centroid_stats": "driver-green r7+r11; vector-agg family in-window via embedding_ivf_topk (same cell-assign/centroid kernel) + embedding_lsh_buckets",
+    "grouping_sets_revenue": "driver-green r1+r7+r11; multi-level agg family in-window via incremental_rollup_revenue (same rollup agg kernel) + group_count_breakdown",
+    "hierarchy_flatten": "driver-green r7+r11; iterative min-label family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
+    "incremental_near_dup": "driver-green r7+r11; minhash-band family in-window via duplicated_span_dedup (shingle blocked join) + doc_fingerprint (signature kernel)",
+    "key_skew_profile": "driver-green r7+r11; profiling family in-window via corpus_mix_drift (same profiling stats kernel) + temperature_rebalance_mixture (stratum kernel)",
+    "nation_pair_revenue": "driver-green r2+r7+r11; join-agg family in-window via regional_supplier_volume (headline join-agg) + incremental_rollup_revenue",
+    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7+r11; shingle-join family in-window via duplicated_span_dedup (same shingle-join kernel) + ngram_novelty",
+    "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7+r11; conform family in-window via conform_master_list (same conform kernel) + numeric_string_parsing (parse chain)",
+    "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7+r11; outer-join family in-window via asof_last_click_before_purchase (headline enrichment join) + customers_without_orders (outer/anti kernel)",
+    "order_price_lead_lag": "driver-green r3+r4+r7+r11; keyed-window family in-window via running_revenue_by_supplier (same keyed window kernel) + locf_last_valid_value",
+    "price_histogram": "driver-green r7+r11; bucketed-distribution family in-window via ntile_quartiles (same distribution kernel) + price_quantity_stats",
+    "price_quartiles_by_segment": "driver-green r1+r7+r11; percentile family in-window via ntile_quartiles (same percentile kernel) + price_quantity_stats",
+    "priority_orders_exists": "driver-green r1+r7+r11; semi-join family in-window via active_customers_semi (same EXISTS/semi kernel) + customers_without_orders",
+    "promo_revenue_share": "driver-green r1+r2+r7+r11; conditional-agg family in-window via pricing_summary (headline conditional-agg kernel) + group_count_breakdown",
+    "record_linkage_fuzzy": "driver-green r7+r11; fuzzy-join family in-window via duplicated_span_dedup (blocked similarity join) + doc_fingerprint (signature kernel)",
+    "repeat_buyers_intersect": "driver-green r1+r7+r11; set-intersection family in-window via active_customers_semi (semi/INTERSECT kernel) + customers_without_orders",
+    "rolling_30d_revenue": "driver-green r7+r11; range-frame window family in-window via running_revenue_by_supplier (same date-window kernel) + locf_last_valid_value",
+    "rollup_revenue": "driver-green r1+r7+r11; ROLLUP family in-window via incremental_rollup_revenue (same ROLLUP kernel) + group_count_breakdown",
+    "running_distinct_users": "driver-green r7+r11; incremental-distinct family in-window via streaming_dedup_users (same incremental user-state kernel) + streaming_session_counts",
     "salted_join_revenue": "driver-green r1+r7+r11; skew-remedy family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py + the plan-hygiene audit",
-    "scd2_priority_history": "driver-green r7+r11; SCD2 family in-window via changelog_compact (same SCD2 compaction kernel) + repair_feed_merge",
-    "semantic_dedup_cells": "driver-green r7+r11; blocked-cosine family in-window via embedding_cosine_near_dup (same blocked-cosine kernel) + embedding_ann_bucketed_topk (cell-pruned)",
-    "sessionization": "driver-green r3+r4+r7+r11; session family in-window via conversion_funnel (same event-sequence kernel) + streaming_stateful_user_stats",
-    "sliding_window_stats": "driver-green r3+r4+r7+r11; hopping-window family in-window via tumbling_window_stats (headline; same window() kernel, hop variant)",
+    "scd2_priority_history": "driver-green r7+r11; SCD2 family in-window via hash_guarded_merge (same SCD2/merge compaction kernel) + row_hash_change_detection",
+    "semantic_dedup_cells": "driver-green r7+r11; blocked-cosine family in-window via embedding_ivf_topk (same cell-pruned cosine kernel) + embedding_lsh_buckets; sf1 replay scripts/verify_sf1_semantic.py",
+    "sessionization": "driver-green r3+r4+r7+r11; session family in-window via streaming_session_counts (same session kernel) + latest_order_per_customer (keyed ordering)",
+    "sliding_window_stats": "driver-green r3+r4+r7+r11; hopping-window family in-window via tumbling_window_stats (headline; same window() kernel, hop variant) + streaming_tumbling_counts",
     "small_quantity_revenue": "driver-green r1+r2+r7+r11; filtered-agg family in-window via pricing_summary (headline filtered-agg kernel)",
-    "snapshot_diff": "driver-green r7+r11; snapshot-CDC family in-window via changelog_compact (same hash-compare snapshot kernel) + repair_feed_merge",
-    "streaming_click_purchase_join": "driver-green r7+r11; stream-join family in-window via streaming_stateful_user_stats (streaming state kernel) + clicks_before_purchase_range_join (same join semantics, batch)",
-    "streaming_enriched_purchases": "driver-green r7+r11; stream-static join family in-window via streaming_stateful_user_stats (streaming kernel) + asof_last_click_before_purchase (headline enrichment join)",
-    "token_vocabulary": "driver-green r7+r11; tokenize family in-window via token_count_regex (same trim+\\s+ tokenize kernel) + doc_quality_profile",
-    "top_supplier_revenue": "driver-green r1+r2+r7+r11; global-extreme agg family in-window via top_unshipped_orders (headline ranking) + event_type_summary",
-    "video_frame_sample_stats": "driver-green r7+r11; multimodal family in-window via image_decode_features + multimodal_binary_meta (same Arrow mapInPandas kernel)",
+    "snapshot_diff": "driver-green r7+r11; snapshot-CDC family in-window via row_hash_change_detection (same hash-compare snapshot kernel) + hash_guarded_merge",
+    "streaming_click_purchase_join": "driver-green r7+r11; stream-join family in-window via streaming_session_counts (streaming kernel) + asof_last_click_before_purchase (same join semantics, batch headline)",
+    "streaming_enriched_purchases": "driver-green r7+r11; stream-static join family in-window via streaming_dedup_users (streaming kernel) + asof_last_click_before_purchase (headline enrichment join)",
+    "token_vocabulary": "driver-green r7+r11; tokenize family in-window via bm25_doc_search (same trim+\\s+ tokenize kernel) + text_statistics (headline)",
+    "top_supplier_revenue": "driver-green r1+r2+r7+r11; global-extreme agg family in-window via top_unshipped_orders (headline ranking) + group_count_breakdown",
+    "video_frame_sample_stats": "driver-green r7+r11; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
 }
+
 
 
 def _pin_driver_window() -> None:
