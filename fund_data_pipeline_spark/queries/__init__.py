@@ -140,6 +140,11 @@ _CHECKED_FIRST = [
 #: "family in-window via X" names its kernel representative in the CURRENT
 #: (r13) window.
 _OUT_OF_WINDOW_WHY = {
+    # ---- new in round 13: never driver-checked; verified by
+    # scripts/verify_local.py and gated every round by
+    # tests/test_catalog_oracle.py; first window slot next rotation
+    # (rule 2) ----
+    "gap_fill_locf_capped": "new r13, local-oracle verified; the scale-capped PRODUCTION form of calendar_gap_fill (r12 verdict item 3): per-key spine bounded at the trailing 90 days with the LOCF carry seeded across the cap from observation rows — the form users actually run at 100 TB (the unbounded spine is a measured disk-spill failure at sf10)",
     # ---- latest green r10, left out by the rule-3 alphabetical tie-break
     # (due at r14) ----
     "unigram_likelihood_quality": "driver-green r10; text-quality family in-window via bm25_doc_search (same rational likelihood scoring form) + model_quality_filter (quality gate)",

@@ -586,8 +586,11 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("custkey", "dt")
         .agg(F.sum("price").alias("day_revenue"))
     )
-    # unbounded spine: the oracle-checkable definition; production callers
-    # pass last_n_days to gap_fill_locf to cap each key's spine
+    # unbounded spine: the oracle-checkable semantic-completeness form.
+    # PRODUCTION CALLERS AT SCALE USE gap_fill_locf_capped BELOW — this
+    # form's spine is customers x full calendar span (~3.5 B rows at sf10,
+    # measured to a disk-spill failure, SCALING.md); the capped form bounds
+    # every key at last_n_days and is 9-10x cheaper at sf10.
     filled = gap_fill_locf(daily, ["custkey"], "dt", "day_revenue")
     return filled.groupBy("custkey").agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -597,5 +600,86 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-customer span sum: bounded far below 2^53 scaled units, so the
         # direct cast stays engine-exact (review r11; contrast the
         # corpus-wide floor-split sums above)
+        F.sum("carried").cast("double").alias("carried_revenue"),
+    )
+
+
+_GFL_CAP_DAYS = 90
+
+
+@register(
+    "gap_fill_locf_capped",
+    doc="The PRODUCTION form of calendar gap fill (r12 verdict item 3): "
+    "each customer's daily spine is capped at the trailing 90 days "
+    "([max(first, last-89), last]) and the LOCF carry is SEEDED across "
+    "the cap — the newest non-null observation strictly before the capped "
+    "start, joined back per key from observation rows only — so carried "
+    "values on in-range gap days are identical to the unbounded spine's. "
+    "At 100 TB this bounds every key at <= 90 spine rows regardless of "
+    "history length (the unbounded form is customers x full span: ~3.5 B "
+    "rows at sf10, measured to a disk-spill failure), while the seed join "
+    "touches only real observations. operators/timeseries.py::gap_fill_locf"
+    "(last_n_days=90), sf10-measured at 19.7 s (SCALING.md).",
+    oracle=f"""
+WITH daily AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS dt,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_revenue
+  FROM orders GROUP BY 1, 2
+), spans AS (
+  SELECT custkey, GREATEST(MIN(dt), MAX(dt) - {_GFL_CAP_DAYS - 1}) AS d0,
+         MAX(dt) AS d1
+  FROM daily GROUP BY custkey
+), spine AS (
+  SELECT s.custkey, CAST(u.d AS DATE) AS dt
+  FROM spans s, UNNEST(generate_series(CAST(s.d0 AS TIMESTAMP), CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)
+), filled AS (
+  SELECT sp.custkey, sp.dt, d.day_revenue,
+         last_value(d.day_revenue IGNORE NULLS) OVER (
+           PARTITION BY sp.custkey ORDER BY sp.dt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS carried
+  FROM spine sp LEFT JOIN daily d ON sp.custkey = d.custkey AND sp.dt = d.dt
+), seed AS (
+  -- carry-in across the cap: newest NON-NULL observation strictly before
+  -- the capped start (mirrors the in-spine IGNORE NULLS carry)
+  SELECT custkey, day_revenue AS seed_rev FROM (
+    SELECT d.custkey, d.day_revenue,
+           ROW_NUMBER() OVER (PARTITION BY d.custkey ORDER BY d.dt DESC) AS rn
+    FROM daily d JOIN spans s USING (custkey)
+    WHERE d.dt < s.d0 AND d.day_revenue IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT f.custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN f.day_revenue IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_days,
+       CAST(SUM(COALESCE(f.carried, s.seed_rev)) AS DOUBLE) AS carried_revenue
+FROM filled f LEFT JOIN seed s ON f.custkey = s.custkey
+GROUP BY f.custkey
+""",
+)
+def gap_fill_locf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_fill_locf
+
+    orders = table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("dt"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("custkey", "dt")
+        .agg(F.sum("price").alias("day_revenue"))
+    )
+    filled = gap_fill_locf(
+        daily, ["custkey"], "dt", "day_revenue", last_n_days=_GFL_CAP_DAYS
+    )
+    return filled.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("day_revenue").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gap_days"),
+        # <= 90 carried values per customer: far below 2^53 scaled units,
+        # direct double cast stays engine-exact (same bound argument as
+        # calendar_gap_fill above)
         F.sum("carried").cast("double").alias("carried_revenue"),
     )

@@ -1118,6 +1118,32 @@ def test_gap_fill_locf_span_cap_with_carry_in(spark):
         gap_fill_locf(clashing, ["k"], "dt", "v")
 
 
+def test_gap_fill_capped_catalog_matches_unbounded_on_short_spans(spark, sf_dir):
+    """Catalog-level invariant for gap_fill_locf_capped (new r13, the
+    production form of calendar_gap_fill): a customer whose full history
+    fits inside the 90-day cap must get the IDENTICAL gap-stats row from
+    both queries — the cap and the carry-in seed may only change customers
+    whose span the cap actually truncates."""
+    from fund_data_pipeline_spark.queries import QUERIES
+
+    full = {
+        r.custkey: (r.n_days, r.n_gap_days, r.carried_revenue)
+        for r in QUERIES["calendar_gap_fill"].spark(spark, sf_dir).collect()
+    }
+    capped = {
+        r.custkey: (r.n_days, r.n_gap_days, r.carried_revenue)
+        for r in QUERIES["gap_fill_locf_capped"].spark(spark, sf_dir).collect()
+    }
+    assert set(full) == set(capped)
+    short = {k for k, v in full.items() if v[0] <= 90}
+    assert short, "fixture has no customer with a <=90-day span"
+    diverged = {k for k in short if full[k] != capped[k]}
+    assert not diverged, f"cap changed short-span customers: {sorted(diverged)[:5]}"
+    # and the cap is actually exercised by the fixture: some long-span
+    # customer's n_days is clamped to exactly the cap
+    assert any(v[0] == 90 for v in capped.values())
+
+
 def test_scrub_pii_parity_fuzz(spark):
     """Cross-engine redaction parity over 200 seeded pseudo-random texts
     mixing PII-shaped fragments, unicode, and near-miss patterns — the
