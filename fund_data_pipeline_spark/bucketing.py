@@ -90,8 +90,21 @@ def bucketed_merge(
     # overwriting the table the merge plan is reading would either throw
     # mid-write or corrupt, depending on format internals — refuse up
     # front with the actual contract (write to a NEW table, flip readers
-    # via view/manifest) instead (review r12)
-    if out_table.strip().lower() == target_table.strip().lower():
+    # via view/manifest) instead (review r12). Names are database-qualified
+    # before comparing (ADVICE r12): 'default.t' vs 't' under the default
+    # database is the SAME relation, which a raw string compare let through.
+    def _qualified(name: str) -> tuple[str, ...]:
+        parts = [p.strip().lower() for p in name.strip().split(".")]
+        if len(parts) == 1:
+            parts = [spark.catalog.currentDatabase().lower(), *parts]
+        # a 3-part (catalog-qualified) spelling keeps its catalog; a 2-part
+        # one compares on (database, table) — cross-catalog same-named
+        # tables therefore match conservatively, and the guard refuses
+        # (false-refusal is safe; false-pass corrupts the relation being
+        # read)
+        return tuple(parts[-2:])
+
+    if _qualified(out_table) == _qualified(target_table):
         raise ValueError(
             "bucketed_merge writes a NEW table and flips readers to it; "
             f"out_table must differ from target_table ({target_table!r})"

@@ -915,6 +915,16 @@ def apply_changes(
     v2 state (``test_apply_changes_syncs_replica``). Idempotent: re-applying
     the same feed is a no-op (deletes find nothing, upserts hash-match).
 
+    Feed recompute contract (ADVICE r12): the feed is persisted and eagerly
+    materialized before the first target rewrite, but persisted blocks are
+    NOT replicated — an executor lost mid-apply recomputes them from the
+    feed's lineage. A ``table_changes()`` feed recomputes identically (it
+    reads immutable snapshots); a feed hand-built by scanning THIS
+    rename/hive-layout target in place does not (its files are replaced
+    mid-apply) and would produce silently wrong upserts on recompute —
+    such a caller must break the lineage first (``localCheckpoint()`` or a
+    staging write).
+
     One pass each way: the delete is an anti-join rewrite, the upsert one
     keyed merge — at scale, both shuffle on the key once. Feeds spanning
     several versions must be applied in order (or pre-collapsed to
@@ -954,7 +964,16 @@ def apply_changes(
     # must materialize it first (those files are replaced mid-apply).
     changes = changes.persist()
     try:
-        if changes.isEmpty():
+        # Eager materialization (ADVICE r12): populate the whole cache
+        # BEFORE the first target rewrite. Without it, a block evicted (or
+        # an executor lost) after delete_keys has replaced target files
+        # would recompute a hand-built in-place feed from the REWRITTEN
+        # table — silently wrong upserts. The count doubles as the no-op
+        # probe. Executor loss after this point can still force a
+        # recompute (persisted blocks are not replicated), which is why
+        # the docstring contract below additionally requires hand-built
+        # in-place feeds to be checkpointed by the caller.
+        if changes.count() == 0:
             return  # no-op feed: burn no snapshot version, touch nothing
         if detect_layout(target_path) == "manifest":
             layout = "manifest"  # replica is a manifest table: follow its layout

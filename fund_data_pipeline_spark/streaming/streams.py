@@ -102,8 +102,14 @@ def run_to_memory(sdf: DataFrame, mode: str, shuffle_partitions: int | None = 8)
             q.awaitTermination()
         finally:
             if shuffle_partitions is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
-                _CONF_LOCK.release()
+                # the conf restore can itself throw (session stopped
+                # mid-drain) — the lock must release regardless, or every
+                # later caller deadlocks (ADVICE r12; same class as the
+                # entry-path leak fixed r12)
+                try:
+                    spark.conf.set("spark.sql.shuffle.partitions", prev)
+                finally:
+                    _CONF_LOCK.release()
         return spark.table(name).localCheckpoint()
     finally:
         spark.catalog.dropTempView(name)

@@ -11,12 +11,16 @@ SF here has a term that will dominate at 100 TB (per-row Python, driver
 collects, quadratic joins) and is a regression signal even while the
 absolute numbers stay small.
 
-Prints ONE JSON line:
+Prints one JSON line PER COMPLETED (query, SF) point as the sweep runs —
+    {"metric": "scaling_point", "query": name, "sf": sf, "sec": best|null}
+— flushed immediately, so a time-boxed kill keeps every measurement taken
+(the r12 3-hour sf10 chain sweep lost all of its in-memory results to the
+old print-once-at-the-end shape). The final summary line is still last:
     {"metric": "headline_scaling", "sfs": [...],
      "totals": {sf: sec}, "queries": {name: {sf: sec}},
      "exponents": {name: p}}   # t ~ SF^p between smallest and largest SF
 
-Method matches bench.py: per-SF warmup pass, then min-of-n timed runs.
+Method matches bench.py: per-query warmup run, then min-of-n timed runs.
 """
 
 from __future__ import annotations
@@ -181,13 +185,18 @@ def main() -> None:
     failed: dict[float, list[str]] = {}
     for sf in sfs:
         sf_dir = SF_DIRS[sf]
-        for name in names:  # warmup: steady-state, not codegen cost
-            try:
+        total = 0.0
+        # Per-query warmup-then-measure, with one JSON line FLUSHED per
+        # (query, SF) as it completes: the r12 sf10 heavy-chain sweep ran
+        # 3 hours, was time-box killed, and lost EVERY in-memory
+        # measurement because the harness printed one JSON at the end
+        # (r12 verdict item 5). A killed sweep now keeps every completed
+        # point in its log.
+        for name in names:
+            try:  # warmup: steady-state, not codegen cost
                 plan(name, sf_dir).collect()
             except Exception as e:
                 print(f"scaling: warmup {name}@{sf} failed: {e}", file=sys.stderr)
-        total = 0.0
-        for name in names:
             runs = []
             for _ in range(n_runs):
                 t0 = time.perf_counter()
@@ -202,9 +211,19 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             if not runs:
                 failed.setdefault(sf, []).append(name)
+                print(
+                    json.dumps({"metric": "scaling_point", "query": name, "sf": sf, "sec": None}),
+                    flush=True,
+                )
                 continue
             best = min(runs)
             per_query[name][sf] = round(best, 3)
+            print(
+                json.dumps(
+                    {"metric": "scaling_point", "query": name, "sf": sf, "sec": round(best, 3)}
+                ),
+                flush=True,
+            )
             if name in headline:
                 total += best
         # a total missing a headline query would fabricate sub-linear

@@ -160,11 +160,12 @@ def main() -> None:
         shutil.rmtree(staging)
     staging.mkdir(parents=True)
     con = duckdb.connect()
+    orig_factor = gen_sf1.FACTOR  # restore the SAVED value, not a literal
     gen_sf1.FACTOR = FACTOR  # key-remap machinery is copy-count-safe
     try:
         gen_sf1.gen_relational(con, staging)
     finally:
-        gen_sf1.FACTOR = 10
+        gen_sf1.FACTOR = orig_factor
     gen_documents(con, staging)
     gen_embeddings(con, staging)
     for table in ("region", "nation"):

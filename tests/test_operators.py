@@ -763,6 +763,18 @@ def test_bucketed_merge_refuses_in_place_overwrite(spark):
         bucketing.bucketed_merge(
             spark, "some_t", "SOME_T", spark.range(1), ["id"]
         )
+    # qualified vs unqualified spellings of the same relation bypassed the
+    # raw string compare (ADVICE r12) — both are database-qualified through
+    # the catalog before comparing now
+    cur = spark.catalog.currentDatabase()
+    with pytest.raises(ValueError, match="out_table must differ"):
+        bucketing.bucketed_merge(
+            spark, f"{cur}.some_t", "some_t", spark.range(1), ["id"]
+        )
+    with pytest.raises(ValueError, match="out_table must differ"):
+        bucketing.bucketed_merge(
+            spark, "some_t", f"{cur.upper()}.Some_T", spark.range(1), ["id"]
+        )
 
 
 def test_semantic_dedup_drop_rule_and_trained_codebook(spark, sf_dir):
