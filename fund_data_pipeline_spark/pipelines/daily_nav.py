@@ -56,7 +56,14 @@ def clean(df: DataFrame, dedupe_order: Sequence[str] = ("scrape_date", "origin_f
         F.col("nav_price").try_cast("decimal(18,4)").alias("nav_price"),
         F.coalesce(conform.null_sentinels_to_null("currency"), F.lit("USD")).alias("currency"),
         F.col("as_of_date").try_cast("date").alias("as_of_date"),
-        *[F.col(c) for c in extras],
+        # scrape_date is a keep-last TIEBREAK column: it must order as a
+        # DATE, not as its raw string — lexicographic '2024-9-5' sorts
+        # after '2024-10-01' and picks the older scrape as the survivor
+        # (review r13; conform coerced it only AFTER the dedup)
+        *[
+            (F.col(c).try_cast("date").alias(c) if c == "scrape_date" else F.col(c))
+            for c in extras
+        ],
     )
     df = validate.drop_null_keys(df, ["ticker", "as_of_date"])
     df = dedup.dedup_keyed(df, DAILY_NAV_KEY, keep_order, keep="last")

@@ -35,6 +35,15 @@ def clean(df: DataFrame) -> DataFrame:
         df = df.withColumn("source", F.lit("stock_analysis"))
     if "volume" in df.columns:
         df = df.withColumn("volume", parse.parse_thousands("volume"))  # X5
+    # X10 coerce BEFORE the keep-last dedup (review r13): the dedup key must
+    # be the COERCED date — two raw spellings of the same day ('2024-01-05'
+    # vs '2024-01-05T00:00:00') otherwise survive dedup as distinct keys,
+    # and when conform's cast later collapses them, 'latest origin_file
+    # wins' silently becomes merge-default-order-wins for that key
+    if "date" in df.columns:
+        df = df.withColumn(
+            "date", parse.parse_date_coerce(conform.null_sentinels_to_null("date"))
+        )
     # deterministic keep-last before the conform drops provenance (D2 analog)
     if "origin_file" in df.columns:
         df = dedup.dedup_keyed(df, PRICE_HISTORY_KEY, ["origin_file"], keep="last")

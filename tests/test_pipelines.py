@@ -179,6 +179,41 @@ def test_price_history_from_landing_files(spark, tmp_path):
     assert (s2.inserted, s2.updated, s2.unchanged) == (0, 0, 2)
 
 
+def test_price_history_dedup_key_uses_coerced_date(spark):
+    """Review r13: the keep-last dedup ran on the RAW date string while
+    conform coerced it only afterwards — '2024-02-28' and
+    '2024-02-28T00:00:00' survived as distinct keys, and whichever the
+    merge's default order later kept won instead of the latest origin_file.
+    The date is coerced BEFORE the dedup now, so the later file's close
+    must survive regardless of spelling."""
+    rows = [
+        ("SPY", "ETF", "2024-02-28", 100.5, "a_older.csv"),
+        ("SPY", "ETF", "2024-02-28T00:00:00", 777.0, "b_newer.csv"),
+    ]
+    raw = spark.createDataFrame(rows, ["ticker", "asset_type", "Date", "Close", "origin_file"])
+    out = price_history.clean(raw).collect()
+    assert len(out) == 1
+    assert out[0].date == D(2024, 2, 28)
+    assert float(out[0].close) == 777.0  # keep-last by origin_file
+
+
+def test_daily_nav_scrape_date_tiebreak_orders_as_date(spark):
+    """Review r13: scrape_date passed through the clean projection as its
+    raw STRING and the keep-last dedup ordered on it lexicographically —
+    '2024-9-5' > '2024-10-01', so the OLDER September scrape beat the
+    October one. It is coerced to DATE before the dedup now."""
+    raw = _nav_raw(
+        spark,
+        [
+            ("VTSAX", "FUND", "yf", "11.11", "USD", "2024-10-05", "2024-9-5"),
+            ("VTSAX", "FUND", "yf", "22.22", "USD", "2024-10-05", "2024-10-01"),
+        ],
+    )
+    rows = daily_nav.clean(raw).collect()
+    assert len(rows) == 1
+    assert float(rows[0].nav_price) == 22.22  # the genuinely-later scrape wins
+
+
 # ---------------------------------------------------------------- dividends
 
 def test_dividends_clean_and_merge(spark, tmp_path):
