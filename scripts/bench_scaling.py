@@ -74,35 +74,14 @@ EXTRA_QUERIES = [
     # vocabulary-sized, so its exponent should sit near bpe_train's
     # plus a small linear scoring term
     "bigram_lm_quality_gate",
+    # r13: the capped gap fill became a registered catalog query
+    # (gap_fill_locf_capped); it replaces the ad-hoc EXTRA_FNS twin
+    # measured through r12 under the name gap_fill_locf_capped_90d —
+    # same kernel, plus the n_gap_days agg column. Its exponent should
+    # stay near the r12 measurement (p=0.76, scan-linear with the
+    # 90-day bound keeping the spine proportional to keys, not history)
+    "gap_fill_locf_capped",
 ]
-
-
-def _gap_fill_locf_capped(spark, sf_dir):
-    """calendar_gap_fill's production form: the same densify+LOCF over the
-    same daily input, span capped at the trailing 90 days with carry-in
-    (operators.timeseries.gap_fill_locf(last_n_days=90)). Timed here so the
-    claim 'the capped form is constant in history length' has measured
-    exponents next to the unbounded query's near-linear ones."""
-    from pyspark.sql import functions as F
-
-    from fund_data_pipeline_spark.operators.timeseries import gap_fill_locf
-    from fund_data_pipeline_spark.queries.registry import table
-
-    daily = (
-        table(spark, sf_dir, "orders")
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_orderdate").cast("date").alias("dt"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-        )
-        .groupBy("custkey", "dt")
-        .agg(F.sum("price").alias("day_revenue"))
-    )
-    filled = gap_fill_locf(daily, ["custkey"], "dt", "day_revenue", last_n_days=90)
-    return filled.groupBy("custkey").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("carried").cast("double").alias("carried_revenue"),
-    )
 
 
 def _counted(name):
@@ -123,7 +102,7 @@ def _counted(name):
 
 
 #: non-catalog extras timed alongside EXTRA_QUERIES: name -> (spark, sf_dir)
-EXTRA_FNS = {"gap_fill_locf_capped_90d": _gap_fill_locf_capped}
+EXTRA_FNS: dict = {}  # r13: the capped gap fill graduated to the catalog (EXTRA_QUERIES)
 
 #: opt-in heavies, NOT part of the default grid (they would triple its
 #: wall-clock): the three heavy dedup chains, count-shaped (see _counted).

@@ -508,6 +508,31 @@ def test_rotation_evidence_cutoff_replays_r12():
     )
 
 
+def test_out_of_window_family_reps_are_in_window():
+    """Every 'family in-window via X' representative named by an
+    _OUT_OF_WINDOW_WHY entry must actually sit in the CURRENT driver
+    window — a rotation that swaps the window but leaves an entry pointing
+    at a rotated-out representative breaks the kernel-coverage argument
+    the entry exists to make (the judge audits these by hand; r13 made it
+    mechanical after rewriting all 86 entries)."""
+    import re
+
+    from fund_data_pipeline_spark import queries as q
+
+    window = set(q._CHECKED_FIRST)
+    registered = set(q.QUERIES)
+    bad = []
+    for name, why in q._OUT_OF_WINDOW_WHY.items():
+        refs = {m.group(1) for m in re.finditer(r"via ([a-z0-9_]+)", why)}
+        refs |= {m.group(1) for m in re.finditer(r"\+ ([a-z0-9_]+)", why)}
+        for ref in refs:
+            # only names that are registered queries count as reps (the
+            # prose also mentions scripts/tests, which this skips)
+            if ref in registered and ref not in window:
+                bad.append((name, ref))
+    assert not bad, f"why-entries citing rotated-out representatives: {bad}"
+
+
 def test_window_rotation_staleness_policy():
     """Codified rotation rule 5 (r10 VERDICT item 3): as of ROTATION_ROUND,
     no out-of-window query's latest green driver evidence may be
