@@ -98,6 +98,21 @@ def upsert_sql(
     """
     cols = list(columns)
     keys = list(keys)
+    if not keys:
+        # an empty conflict target renders as "ON CONFLICT ()" — a SQL
+        # syntax error surfaced per-partition at executemany time, and in
+        # write_upsert a keyless repartition() TypeError before that;
+        # fail at statement-build time with the actual cause (review r13)
+        raise ValueError("keys must name at least one conflict column")
+    if hash_col is not None and hash_col in set(skip_update) and hash_col not in keys:
+        # the guard compares target.<hash> to excluded.<hash>, but the
+        # UPDATE would never refresh the stored hash — every rerun fires
+        # the update again, silently defeating the idempotence the guard
+        # exists for (review r13)
+        raise ValueError(
+            f"hash_col {hash_col!r} is in skip_update: the stored hash would "
+            "never refresh, so the hash guard cannot make reruns no-ops"
+        )
     _check_identifiers(
         table,
         cols + keys + ([hash_col] if hash_col else []) + ([constraint] if constraint else []),

@@ -30,8 +30,16 @@ from pyspark.sql import functions as F
 from ..parse import asset_type_from_path, filename_stem_ticker, path_date
 
 
-#: default sentinel-name tokens skipped by the landing scans
-DEFAULT_EXCLUDE_NAME_PARTS = ("error", "log")
+#: default sentinel-name tokens skipped by the landing scans. Matching is
+#: whole-token (see :func:`name_excluded_col`), so the plural forms must be
+#: listed explicitly: the r11 contract ("an errors.jsonl dropped next to the
+#: data files must be skipped") was not actually met by ("error", "log") —
+#: the token of ``errors.jsonl`` is ``errors``, which token-exact matching
+#: does not equate with ``error`` (review r13). Token-exact stays the rule
+#: (substring matching silently dropped real tickers GLOG/LOGI, review r9);
+#: the cost is that a hypothetical ticker literally named ERRORS/LOGS would
+#: need an ``exclude_name_parts`` override.
+DEFAULT_EXCLUDE_NAME_PARTS = ("error", "errors", "log", "logs")
 
 
 def name_excluded_col(file_col, parts: Sequence[str] = DEFAULT_EXCLUDE_NAME_PARTS):

@@ -366,6 +366,31 @@ def test_jsonl_landing_scan(spark, tmp_path):
     assert all("a.jsonl" in r.origin_file for r in rows)
 
 
+def test_landing_scan_skips_plural_sentinels(spark, tmp_path):
+    """The r11 contract ('an errors.jsonl dropped next to the data files must
+    be skipped') was not met by token-exact matching against ('error',
+    'log'): the token of errors.jsonl is 'errors'. The plural forms are now
+    in the default part list; real tickers (GLOG) still survive (review
+    r13)."""
+    from fund_data_pipeline_spark.sources.csv_landing import (
+        read_landing_csvs,
+        read_landing_jsonl,
+    )
+
+    d = tmp_path / "land"
+    d.mkdir()
+    (d / "GLOG_history.csv").write_text("ticker,nav\nGLOG,1.5\n")
+    (d / "errors.csv").write_text("ticker,nav\nBAD,9.9\n")
+    (d / "logs.csv").write_text("ticker,nav\nBAD,9.9\n")
+    rows = read_landing_csvs(spark, [str(d)]).collect()
+    assert {r.ticker for r in rows} == {"GLOG"}
+
+    (d / "a.jsonl").write_text('{"ticker": "AAA"}\n')
+    (d / "errors.jsonl").write_text('{"ticker": "BAD"}\n')
+    jrows = read_landing_jsonl(spark, [str(d)]).collect()
+    assert {r.ticker for r in jrows} == {"AAA"}
+
+
 def test_compact_partition(spark, tmp_path):
     from fund_data_pipeline_spark import maintenance
 

@@ -45,6 +45,19 @@ def test_upsert_sql_rejects_bad_specs():
         upsert_sql("t", ["k", "updated_at"], keys=["k"])  # nothing updatable
     with pytest.raises(ValueError):
         upsert_sql("t", ["k", "v"], keys=["k"], dialect="oracle")
+    # empty keys would render "ON CONFLICT ()" — a syntax error deferred to
+    # every partition's executemany; fail at build time instead (review r13)
+    with pytest.raises(ValueError, match="at least one conflict column"):
+        upsert_sql("t", ["k", "v"], keys=[])
+    # a skipped hash column never refreshes server-side, so the guard fires
+    # the UPDATE on every rerun — the opposite of its purpose (review r13)
+    with pytest.raises(ValueError, match="hash guard"):
+        upsert_sql(
+            "t",
+            ["k", "v", "row_hash"],
+            keys=["k"],
+            skip_update=("id", "updated_at", "row_hash"),
+        )
 
 
 def test_write_upsert_executor_path_sqlite(spark, tmp_path):
