@@ -150,9 +150,19 @@ def main() -> None:
     # an sf enters only with the COMPLETE table set: a dir left behind by
     # an interrupted gen_sf1 run must not contribute skewed partial totals
     from fund_data_pipeline_spark.oracle import TABLES as expected  # one list, three consumers (review r10)
+    # SPARK_GRAFT_SCALING_DIRS="sf=dir[,sf=dir...]" replaces the default SF
+    # grid — used to sweep ALTERNATIVE fixtures at a known SF (r13: the
+    # wide-regime sf10 chain fixture, scripts/gen_sf10_wide.py)
+    sf_dirs = dict(SF_DIRS)
+    dirs_override = os.environ.get("SPARK_GRAFT_SCALING_DIRS")
+    if dirs_override:
+        sf_dirs = {
+            float(sf): d
+            for sf, _, d in (e.partition("=") for e in dirs_override.split(",") if e.strip())
+        }
     sfs = [
         sf
-        for sf, d in sorted(SF_DIRS.items())
+        for sf, d in sorted(sf_dirs.items())
         if all((Path(d) / f"{t}.parquet").exists() for t in expected)
     ]
     sf_filter = os.environ.get("SPARK_GRAFT_SCALING_SFS")
@@ -163,7 +173,7 @@ def main() -> None:
     totals: dict[float, float | None] = {}
     failed: dict[float, list[str]] = {}
     for sf in sfs:
-        sf_dir = SF_DIRS[sf]
+        sf_dir = sf_dirs[sf]
         total = 0.0
         # Per-query warmup-then-measure, with one JSON line FLUSHED per
         # (query, SF) as it completes: the r12 sf10 heavy-chain sweep ran
