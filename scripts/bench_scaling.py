@@ -108,10 +108,46 @@ EXTRA_FNS: dict = {}  # r13: the capped gap fill graduated to the catalog (EXTRA
 #: wall-clock): the three heavy dedup chains, count-shaped (see _counted).
 #: Run via SPARK_GRAFT_SCALING_ONLY=...,SPARK_GRAFT_SCALING_SFS=... in a
 #: dedicated invocation.
+def _semantic_scaled(spark, sf_dir):
+    """semantic_dedup with cells_for_corpus sizing — the production form.
+
+    The catalog query pins n_cells at the oracle's fixed literal
+    (N_IVF_CELLS=16, the SQL-expressible correctness form), which makes its
+    within-cell pair mass n^2/(2*16): quadratic in corpus size REGARDLESS
+    of cluster structure — measured p=1.44 on the wide fixture at r13. The
+    documented scale path (cells ~ n/1024, constant expected population)
+    keeps the pair mass linear; this timer is that claim's measurement."""
+    from pyspark.sql import functions as F
+
+    from fund_data_pipeline_spark.queries.vectors import cells_for_corpus, semantic_dedup
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    return semantic_dedup(spark, sf_dir, n_cells=cells_for_corpus(n)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _simhash_scaled(spark, sf_dir):
+    """operators.similarity.simhash_pairs at its 120-bit default — the
+    production form. The catalog query's 60-bit signature (the widest one
+    signed-64 column both engines share — its correctness pin) has 15-bit
+    bands whose RANDOM collisions grow n^2/2^15: measured p=1.74 in the
+    wide fixture's top decade. 30-bit bands push that term out to ~10^8
+    docs; this timer is that claim's measurement."""
+    from pyspark.sql import functions as F
+
+    from fund_data_pipeline_spark.operators.similarity import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, n_words=2).agg(F.count(F.lit(1)).alias("n"))
+
+
 HEAVY_FNS = {
     "corpus_dedup_pipeline_n": _counted("corpus_dedup_pipeline"),
     "simhash_near_dup_n": _counted("simhash_near_dup"),
     "semantic_dedup_cells_n": _counted("semantic_dedup_cells"),
+    "semantic_dedup_scaled_n": _semantic_scaled,
+    "simhash_scaled_n": _simhash_scaled,
 }
 
 

@@ -1879,3 +1879,89 @@ def test_asof_headline_query_null_user_carries_nothing(spark, tmp_path):
     assert got == want
     assert got[2] == (None, None)
     assert got[4] == (datetime(2024, 1, 1, 9), 2.0)
+
+
+def test_simhash_pairs_word0_matches_catalog_query(spark, sf_dir):
+    """simhash_pairs(n_words=1) is the catalog query's exact pair set: word
+    0 is bit-identical to simhash_near_dup's 60-bit signature and the
+    15-bit banding is the same pigeonhole structure."""
+    from fund_data_pipeline_spark.operators.similarity import simhash_pairs
+    from fund_data_pipeline_spark.queries.text import simhash_near_dup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ours = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_pairs(docs, n_words=1).collect()
+    }
+    catalog = {
+        (r.doc_a, r.doc_b, r.hamming) for r in simhash_near_dup(spark, sf_dir).collect()
+    }
+    assert ours == catalog
+
+
+def test_simhash_pairs_wide_exact_python_replay(spark, sf_dir):
+    """The 120-bit production form against an independent hashlib/python
+    replay: signatures, band collisions, and the hamming filter all exact.
+    Also pins the subset contract: the 120-bit pair set is contained in the
+    catalog query's 60-bit pair set (stricter distance + pigeonhole)."""
+    import hashlib
+
+    from fund_data_pipeline_spark.operators.similarity import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_pairs(docs, n_words=2).collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+    sigs = {}
+    for r in rows:
+        votes = [0] * 120
+        for tok in set(r.text.split(" ")):
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            for w, word_hex in enumerate((hx[0:15], hx[16:31])):
+                hv = int(word_hex, 16)
+                for i in range(60):
+                    votes[60 * w + i] += 1 if (hv >> i) & 1 else -1
+        sig = [0, 0]
+        for w in range(2):
+            for i in range(60):
+                if votes[60 * w + i] > 0:
+                    sig[w] |= 1 << i
+        sigs[r.doc_id] = sig
+
+    def bands(sig):
+        # 4 bands of 30 bits: band b = word b//2, offset (b%2)*30
+        return [(b, (sig[b // 2] >> (30 * (b % 2))) & ((1 << 30) - 1)) for b in range(4)]
+
+    expected = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b_id in ids[i + 1 :]:
+            if set(bands(sigs[a])) & set(bands(sigs[b_id])):
+                h = bin(sigs[a][0] ^ sigs[b_id][0]).count("1") + bin(
+                    sigs[a][1] ^ sigs[b_id][1]
+                ).count("1")
+                if h <= 3:
+                    expected.add((a, b_id, h))
+    assert got == expected
+
+    from fund_data_pipeline_spark.queries.text import simhash_near_dup
+
+    catalog_pairs = {(r.doc_a, r.doc_b) for r in simhash_near_dup(spark, sf_dir).collect()}
+    assert {(a, b) for a, b, _ in got} <= catalog_pairs
+
+
+def test_simhash_pairs_rejects_bad_specs(spark):
+    from fund_data_pipeline_spark.operators.similarity import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_words"):
+        simhash_pairs(df, n_words=3)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, n_bands=3, hamming_max=3)
+    with _pytest.raises(ValueError, match="straddling"):
+        simhash_pairs(df, n_words=1, n_bands=8)
