@@ -779,7 +779,15 @@ def semantic_dedup(
         )
     if restrict_ids is not None:
         emb = emb.join(restrict_ids.select("vec_id"), "vec_id", "semi")
-    cells = emb.withColumn("cell", F.array_min(_cell_dist_arr(cents))["cid"])
+    # self-dot once per ROW, carried as pair payload: the pair expression
+    # previously recomputed both sides' 64-term self-dots for EVERY pair —
+    # at ~1024-row cells the pair relation is ~512x the row relation, so
+    # two of the three per-pair dot products were redundant work (review
+    # r13, measured ~2.4x on the wide-fixture scaled sweep). Same integer
+    # values, so cosine doubles — and the oracle hash — are unchanged.
+    cells = emb.withColumn("cell", F.array_min(_cell_dist_arr(cents))["cid"]).withColumn(
+        "norm2", _dot(F.col("qe"), F.col("qe"))
+    )
     # zero-norm guard (review r11): ANSI double 0/0 aborts; NULL fails the
     # threshold on both engines, so zero vectors drop out of the dedup
     cosine = F.when(
@@ -789,14 +797,14 @@ def semantic_dedup(
     )
     # a (lower id) is the witness side, b the candidate-duplicate side
     pairs = (
-        blocked_self_join(cells, ["cell"], "vec_id", block_size, payload_cols=["qe"])
+        blocked_self_join(cells, ["cell"], "vec_id", block_size, payload_cols=["qe", "norm2"])
         .select(
             F.col("b.vec_id").alias("vec_id"),
             F.col("b.cell").alias("cell"),
             F.col("a.vec_id").alias("lo_id"),
             _dot(F.col("b.qe"), F.col("a.qe")).alias("dot"),
-            _dot(F.col("b.qe"), F.col("b.qe")).alias("hnorm"),
-            _dot(F.col("a.qe"), F.col("a.qe")).alias("lnorm"),
+            F.col("b.norm2").alias("hnorm"),
+            F.col("a.norm2").alias("lnorm"),
         )
         .select("vec_id", "cell", "lo_id", cosine.alias("cosine"))
     )
