@@ -56,7 +56,19 @@ SRC = gen_sf1.SRC
 FACTOR = 100  # default; override with argv[3] (e.g. 10 for an sf1-wide middle point)
 
 
-def gen_documents_wide(con: duckdb.DuckDBPyConnection, dst: Path, factor: int = FACTOR) -> None:
+def gen_documents_wide(
+    con: duckdb.DuckDBPyConnection, dst: Path, factor: int = FACTOR, disjoint: bool = False
+) -> None:
+    """``disjoint=True`` suffixes every copy-c token with ``~c`` instead of
+    permuting the shared vocabulary. The permuted form keeps the GLOBAL
+    vocabulary fixed (realistic for vocabulary-sized operators), but a
+    shared vocabulary lets low-diversity documents from different copies
+    coincide on their token SETS by pigeonhole — measured r13: cross-copy
+    simhash pairs grow quadratically in copy count (645 M candidate pairs
+    at factor=100 vs ~10 M from within-copy structure alone). The disjoint
+    form makes cross-copy token sets provably non-overlapping, isolating
+    the pure cluster-count-x-factor regime for token-SET-based chains;
+    within-copy structure is preserved exactly either way."""
     rows = con.sql(
         f"SELECT doc_id, text, lang, source FROM read_parquet('{SRC}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
@@ -80,6 +92,10 @@ def gen_documents_wide(con: duckdb.DuckDBPyConnection, dst: Path, factor: int = 
         for c in range(factor):
             if c == 0:
                 mapped = vocab_arr
+            elif disjoint:
+                # per-copy token namespace: cross-copy token sets disjoint
+                # by construction (see docstring)
+                mapped = np.asarray([f"{t}~{c}" for t in vocab], dtype=object)
             else:
                 # bijective: a permutation of the vocabulary itself, so the
                 # global token set (and thus vocabulary-sized operators
@@ -155,6 +171,7 @@ def main() -> None:
         else Path(__file__).resolve().parents[1] / ".localdata" / "sf10"
     )
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else FACTOR
+    disjoint = len(sys.argv) > 4 and sys.argv[4] == "disjoint"
     if not sf10.exists():
         print(f"hot sf10 fixture missing at {sf10}; run scripts/gen_sf10.py first", file=sys.stderr)
         sys.exit(2)
@@ -163,7 +180,7 @@ def main() -> None:
         shutil.rmtree(staging)
     staging.mkdir(parents=True)
     con = duckdb.connect()
-    gen_documents_wide(con, staging, factor)
+    gen_documents_wide(con, staging, factor, disjoint)
     gen_embeddings_wide(con, staging, factor)
     for f in sorted(sf10.glob("*.parquet")):
         if f.name in ("documents.parquet", "embeddings.parquet"):

@@ -83,3 +83,28 @@ def test_wide_embeddings_rotation_preserves_within_copy_cosines(tmp_path):
     # cross-copy cosines are background noise, nowhere near the hot
     # fixture's ~0.99 near-dup regime
     assert np.abs(an @ bn.T).max() < 0.8
+
+
+def test_wide_documents_disjoint_mode_separates_token_namespaces(tmp_path):
+    """disjoint=True must make cross-copy token sets provably disjoint (the
+    isolation mode for token-SET-based chains) while preserving within-copy
+    duplicate structure exactly, like the permuted default."""
+    import gen_sf10_wide as W
+
+    con = duckdb.connect()
+    W.gen_documents_wide(con, tmp_path, factor=2, disjoint=True)
+    path = tmp_path / "documents.parquet"
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{path}') ORDER BY doc_id"
+    ).fetchall()
+    n_base = len(rows) // 2
+    toks0 = {t for _, txt in rows[:n_base] for t in txt.split(" ")}
+    toks1 = {t for _, txt in rows[n_base:] for t in txt.split(" ")}
+    assert not (toks0 & toks1)
+    n, excess = duckdb.sql(
+        f"SELECT count(*), count(*) - count(DISTINCT text) FROM read_parquet('{path}')"
+    ).fetchone()
+    (excess_base,) = duckdb.sql(
+        f"SELECT count(*) - count(DISTINCT text) FROM read_parquet('{W.SRC}/documents.parquet')"
+    ).fetchone()
+    assert n == 2 * n_base and excess == 2 * excess_base
