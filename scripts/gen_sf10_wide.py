@@ -32,9 +32,11 @@ instead of argued:
 
 IDs are offset per copy exactly like gen_sf10 (pure integer multiples).
 Size: ~1.8 GB under ``.localdata/sf10wide`` (gitignored, regenerable).
-Run: ``python scripts/gen_sf10_wide.py [dst] [sf10_dir] [factor]`` (defaults
-``.localdata/sf10wide``, ``.localdata/sf10``, 100; generate sf10 first —
-factor 10 with an sf1 link-source builds the sf1-wide middle point).
+Run: ``python scripts/gen_sf10_wide.py [dst] [link_src] [factor] [disjoint]``
+(defaults ``.localdata/sf10wide``, ``.localdata/sf10``, 100; generate sf10
+first — factor 10 with an sf1 link-source builds the sf1-wide middle point;
+the literal ``disjoint`` as the 4th arg namespaces per-copy tokens, see
+``gen_documents_wide``).
 """
 
 from __future__ import annotations
