@@ -145,6 +145,7 @@ _OUT_OF_WINDOW_WHY = {
     # tests/test_catalog_oracle.py; first window slot next rotation
     # (rule 2) ----
     "gap_fill_locf_capped": "new r13, local-oracle verified; the scale-capped PRODUCTION form of calendar_gap_fill (r12 verdict item 3): per-key spine bounded at the trailing 90 days with the LOCF carry seeded across the cap from observation rows — the form users actually run at 100 TB (the unbounded spine is a measured disk-spill failure at sf10)",
+    "simhash_wide_pairs": "new r13, local-oracle verified; the corpus-sized PRODUCTION width of simhash_near_dup: 120-bit signature / 30-bit bands (operators/similarity.py::simhash_pairs), dropping random band collisions from n^2/2^15 to n^2/2^30 — the 60-bit form's collision term measured superlinear (p=1.74) at 500k docs (SCALING.md r13); also pinned by an exact hashlib replay + the subset contract vs the 60-bit catalog form",
     # ---- latest green r10, left out by the rule-3 alphabetical tie-break
     # (due at r14) ----
     "unigram_likelihood_quality": "driver-green r10; text-quality family in-window via bm25_doc_search (same rational likelihood scoring form) + model_quality_filter (quality gate)",
