@@ -238,12 +238,19 @@ def flatten_hierarchy(
                 f"rows — a parent-pointer forest allows one; dedupe the edges"
             )
     all_nodes = (
-        nodes.select(F.col(node_col).alias("node"))
-        if nodes is not None
-        else e.select("node").union(
-            e.select(F.col("anc").alias("node")).filter(F.col("anc").isNotNull())
+        (
+            nodes.select(F.col(node_col).alias("node"))
+            if nodes is not None
+            else e.select("node").union(
+                e.select(F.col("anc").alias("node")).filter(F.col("anc").isNotNull())
+            )
         )
-    ).distinct()
+        .distinct()
+        # a NULL child (malformed edge row) is not a node: without this it
+        # rode through the root-seeding left join as a spurious
+        # (null, null, 0) result row (review r13)
+        .filter(F.col("node").isNotNull())
+    )
 
     # pointer relation: (node, anc, depth, done). Roots point at themselves
     # with depth 0 so composition needs no outer-join special case.

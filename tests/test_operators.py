@@ -966,6 +966,12 @@ def test_flatten_hierarchy_edge_table_doubling_and_guards(spark):
     out = {r.node: (r.root, r.depth) for r in flatten_hierarchy(dang, nodes=only1).collect()}
     assert out == {1: (77, 1)}
 
+    # a NULL child row (malformed edge) must not emit a (null, null, 0)
+    # result row (review r13)
+    withnull = spark.createDataFrame([(1, 2), (None, 3)], "child long, parent long")
+    out = {r.node: (r.root, r.depth) for r in flatten_hierarchy(withnull).collect()}
+    assert out == {1: (2, 1), 2: (2, 0), 3: (3, 0)}
+
 
 # ---------------------------------------------------------------------------
 # redaction
