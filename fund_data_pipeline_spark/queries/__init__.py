@@ -56,19 +56,19 @@ from . import mlops  # noqa: E402,F401
 #:      verifies the deferral count equals exactly the oversubscription
 #:      excess — rule 6 can never park a query that would have fit.
 #:
-#: Round-13 rotation: IN — ``model_quality_filter`` (the r12 late addition,
-#: zero driver evidence, first non-headline slot per rule 2),
-#: ``streaming_tumbling_counts`` (the r12 rule-6 deferral, taking its
-#: promised first non-headline slot), and 40 of the 42 r10-latest queries
-#: (rule 3 oldest-evidence refill, ties alphabetical — the window is NOT
-#: oversubscribed this round: rules 1+2+5 claim only 10 slots, so no rule-6
-#: deferral). OUT — the 42 non-headline members of the r12 window (all
-#: green r12, age 1), the r11 cohort (age 2), and the 2 alphabetically-last
-#: r10-latest queries (age 3; due at r14 alongside the r11 cohort's refill).
+#: Round-14 rotation: IN — ``gap_fill_locf_capped`` and ``simhash_wide_pairs``
+#: (the r13 late additions, zero driver evidence, first non-headline slots
+#: per rule 2), ``unigram_likelihood_quality`` and ``union_mixed_schemas``
+#: (latest green r10 = age 4 at r14, due per rule 5), and 38 of the 42
+#: r11-latest queries (rule 3 oldest-evidence refill, ties alphabetical —
+#: the window is NOT oversubscribed: rules 1+2+5 claim only 12 slots, so no
+#: rule-6 deferral). OUT — the 42 non-headline members of the r13 window
+#: (all green r13, age 1), the r12-latest cohort (age 2), and the 4
+#: alphabetically-last r11-latest queries (age 3; due at r15 under rule 5).
 #: Every excluded query is listed in _OUT_OF_WINDOW_WHY below with the
 #: CORRECTNESS round(s) that checked it green, still registered, and still
 #: gated by scripts/verify_local.py + tests/test_catalog_oracle.py.
-ROTATION_ROUND = 13
+ROTATION_ROUND = 14
 MAX_EVIDENCE_AGE = 4
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
@@ -81,53 +81,53 @@ _CHECKED_FIRST = [
     "tumbling_window_stats",
     "text_statistics",
     "exact_dedup",
-    # ---- rule 2: r12 late addition, zero driver evidence ----
-    "model_quality_filter",
-    # ---- rule-6 deferral from r12, taking its promised slot ----
-    "streaming_tumbling_counts",
-    # ---- rule 3: the r10-latest cohort, oldest-evidence refill (first 40
-    # of 42 alphabetically; unigram_likelihood_quality and
-    # union_mixed_schemas stay out, due r14) ----
-    "active_customers_semi",
-    "bm25_doc_search",
-    "bpe_pair_stats",
-    "conform_master_list",
-    "content_defined_chunking",
-    "corpus_mix_drift",
-    "customers_without_orders",
-    "date_parsing_and_arithmetic",
-    "dedup_keep_last",
-    "doc_fingerprint",
-    "duplicated_span_dedup",
-    "embedding_int8_quantization",
-    "embedding_ivf_topk",
-    "embedding_lsh_buckets",
-    "embedding_topk_pandas",
-    "fee_rescale_and_repair",
-    "group_count_breakdown",
-    "hash_guarded_merge",
-    "hybrid_bm25_cosine_rerank",
-    "incremental_rollup_revenue",
-    "latest_order_per_customer",
-    "lifecycle_status_transitions",
-    "locf_last_valid_value",
-    "master_validation_issues",
-    "nav_validation_errors",
-    "ngram_novelty",
-    "ntile_quartiles",
-    "numeric_string_parsing",
-    "price_quantity_stats",
-    "retention_cutoff_prune",
-    "row_hash_change_detection",
-    "row_hash_surfaces",
-    "running_revenue_by_supplier",
-    "source_frequency_cap",
-    "stratified_hash_sample",
-    "streaming_dedup_users",
-    "streaming_session_counts",
-    "string_compose_format",
-    "temperature_rebalance_mixture",
-    "top_orders_per_customer",
+    # ---- rule 2: r13 late additions, zero driver evidence ----
+    "gap_fill_locf_capped",
+    "simhash_wide_pairs",
+    # ---- rule 5: latest green r10, age 4 at r14 — due ----
+    "unigram_likelihood_quality",
+    "union_mixed_schemas",
+    # ---- rule 3: the r11-latest cohort, oldest-evidence refill (first 38
+    # of 42 alphabetically; streaming_enriched_purchases, token_vocabulary,
+    # top_supplier_revenue and video_frame_sample_stats stay out, due r15) ----
+    "audio_quality_gate",
+    "boilerplate_scrub",
+    "bpe_encode_token_stats",
+    "bpe_train_merges",
+    "characteristic_terms",
+    "churned_buyers_except",
+    "cohort_retention",
+    "daily_order_anomaly",
+    "deterministic_shuffle_order",
+    "distinct_counts",
+    "duplicate_key_stats",
+    "embedding_centroid_stats",
+    "grouping_sets_revenue",
+    "hierarchy_flatten",
+    "incremental_near_dup",
+    "key_skew_profile",
+    "nation_pair_revenue",
+    "ngram_jaccard_pairs",
+    "null_sentinel_cleanup",
+    "order_fulfillment_outer",
+    "order_price_lead_lag",
+    "price_histogram",
+    "price_quartiles_by_segment",
+    "priority_orders_exists",
+    "promo_revenue_share",
+    "record_linkage_fuzzy",
+    "repeat_buyers_intersect",
+    "rolling_30d_revenue",
+    "rollup_revenue",
+    "running_distinct_users",
+    "salted_join_revenue",
+    "scd2_priority_history",
+    "semantic_dedup_cells",
+    "sessionization",
+    "sliding_window_stats",
+    "small_quantity_revenue",
+    "snapshot_diff",
+    "streaming_click_purchase_join",
 ]
 
 
@@ -138,106 +138,104 @@ _CHECKED_FIRST = [
 #: round(s) that checked the query itself green (mechanically audited by
 #: tests/test_core.py::test_out_of_window_citations_match_correctness_records);
 #: "family in-window via X" names its kernel representative in the CURRENT
-#: (r13) window.
+#: (r14) window (mechanically audited by
+#: tests/test_core.py::test_out_of_window_family_reps_are_in_window).
 _OUT_OF_WINDOW_WHY = {
-    # ---- new in round 13: never driver-checked; verified by
-    # scripts/verify_local.py and gated every round by
-    # tests/test_catalog_oracle.py; first window slot next rotation
-    # (rule 2) ----
-    "gap_fill_locf_capped": "new r13, local-oracle verified; the scale-capped PRODUCTION form of calendar_gap_fill (r12 verdict item 3): per-key spine bounded at the trailing 90 days with the LOCF carry seeded across the cap from observation rows — the form users actually run at 100 TB (the unbounded spine is a measured disk-spill failure at sf10)",
-    "simhash_wide_pairs": "new r13, local-oracle verified; the corpus-sized PRODUCTION width of simhash_near_dup: 120-bit signature / 30-bit bands (operators/similarity.py::simhash_pairs), dropping random band collisions from n^2/2^15 to n^2/2^30 — the 60-bit form's collision term measured superlinear (p=1.74) at 500k docs (SCALING.md r13); also pinned by an exact hashlib replay + the subset contract vs the 60-bit catalog form",
-    # ---- latest green r10, left out by the rule-3 alphabetical tie-break
-    # (due at r14) ----
-    "unigram_likelihood_quality": "driver-green r10; text-quality family in-window via bm25_doc_search (same rational likelihood scoring form) + model_quality_filter (quality gate)",
-    "union_mixed_schemas": "driver-green r10; column-union family in-window via conform_master_list (schema-conform kernel); also gated by tests/test_catalog_oracle.py",
-    # ---- latest green r12 (the r12 window's non-headline members rotated
-    # out; re-pointed at r13-window reps) ----
-    "benchmark_contamination": "driver-green r5+r6+r8+r12; shingle-join contamination family in-window via duplicated_span_dedup (same shingle-join kernel) + ngram_novelty (shingle index)",
-    "bigram_lm_quality_gate": "driver-green r12; BPE/likelihood family in-window via bpe_pair_stats (same BPE pair-count kernel) + bm25_doc_search (likelihood scoring) + model_quality_filter (quality gate)",
-    "buyer_set_ops": "driver-green r2+r3+r4+r5+r8+r12; set-ops family in-window via customers_without_orders (anti-join form) + active_customers_semi (semi form)",
-    "calendar_gap_fill": "driver-green r8+r12; densify/LOCF family in-window via locf_last_valid_value (same last(ignorenulls) kernel) + date_parsing_and_arithmetic (date arithmetic); the scale-capped production form is gap_fill_locf_capped",
-    "changelog_compact": "driver-green r8+r12; CDC/compaction family in-window via row_hash_change_detection (same hash-compare kernel) + hash_guarded_merge",
-    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5+r8+r12; range-join family in-window via asof_last_click_before_purchase (headline; same event-time join kernel)",
-    "conversion_funnel": "driver-green r5+r6+r8+r12; event-sequence family in-window via latest_order_per_customer (keyed ordering window) + streaming_session_counts (session logic)",
-    "corpus_dedup_pipeline": "driver-green r8+r12; dedup-pipeline composition in-window via exact_dedup (headline) + duplicated_span_dedup + doc_fingerprint (stage kernels); sf1 replay scripts/verify_sf1_pipeline.py",
-    "cube_order_stats": "driver-green r2+r3+r4+r5+r8+r12; multi-level agg family in-window via incremental_rollup_revenue (same rollup agg kernel) + group_count_breakdown",
-    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8+r12; iterative label-propagation family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + scripts/verify_sf1_clusters.py + tests/test_catalog_oracle.py",
-    "dedup_keep_best_quality": "driver-green r8+r12; keyed-survivor family in-window via dedup_keep_last (same keyed ranking survivor) + top_orders_per_customer",
-    "dedup_keep_list": "driver-green r5+r6+r8+r12; duplicate-attribution family in-window via dedup_keep_last + exact_dedup (headline)",
-    "doc_chunking": "driver-green r6+r8+r12; chunking family in-window via content_defined_chunking (same scan+explode segment kernel)",
-    "doc_quality_profile": "driver-green r2+r3+r4+r8+r12; text-profiling family in-window via text_statistics (headline) + corpus_mix_drift (corpus stats)",
-    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8+r12; ANN family in-window via embedding_ivf_topk (same cell-assign kernel) + embedding_topk_cosine (headline)",
-    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8+r12; blocked-cosine family in-window via embedding_ivf_topk (cell-pruned cosine) + embedding_topk_cosine (headline)",
-    "embedding_random_projection": "driver-green r8+r12; projection family in-window via embedding_lsh_buckets (same plane-projection kernel) + embedding_int8_quantization",
-    "event_type_summary": "driver-green r2+r4+r8+r12; grouped-count family in-window via group_count_breakdown (same grouped kernel) + corpus_mix_drift",
-    "fk_integrity_audit": "driver-green r8+r12; integrity-join family in-window via active_customers_semi (semi kernel) + customers_without_orders (anti kernel) + master_validation_issues (rule audit)",
-    "image_decode_features": "driver-green r6+r8+r12; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
-    "json_props_extraction": "driver-green r1+r2+r3+r4+r8+r12; expression-extraction family in-window via numeric_string_parsing (same parse chain) + string_compose_format",
-    "language_id_heuristic": "driver-green r1+r2+r3+r4+r8+r12; text-heuristic family in-window via text_statistics (headline) + bm25_doc_search (tokenize kernel)",
-    "language_rebalance_mixture": "driver-green r6+r8+r12; mixture-sampling family in-window via temperature_rebalance_mixture (same mixture-rebalance kernel) + source_frequency_cap (stratum cap)",
-    "leakage_safe_split": "driver-green r6+r8+r12; md5-split family in-window via stratified_hash_sample (same md5-bucket kernel) + row_hash_surfaces",
-    "length_percentile_gate": "driver-green r6+r8+r12; percentile-gate family in-window via ntile_quartiles (same ranking-window kernel) + price_quantity_stats",
-    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8+r12; minhash-band family in-window via duplicated_span_dedup (shingle blocked join) + doc_fingerprint (signature kernel)",
-    "multimodal_binary_meta": "driver-green r6+r8+r12; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
-    "order_price_percentiles": "driver-green r5+r6+r8+r12; percentile family in-window via ntile_quartiles (same percentile kernel) + price_quantity_stats (robust stats)",
-    "pii_redaction": "driver-green r8+r12; regexp-transform family in-window via string_compose_format (same string-expression chain) + conform_master_list (conform kernels)",
-    "pii_scrub_stats": "driver-green r6+r8+r12; regexp-transform family in-window via string_compose_format (same string-expression chain) + conform_master_list (conform kernels)",
-    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8+r12; pivot family in-window via group_count_breakdown (grouped agg) + incremental_rollup_revenue (multi-level agg)",
-    "quality_score": "driver-green r5+r6+r8+r12; quality-scoring family in-window via model_quality_filter (same feature/gate kernel) + text_statistics (headline)",
-    "repair_feed_merge": "driver-green r5+r6+r8+r12; repair/merge family in-window via hash_guarded_merge (same hash-guarded merge kernel) + row_hash_change_detection",
-    "repetition_filter_stats": "driver-green r5+r6+r8+r12; repetition/shingle family in-window via ngram_novelty (same shingle-index kernel) + text_statistics (headline)",
-    "sequence_packing": "driver-green r6+r8+r12; packing family in-window via content_defined_chunking (same segment-grid kernel)",
-    "simhash_near_dup": "driver-green r2+r3+r4+r8+r12; signature near-dup family in-window via doc_fingerprint (signature kernel) + duplicated_span_dedup (blocked join); sf1 replay scripts/verify_sf1_simhash.py",
-    "streaming_stateful_user_stats": "driver-green r6+r8+r12; streaming-state family in-window via streaming_dedup_users (same stateful kernel) + streaming_session_counts + streaming_tumbling_counts (availableNow drain)",
-    "table_profile": "driver-green r5+r6+r8+r12; profiling family in-window via corpus_mix_drift (corpus stats) + group_count_breakdown (distinct counts)",
-    "token_count_regex": "driver-green r5+r6+r8+r12; tokenize family in-window via bm25_doc_search (same tokenize kernel) + text_statistics (headline)",
-    "train_val_test_split": "driver-green r2+r3+r4+r8+r12; md5-bucket split family in-window via stratified_hash_sample (same kernel) + temperature_rebalance_mixture (md5 kernel)",
-    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8+r12; reshape/stack family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
-    "winsorized_price_stats": "driver-green r8+r12; robust-stats family in-window via price_quantity_stats (same robust-stats kernel) + ntile_quartiles",
-    # ---- latest green r11 (rotated out at r12; re-pointed at r13-window
+    # ---- latest green r11, left out by the rule-3 alphabetical tie-break
+    # (due at r15 under rule 5) ----
+    "streaming_enriched_purchases": "driver-green r7+r11; stream-static join family in-window via streaming_click_purchase_join (same stream-join kernel) + asof_last_click_before_purchase (headline enrichment join)",
+    "token_vocabulary": "driver-green r7+r11; tokenize family in-window via characteristic_terms (same trim+whitespace tokenize kernel) + text_statistics (headline)",
+    "top_supplier_revenue": "driver-green r1+r2+r7+r11; global-extreme agg family in-window via top_unshipped_orders (headline ranking) + nation_pair_revenue (join-agg)",
+    "video_frame_sample_stats": "driver-green r7+r11; multimodal family in-window via audio_quality_gate (same Arrow mapInPandas kernel)",
+    # ---- latest green r13 (the r13 window's non-headline members rotated
+    # out; re-pointed at r14-window reps) ----
+    "active_customers_semi": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; semi-join family in-window via priority_orders_exists (same EXISTS/semi kernel) + repeat_buyers_intersect (set-intersection twin)",
+    "bm25_doc_search": "driver-green r10+r13; token-df/idf family in-window via characteristic_terms (same token-df/idf kernel) + unigram_likelihood_quality (likelihood scoring)",
+    "bpe_pair_stats": "driver-green r10+r13; BPE family in-window via bpe_train_merges (same pair-count kernel) + bpe_encode_token_stats (encode path)",
+    "conform_master_list": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; conform family in-window via null_sentinel_cleanup (same conform kernel) + union_mixed_schemas (schema-conform union)",
+    "content_defined_chunking": "driver-green r10+r13; chunking family in-window via boilerplate_scrub (same scan+explode segment kernel)",
+    "corpus_mix_drift": "driver-green r10+r13; corpus-profiling family in-window via key_skew_profile (same profiling stats kernel) + distinct_counts (grouped distincts)",
+    "customers_without_orders": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; anti-join family in-window via churned_buyers_except (same anti-join form) + priority_orders_exists (semi twin)",
+    "date_parsing_and_arithmetic": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; date parse/arithmetic family in-window via cohort_retention (same date-bucket arithmetic) + gap_fill_locf_capped (date-spine arithmetic)",
+    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed-survivor family in-window via duplicate_key_stats (same duplicate-attribution kernel) + exact_dedup (headline)",
+    "doc_fingerprint": "driver-green r5+r6+r10+r13; signature family in-window via simhash_wide_pairs (same signature kernel) + incremental_near_dup (minhash signature)",
+    "duplicated_span_dedup": "driver-green r10+r13; shingle-join family in-window via ngram_jaccard_pairs (same shingle-join kernel) + incremental_near_dup (banded candidates)",
+    "embedding_int8_quantization": "driver-green r10+r13; vector-transform family in-window via embedding_centroid_stats (same vector-agg kernel) + embedding_topk_cosine (headline)",
+    "embedding_ivf_topk": "driver-green r5+r6+r10+r13; ANN family in-window via semantic_dedup_cells (same cell-assign/pruned-cosine kernel) + embedding_topk_cosine (headline)",
+    "embedding_lsh_buckets": "driver-green r5+r6+r10+r13; projection family in-window via simhash_wide_pairs (same bit-signature banding) + semantic_dedup_cells (bucketed cosine)",
+    "embedding_topk_pandas": "driver-green r5+r6+r10+r13; Arrow-UDF family in-window via audio_quality_gate (same Arrow mapInPandas kernel) + embedding_topk_cosine (headline; same top-k semantics JVM-side)",
+    "fee_rescale_and_repair": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; parse/repair family in-window via daily_order_anomaly (same outlier-nulling kernel) + null_sentinel_cleanup (conform chain)",
+    "group_count_breakdown": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; grouped-count family in-window via distinct_counts (same grouped kernel) + promo_revenue_share (conditional agg)",
+    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6+r10+r13; hash-guarded merge family in-window via snapshot_diff (same hash-compare kernel) + scd2_priority_history (merge compaction)",
+    "hybrid_bm25_cosine_rerank": "driver-green r10+r13; hybrid-rerank family in-window via characteristic_terms (bm25 token-df side) + embedding_topk_cosine (headline cosine side)",
+    "incremental_rollup_revenue": "driver-green r7+r10+r13; multi-level agg family in-window via rollup_revenue (same ROLLUP kernel) + grouping_sets_revenue (grouping-sets twin)",
+    "latest_order_per_customer": "driver-green r3+r4+r5+r6+r10+r13; keyed-ordering family in-window via order_price_lead_lag (same keyed window kernel) + sessionization (keyed event ordering)",
+    "lifecycle_status_transitions": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; status-history family in-window via scd2_priority_history (same status-transition kernel) + snapshot_diff (hash-compare)",
+    "locf_last_valid_value": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; LOCF family in-window via gap_fill_locf_capped (same last(ignorenulls) carry kernel, capped production form)",
+    "master_validation_issues": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; rule-audit family in-window via null_sentinel_cleanup (conform rules) + daily_order_anomaly (threshold predicates)",
+    "model_quality_filter": "driver-green r13; quality-gate family in-window via unigram_likelihood_quality (same likelihood quality scoring) + text_statistics (headline feature kernel)",
+    "nav_validation_errors": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; validation-split family in-window via null_sentinel_cleanup (conform rules) + daily_order_anomaly (threshold predicates)",
+    "ngram_novelty": "driver-green r10+r13; shingle-index family in-window via ngram_jaccard_pairs (same shingle-index kernel) + characteristic_terms (token-df)",
+    "ntile_quartiles": "driver-green r3+r4+r5+r6+r10+r13; percentile family in-window via price_quartiles_by_segment (same percentile kernel) + price_histogram (distribution)",
+    "numeric_string_parsing": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; parse-chain family in-window via null_sentinel_cleanup (same conform/parse chain) + union_mixed_schemas (schema coercion)",
+    "price_quantity_stats": "driver-green r7+r10+r13; robust-stats family in-window via daily_order_anomaly (same robust-stats/outlier kernel) + price_quartiles_by_segment (percentiles)",
+    "retention_cutoff_prune": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; retention/prune family in-window via rolling_30d_revenue (same date-cutoff window) + cohort_retention (date bucketing)",
+    "row_hash_change_detection": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; CDC hash-compare family in-window via snapshot_diff (same hash-compare snapshot kernel) + scd2_priority_history (change history)",
+    "row_hash_surfaces": "driver-green r10+r13; hash-surface family in-window via deterministic_shuffle_order (same md5 kernel) + snapshot_diff (hash-compare)",
+    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed-window family in-window via rolling_30d_revenue (same date-window kernel) + order_price_lead_lag (keyed frames)",
+    "source_frequency_cap": "driver-green r10+r13; stratum-cap family in-window via deterministic_shuffle_order (same md5-order cap kernel) + key_skew_profile (stratum stats)",
+    "stratified_hash_sample": "driver-green r5+r6+r10+r13; md5-bucket sampling family in-window via deterministic_shuffle_order (same md5-bucket kernel) + key_skew_profile (stratum profiling)",
+    "streaming_dedup_users": "driver-green r5+r6+r10+r13; streaming-state family in-window via running_distinct_users (same incremental user-state kernel) + streaming_click_purchase_join (streaming kernel)",
+    "streaming_session_counts": "driver-green r5+r6+r10+r13; streaming-session family in-window via sessionization (same session kernel, batch twin) + streaming_click_purchase_join (streaming kernel)",
+    "streaming_tumbling_counts": "driver-green r2+r4+r8+r13; streaming-window family in-window via streaming_click_purchase_join (same availableNow drain) + tumbling_window_stats (headline; same window() kernel)",
+    "string_compose_format": "driver-green r10+r13; string-expression family in-window via null_sentinel_cleanup (same string conform chain) + union_mixed_schemas (schema compose)",
+    "temperature_rebalance_mixture": "driver-green r10+r13; mixture-sampling family in-window via deterministic_shuffle_order (same md5-bucket kernel) + key_skew_profile (stratum stats)",
+    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed top-k family in-window via top_unshipped_orders (headline ranking) + order_price_lead_lag (keyed window)",
+    # ---- latest green r12 (rotated out at r13; re-pointed at r14-window
     # reps) ----
-    "audio_quality_gate": "driver-green r7+r11; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
-    "boilerplate_scrub": "driver-green r7+r11; chunking family in-window via content_defined_chunking (same scan+explode segment kernel)",
-    "bpe_encode_token_stats": "driver-green r11; BPE family in-window via bpe_pair_stats (same BPE pair-count kernel) + bm25_doc_search (tokenize)",
-    "bpe_train_merges": "driver-green r11; BPE family in-window via bpe_pair_stats (same pair-count kernel) + model_quality_filter (same iterate-and-collect training shape)",
-    "characteristic_terms": "driver-green r7+r11; token-df/idf family in-window via bm25_doc_search (same token-df/idf kernel) + text_statistics (headline)",
-    "churned_buyers_except": "driver-green r1+r7+r11; set-difference family in-window via customers_without_orders (same anti-join form) + active_customers_semi",
-    "cohort_retention": "driver-green r7+r11; cohort/date-bucket family in-window via latest_order_per_customer (keyed ordering) + date_parsing_and_arithmetic (date-bucket)",
-    "daily_order_anomaly": "driver-green r7+r11; outlier family in-window via price_quantity_stats (same robust-stats/outlier kernel) + ntile_quartiles",
-    "deterministic_shuffle_order": "driver-green r7+r11; md5-order family in-window via stratified_hash_sample (same md5-bucket kernel) + row_hash_surfaces",
-    "distinct_counts": "driver-green r1+r7+r11; grouped-distinct family in-window via group_count_breakdown (same grouped kernel) + corpus_mix_drift (distinct-count profiling)",
-    "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7+r11; dedup-attribution family in-window via dedup_keep_last (same duplicate-attribution kernel) + exact_dedup (headline)",
-    "embedding_centroid_stats": "driver-green r7+r11; vector-agg family in-window via embedding_ivf_topk (same cell-assign/centroid kernel) + embedding_lsh_buckets",
-    "grouping_sets_revenue": "driver-green r1+r7+r11; multi-level agg family in-window via incremental_rollup_revenue (same rollup agg kernel) + group_count_breakdown",
-    "hierarchy_flatten": "driver-green r7+r11; iterative min-label family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
-    "incremental_near_dup": "driver-green r7+r11; minhash-band family in-window via duplicated_span_dedup (shingle blocked join) + doc_fingerprint (signature kernel)",
-    "key_skew_profile": "driver-green r7+r11; profiling family in-window via corpus_mix_drift (same profiling stats kernel) + temperature_rebalance_mixture (stratum kernel)",
-    "nation_pair_revenue": "driver-green r2+r7+r11; join-agg family in-window via regional_supplier_volume (headline join-agg) + incremental_rollup_revenue",
-    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7+r11; shingle-join family in-window via duplicated_span_dedup (same shingle-join kernel) + ngram_novelty",
-    "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7+r11; conform family in-window via conform_master_list (same conform kernel) + numeric_string_parsing (parse chain)",
-    "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7+r11; outer-join family in-window via asof_last_click_before_purchase (headline enrichment join) + customers_without_orders (outer/anti kernel)",
-    "order_price_lead_lag": "driver-green r3+r4+r7+r11; keyed-window family in-window via running_revenue_by_supplier (same keyed window kernel) + locf_last_valid_value",
-    "price_histogram": "driver-green r7+r11; bucketed-distribution family in-window via ntile_quartiles (same distribution kernel) + price_quantity_stats",
-    "price_quartiles_by_segment": "driver-green r1+r7+r11; percentile family in-window via ntile_quartiles (same percentile kernel) + price_quantity_stats",
-    "priority_orders_exists": "driver-green r1+r7+r11; semi-join family in-window via active_customers_semi (same EXISTS/semi kernel) + customers_without_orders",
-    "promo_revenue_share": "driver-green r1+r2+r7+r11; conditional-agg family in-window via pricing_summary (headline conditional-agg kernel) + group_count_breakdown",
-    "record_linkage_fuzzy": "driver-green r7+r11; fuzzy-join family in-window via duplicated_span_dedup (blocked similarity join) + doc_fingerprint (signature kernel)",
-    "repeat_buyers_intersect": "driver-green r1+r7+r11; set-intersection family in-window via active_customers_semi (semi/INTERSECT kernel) + customers_without_orders",
-    "rolling_30d_revenue": "driver-green r7+r11; range-frame window family in-window via running_revenue_by_supplier (same date-window kernel) + locf_last_valid_value",
-    "rollup_revenue": "driver-green r1+r7+r11; ROLLUP family in-window via incremental_rollup_revenue (same ROLLUP kernel) + group_count_breakdown",
-    "running_distinct_users": "driver-green r7+r11; incremental-distinct family in-window via streaming_dedup_users (same incremental user-state kernel) + streaming_session_counts",
-    "salted_join_revenue": "driver-green r1+r7+r11; skew-remedy family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py + the plan-hygiene audit",
-    "scd2_priority_history": "driver-green r7+r11; SCD2 family in-window via hash_guarded_merge (same SCD2/merge compaction kernel) + row_hash_change_detection",
-    "semantic_dedup_cells": "driver-green r7+r11; blocked-cosine family in-window via embedding_ivf_topk (same cell-pruned cosine kernel) + embedding_lsh_buckets; sf1 replay scripts/verify_sf1_semantic.py",
-    "sessionization": "driver-green r3+r4+r7+r11; session family in-window via streaming_session_counts (same session kernel) + latest_order_per_customer (keyed ordering)",
-    "sliding_window_stats": "driver-green r3+r4+r7+r11; hopping-window family in-window via tumbling_window_stats (headline; same window() kernel, hop variant) + streaming_tumbling_counts",
-    "small_quantity_revenue": "driver-green r1+r2+r7+r11; filtered-agg family in-window via pricing_summary (headline filtered-agg kernel)",
-    "snapshot_diff": "driver-green r7+r11; snapshot-CDC family in-window via row_hash_change_detection (same hash-compare snapshot kernel) + hash_guarded_merge",
-    "streaming_click_purchase_join": "driver-green r7+r11; stream-join family in-window via streaming_session_counts (streaming kernel) + asof_last_click_before_purchase (same join semantics, batch headline)",
-    "streaming_enriched_purchases": "driver-green r7+r11; stream-static join family in-window via streaming_dedup_users (streaming kernel) + asof_last_click_before_purchase (headline enrichment join)",
-    "token_vocabulary": "driver-green r7+r11; tokenize family in-window via bm25_doc_search (same trim+\\s+ tokenize kernel) + text_statistics (headline)",
-    "top_supplier_revenue": "driver-green r1+r2+r7+r11; global-extreme agg family in-window via top_unshipped_orders (headline ranking) + group_count_breakdown",
-    "video_frame_sample_stats": "driver-green r7+r11; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
+    "benchmark_contamination": "driver-green r5+r6+r8+r12; shingle-join contamination family in-window via ngram_jaccard_pairs (same shingle-join kernel) + incremental_near_dup (banded candidates)",
+    "bigram_lm_quality_gate": "driver-green r12; BPE/likelihood family in-window via bpe_train_merges (same BPE pair-count kernel) + unigram_likelihood_quality (same likelihood-gate form)",
+    "buyer_set_ops": "driver-green r2+r3+r4+r5+r8+r12; set-ops family in-window via churned_buyers_except (anti/except form) + repeat_buyers_intersect (intersect form) + priority_orders_exists (semi form)",
+    "calendar_gap_fill": "driver-green r8+r12; densify/LOCF family in-window via gap_fill_locf_capped (its scale-capped production form; same densify/LOCF kernel) + cohort_retention (date arithmetic)",
+    "changelog_compact": "driver-green r8+r12; CDC/compaction family in-window via snapshot_diff (same hash-compare kernel) + scd2_priority_history (compaction)",
+    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5+r8+r12; range-join family in-window via asof_last_click_before_purchase (headline; same event-time join kernel)",
+    "conversion_funnel": "driver-green r5+r6+r8+r12; event-sequence family in-window via sessionization (same event-sequence kernel) + order_price_lead_lag (keyed ordering)",
+    "corpus_dedup_pipeline": "driver-green r8+r12; dedup-pipeline composition in-window via exact_dedup (headline) + ngram_jaccard_pairs (shingle stage) + simhash_wide_pairs (signature stage); sf1 replay scripts/verify_sf1_pipeline.py",
+    "cube_order_stats": "driver-green r2+r3+r4+r5+r8+r12; multi-level agg family in-window via rollup_revenue (same rollup agg kernel) + grouping_sets_revenue (CUBE twin)",
+    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8+r12; iterative label-propagation family in-window via hierarchy_flatten (same iterative min-label kernel); sf1 replay scripts/verify_sf1_clusters.py",
+    "dedup_keep_best_quality": "driver-green r8+r12; keyed-survivor family in-window via duplicate_key_stats (keyed survivor attribution) + exact_dedup (headline)",
+    "dedup_keep_list": "driver-green r5+r6+r8+r12; duplicate-attribution family in-window via duplicate_key_stats (same duplicate-attribution kernel) + exact_dedup (headline)",
+    "doc_chunking": "driver-green r6+r8+r12; chunking family in-window via boilerplate_scrub (same scan+explode segment kernel)",
+    "doc_quality_profile": "driver-green r2+r3+r4+r8+r12; text-profiling family in-window via text_statistics (headline) + key_skew_profile (profiling stats)",
+    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8+r12; ANN family in-window via semantic_dedup_cells (same cell-assign kernel) + embedding_topk_cosine (headline)",
+    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8+r12; blocked-cosine family in-window via semantic_dedup_cells (same blocked-cosine kernel) + embedding_topk_cosine (headline)",
+    "embedding_random_projection": "driver-green r8+r12; projection family in-window via embedding_centroid_stats (vector linear-algebra agg) + semantic_dedup_cells (bucketed cosine)",
+    "event_type_summary": "driver-green r2+r4+r8+r12; grouped-count family in-window via distinct_counts (same grouped kernel) + promo_revenue_share (conditional agg)",
+    "fk_integrity_audit": "driver-green r8+r12; integrity-join family in-window via priority_orders_exists (semi kernel) + churned_buyers_except (anti kernel) + order_fulfillment_outer (outer audit)",
+    "image_decode_features": "driver-green r6+r8+r12; multimodal family in-window via audio_quality_gate (same Arrow mapInPandas kernel)",
+    "json_props_extraction": "driver-green r1+r2+r3+r4+r8+r12; expression-extraction family in-window via null_sentinel_cleanup (same parse/conform chain) + union_mixed_schemas (schema coercion)",
+    "language_id_heuristic": "driver-green r1+r2+r3+r4+r8+r12; text-heuristic family in-window via text_statistics (headline) + characteristic_terms (tokenize kernel)",
+    "language_rebalance_mixture": "driver-green r6+r8+r12; mixture-sampling family in-window via deterministic_shuffle_order (md5-bucket kernel) + key_skew_profile (stratum stats)",
+    "leakage_safe_split": "driver-green r6+r8+r12; md5-split family in-window via deterministic_shuffle_order (same md5-bucket kernel) + duplicate_key_stats (key-group integrity)",
+    "length_percentile_gate": "driver-green r6+r8+r12; percentile-gate family in-window via price_quartiles_by_segment (same ranking-window kernel) + price_histogram (distribution)",
+    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8+r12; minhash-band family in-window via incremental_near_dup (same minhash-band kernel) + ngram_jaccard_pairs (shingle join)",
+    "multimodal_binary_meta": "driver-green r6+r8+r12; multimodal family in-window via audio_quality_gate (same Arrow mapInPandas kernel)",
+    "order_price_percentiles": "driver-green r5+r6+r8+r12; percentile family in-window via price_quartiles_by_segment (same percentile kernel) + price_histogram (distribution)",
+    "pii_redaction": "driver-green r8+r12; regexp-transform family in-window via null_sentinel_cleanup (same conform/regexp chain) + text_statistics (headline string kernels)",
+    "pii_scrub_stats": "driver-green r6+r8+r12; regexp-transform family in-window via null_sentinel_cleanup (same conform/regexp chain) + text_statistics (headline string kernels)",
+    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8+r12; pivot family in-window via distinct_counts (grouped agg) + grouping_sets_revenue (multi-level agg)",
+    "quality_score": "driver-green r5+r6+r8+r12; quality-scoring family in-window via unigram_likelihood_quality (same quality-scoring form) + text_statistics (headline)",
+    "repair_feed_merge": "driver-green r5+r6+r8+r12; repair/merge family in-window via snapshot_diff (hash-compare kernel) + scd2_priority_history (merge compaction)",
+    "repetition_filter_stats": "driver-green r5+r6+r8+r12; repetition/shingle family in-window via ngram_jaccard_pairs (same shingle kernel) + text_statistics (headline)",
+    "sequence_packing": "driver-green r6+r8+r12; packing family in-window via boilerplate_scrub (same segment-grid kernel)",
+    "simhash_near_dup": "driver-green r2+r3+r4+r8+r12; signature near-dup family in-window via simhash_wide_pairs (same simhash banding kernel, production width); sf1 replay scripts/verify_sf1_simhash.py",
+    "streaming_stateful_user_stats": "driver-green r6+r8+r12; streaming-state family in-window via running_distinct_users (same incremental user-state kernel) + streaming_click_purchase_join (streaming kernel)",
+    "table_profile": "driver-green r5+r6+r8+r12; profiling family in-window via key_skew_profile (same profiling kernel) + distinct_counts (distinct counts)",
+    "token_count_regex": "driver-green r5+r6+r8+r12; tokenize family in-window via characteristic_terms (same tokenize kernel) + text_statistics (headline)",
+    "train_val_test_split": "driver-green r2+r3+r4+r8+r12; md5-bucket split family in-window via deterministic_shuffle_order (same md5-bucket kernel) + duplicate_key_stats (key-group integrity)",
+    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8+r12; reshape/stack family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
+    "winsorized_price_stats": "driver-green r8+r12; robust-stats family in-window via daily_order_anomaly (same robust-stats kernel) + price_quartiles_by_segment (percentiles)",
+
 }
 
 
