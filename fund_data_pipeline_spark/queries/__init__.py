@@ -141,6 +141,11 @@ _CHECKED_FIRST = [
 #: (r14) window (mechanically audited by
 #: tests/test_core.py::test_out_of_window_family_reps_are_in_window).
 _OUT_OF_WINDOW_WHY = {
+    # ---- new in round 14: never driver-checked; verified by
+    # scripts/verify_local.py and gated every round by
+    # tests/test_catalog_oracle.py; first window slot next rotation
+    # (rule 2) ----
+    "semantic_dedup_scaled": "new r14, local-oracle verified; the corpus-sized PRODUCTION form of semantic_dedup_cells (r13 verdict item 3): cells_for_corpus sizing keeps expected cell population ~1024 so the within-cell pair mass is linear (measured p=0.24 through sf10-wide vs the fixed-16-cell form's p=1.44), with the oracle computing the identical cell count in exact half-even integer arithmetic — the last measured-at-scale production form to get a driver-checkable row",
     # ---- latest green r11, left out by the rule-3 alphabetical tie-break
     # (due at r15 under rule 5) ----
     "streaming_enriched_purchases": "driver-green r7+r11; stream-static join family in-window via streaming_click_purchase_join (same stream-join kernel) + asof_last_click_before_purchase (headline enrichment join)",

@@ -819,6 +819,78 @@ def semantic_dedup(
     )
 
 
+# DuckDB fragment: cells_for_corpus(COUNT(*)) in exact integer arithmetic.
+# Python's round() is round-half-to-even and n/1024 is a dyadic rational
+# (exactly representable for any feasible corpus count), so half-even on
+# the integer quotient/remainder reproduces the Python sizing bit-exactly:
+# r > 512 rounds up, r < 512 down, r == 512 to the even quotient.
+_N_CELLS_SQL = """
+  SELECT CASE WHEN COUNT(*) <= 1024 THEN 1
+         ELSE GREATEST(1, LEAST(4096,
+           CASE WHEN COUNT(*) % 1024 > 512 THEN COUNT(*) // 1024 + 1
+                WHEN COUNT(*) % 1024 < 512 THEN COUNT(*) // 1024
+                ELSE COUNT(*) // 1024 + (COUNT(*) // 1024) % 2 END)) END AS n_cells
+  FROM embeddings
+"""
+
+
+@register(
+    "semantic_dedup_scaled",
+    doc="The corpus-sized PRODUCTION form of semantic_dedup_cells: identical "
+    "SemDeDup kernel (deterministic first-k codebook, map-side argmin cell "
+    "assignment, per-cell lower-id pair join via the grid-blocked self-join) "
+    "but with the cell count SIZED BY THE CORPUS — "
+    "cells_for_corpus(count(embeddings)), ~1024 expected rows/cell — instead "
+    f"of the fixed {N_IVF_CELLS}-cell literal. The fixed form's pair mass is "
+    "n^2/32 regardless of cluster structure (measured p=1.44 on the wide "
+    "fixture, SCALING.md r13); this form's is n*512 — linear by "
+    "construction, measured p=0.24 through sf10-wide (433.1 s, 200k "
+    "vectors/195 cells). The oracle computes the SAME cell count in exact "
+    "integer half-even arithmetic, so the row stays hash-checkable at any "
+    "fixture size (1 cell at 500 rows, 2 at 2000) — the fixed-literal-vs-"
+    "computed pattern simhash_wide_pairs established at r13. The one "
+    "driver-side scalar is the corpus count (table-metadata statistics at "
+    "100 TB), shipped into the plan as the codebook bound.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, {_Q} AS qe FROM embeddings
+), k AS (
+{_N_CELLS_SQL}
+), c AS (
+  SELECT vec_id AS cid, qe AS ce FROM e WHERE vec_id < (SELECT n_cells FROM k)
+), d AS (
+  SELECT e.vec_id, e.qe, c.cid,
+         list_sum(list_transform(e.qe, x -> x * x))
+           - 2 * list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> e.qe[i] * c.ce[i]))
+           + list_sum(list_transform(c.ce, x -> x * x)) AS dist
+  FROM e CROSS JOIN c
+), a AS (
+  SELECT vec_id, qe, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+), cells AS (
+  SELECT vec_id, qe, cid AS cell FROM a WHERE rn = 1
+), pairs AS (
+  SELECT hi.vec_id AS vec_id, hi.cell AS cell, lo.vec_id AS lo_id,
+         CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> hi.qe[i] * lo.qe[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(hi.qe, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(lo.qe, x -> x * x)) AS DOUBLE))) AS cosine
+  FROM cells hi JOIN cells lo ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+)
+SELECT vec_id, cell,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MAX(cosine) AS best_cosine,
+       MIN(lo_id) AS witness_id
+FROM pairs
+WHERE cosine >= {SEMDEDUP_TAU}
+GROUP BY vec_id, cell
+""",
+)
+def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "embeddings").count()
+    return semantic_dedup(spark, sf_dir, n_cells=cells_for_corpus(n))
+
+
 #: reduced dimensionality for the random-projection query
 RP_DIM = 16
 

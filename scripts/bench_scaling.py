@@ -105,49 +105,21 @@ def _counted(name):
 EXTRA_FNS: dict = {}  # r13: the capped gap fill graduated to the catalog (EXTRA_QUERIES)
 
 #: opt-in heavies, NOT part of the default grid (they would triple its
-#: wall-clock): the three heavy dedup chains, count-shaped (see _counted).
-#: Run via SPARK_GRAFT_SCALING_ONLY=...,SPARK_GRAFT_SCALING_SFS=... in a
-#: dedicated invocation.
-def _semantic_scaled(spark, sf_dir):
-    """semantic_dedup with cells_for_corpus sizing — the production form.
-
-    The catalog query pins n_cells at the oracle's fixed literal
-    (N_IVF_CELLS=16, the SQL-expressible correctness form), which makes its
-    within-cell pair mass n^2/(2*16): quadratic in corpus size REGARDLESS
-    of cluster structure — measured p=1.44 on the wide fixture at r13. The
-    documented scale path (cells ~ n/1024, constant expected population)
-    keeps the pair mass linear; this timer is that claim's measurement."""
-    from pyspark.sql import functions as F
-
-    from fund_data_pipeline_spark.queries.vectors import cells_for_corpus, semantic_dedup
-
-    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    return semantic_dedup(spark, sf_dir, n_cells=cells_for_corpus(n)).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-
-def _simhash_scaled(spark, sf_dir):
-    """operators.similarity.simhash_pairs at its 120-bit default — the
-    production form. The catalog query's 60-bit signature (the widest one
-    signed-64 column both engines share — its correctness pin) has 15-bit
-    bands whose RANDOM collisions grow n^2/2^15: measured p=1.74 in the
-    wide fixture's top decade. 30-bit bands push that term out to ~10^8
-    docs; this timer is that claim's measurement."""
-    from pyspark.sql import functions as F
-
-    from fund_data_pipeline_spark.operators.similarity import simhash_pairs
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(docs, n_words=2).agg(F.count(F.lit(1)).alias("n"))
-
-
+#: wall-clock): the heavy dedup chains plus the two corpus-sized production
+#: forms, count-shaped (see _counted). Run via
+#: SPARK_GRAFT_SCALING_ONLY=...,SPARK_GRAFT_SCALING_SFS=... in a dedicated
+#: invocation. The _scaled timers measured the production forms as ad-hoc
+#: functions at r13 (SCALING.md: semantic p=0.24, simhash pairs x8.6 fewer
+#: at sf10-wide); both graduated to oracle-paired catalog rows
+#: (semantic_dedup_scaled r14, simhash_wide_pairs r13), so the timers now
+#: point at the REGISTERED query forms — same kernels, and the timer names
+#: stay stable so the curve history remains comparable round-over-round.
 HEAVY_FNS = {
     "corpus_dedup_pipeline_n": _counted("corpus_dedup_pipeline"),
     "simhash_near_dup_n": _counted("simhash_near_dup"),
     "semantic_dedup_cells_n": _counted("semantic_dedup_cells"),
-    "semantic_dedup_scaled_n": _semantic_scaled,
-    "simhash_scaled_n": _simhash_scaled,
+    "semantic_dedup_scaled_n": _counted("semantic_dedup_scaled"),
+    "simhash_scaled_n": _counted("simhash_wide_pairs"),
 }
 
 
@@ -204,10 +176,24 @@ def main() -> None:
     sf_dirs = dict(SF_DIRS)
     dirs_override = os.environ.get("SPARK_GRAFT_SCALING_DIRS")
     if dirs_override:
-        sf_dirs = {
-            float(sf): d
-            for sf, _, d in (e.partition("=") for e in dirs_override.split(",") if e.strip())
-        }
+        sf_dirs = {}
+        for entry in (e for e in dirs_override.split(",") if e.strip()):
+            sf, sep, d = entry.partition("=")
+            # a malformed entry must fail LOUDLY and name itself — without
+            # '=' the dir is '' and the complete-table-set gate below would
+            # silently drop the point (ADVICE r13)
+            if not sep or not sf.strip() or not d.strip():
+                raise SystemExit(
+                    f"bench_scaling: malformed SPARK_GRAFT_SCALING_DIRS entry "
+                    f"{entry!r} (expected sf=dir)"
+                )
+            try:
+                sf_dirs[float(sf)] = d
+            except ValueError:
+                raise SystemExit(
+                    f"bench_scaling: non-numeric sf in SPARK_GRAFT_SCALING_DIRS "
+                    f"entry {entry!r}"
+                ) from None
     sfs = [
         sf
         for sf, d in sorted(sf_dirs.items())

@@ -79,6 +79,17 @@ def gen_documents_wide(
     vocab = sorted({t for toks in token_lists for t in toks})
     tok_idx = {t: i for i, t in enumerate(vocab)}
     vocab_arr = np.asarray(vocab, dtype=object)
+    if disjoint:
+        # the disjointness guarantee needs the suffix separator absent from
+        # the BASE vocabulary — a base token literally ending in '~<c>'
+        # would collide with copy c's namespace (ADVICE r13) — so assert it
+        # rather than depend on the current corpus's luck
+        clash = [t for t in vocab if "~" in t]
+        if clash:
+            raise SystemExit(
+                f"gen_sf10_wide: disjoint mode needs a '~'-free base "
+                f"vocabulary; found {len(clash)} tokens, e.g. {clash[:3]!r}"
+            )
     # index-encode once; per copy a single fancy-index + join per document
     idx_lists = [np.asarray([tok_idx[t] for t in toks], dtype=np.int64) for toks in token_lists]
     schema = pa.schema(
@@ -96,7 +107,7 @@ def gen_documents_wide(
                 mapped = vocab_arr
             elif disjoint:
                 # per-copy token namespace: cross-copy token sets disjoint
-                # by construction (see docstring)
+                # by construction (base vocabulary asserted '~'-free above)
                 mapped = np.asarray([f"{t}~{c}" for t in vocab], dtype=object)
             else:
                 # bijective: a permutation of the vocabulary itself, so the
