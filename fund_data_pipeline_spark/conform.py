@@ -58,8 +58,25 @@ def normalize_headers(df: DataFrame) -> DataFrame:
     by the synonym map ('fund name', 'adj close' in ``DEFAULT_RENAMES``),
     so a novel spaced header surfaces as an unmapped column rather than
     being silently guessed at (review r11: the docstring promised joining
-    the implementation never did)."""
-    return df.toDF(*[c.strip().lower() for c in df.columns])
+    the implementation never did).
+
+    Headers that COLLIDE after normalization ('Ticker' + ' ticker ') are
+    refused loudly, naming the raw headers (review r14): ``toDF`` would
+    happily emit a frame with duplicate column names, which only fails
+    much later — as an AMBIGUOUS_REFERENCE at the first ``F.col`` or a
+    duplicate-column error at write — far from the malformed landing file
+    that caused it. Same refuse-loudly contract as dedup_keyed/merge_upsert
+    reserved-column guards."""
+    normalized = [c.strip().lower() for c in df.columns]
+    if len(set(normalized)) != len(normalized):
+        collisions: dict[str, list[str]] = {}
+        for raw, norm in zip(df.columns, normalized):
+            collisions.setdefault(norm, []).append(raw)
+        dupes = {n: raws for n, raws in collisions.items() if len(raws) > 1}
+        raise ValueError(
+            f"normalize_headers: headers collide after strip+lower: {dupes}"
+        )
+    return df.toDF(*normalized)
 
 
 def rename_synonyms(df: DataFrame, renames: Mapping[str, str] | None = None) -> DataFrame:

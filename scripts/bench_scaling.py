@@ -120,6 +120,10 @@ HEAVY_FNS = {
     "semantic_dedup_cells_n": _counted("semantic_dedup_cells"),
     "semantic_dedup_scaled_n": _counted("semantic_dedup_scaled"),
     "simhash_scaled_n": _counted("simhash_wide_pairs"),
+    # count-shaped twin of the EXTRA_QUERIES entry, for the wide-fixture
+    # decades where collecting the per-customer spine would time driver
+    # deserialization instead of the engine (r13 verdict item 6)
+    "gap_fill_locf_capped_n": _counted("gap_fill_locf_capped"),
 }
 
 

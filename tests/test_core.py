@@ -18,6 +18,17 @@ def test_normalize_headers_and_rename(spark):
     assert out.columns == ["ticker", "name", "status"]
 
 
+def test_normalize_headers_refuses_colliding_headers(spark):
+    """Headers that collide after strip+lower must fail loudly AT the
+    normalize step, naming the raw headers (review r14) — toDF would emit
+    duplicate column names that only blow up much later as an
+    AMBIGUOUS_REFERENCE or a duplicate-column write error, far from the
+    malformed landing file that caused them."""
+    df = spark.createDataFrame([("A", "B", 1)], ["Ticker", " ticker ", "v"])
+    with pytest.raises(ValueError, match=r"collide after strip\+lower.*Ticker"):
+        conform.normalize_headers(df)
+
+
 def test_conform_adds_missing_and_casts(spark):
     df = spark.createDataFrame(
         [("vtsax", "FUND", "yf", "12.34", "2024-01-02")],
