@@ -861,6 +861,40 @@ def test_semantic_dedup_hot_cell_is_skew_bounded_with_identical_drops(spark, sf_
     assert cells_for_corpus(10**12) == 4096
 
 
+def test_n_cells_sql_matches_cells_for_corpus_exactly():
+    """The semantic_dedup_scaled oracle computes cells_for_corpus(COUNT(*))
+    in SQL (queries/vectors.py::_N_CELLS_SQL). Python's round() is
+    round-half-to-even over an EXACT dyadic n/1024, so the SQL's integer
+    quotient/remainder half-even logic must agree for every corpus size —
+    including the exact ties n = 1024k + 512, where naive half-away
+    rounding (DuckDB's round()) differs by one cell. Property-checked with
+    hypothesis plus the full tie ladder."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fund_data_pipeline_spark.queries.vectors import _N_CELLS_SQL, cells_for_corpus
+
+    con = duckdb.connect()
+
+    def sql_cells(n: int) -> int:
+        # the oracle's FROM embeddings COUNT(*) replayed over a literal n
+        q = _N_CELLS_SQL.replace("COUNT(*)", str(n)).replace("FROM embeddings", "")
+        return con.sql(f"SELECT {q.split('SELECT', 1)[1]}").fetchone()[0]
+
+    # the tie ladder: every n/1024 = k.5 up to the clamp, both parities of k
+    for k in range(0, 4200, 1):
+        n = 1024 * k + 512
+        assert sql_cells(n) == cells_for_corpus(n), f"tie n={n}"
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**13))
+    def check(n):
+        assert sql_cells(n) == cells_for_corpus(n), f"n={n}"
+
+    check()
+
+
 def test_record_linkage_blocks_on_observed_value_and_recovers(spark, sf_dir):
     """VERDICT r6 item 3: blocking keys must be computed from the OBSERVED
     dirty value, the mod-2 suffix transposition must genuinely damage the
