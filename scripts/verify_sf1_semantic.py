@@ -38,17 +38,21 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def replay(sf_dir: str, restrict_ids=None) -> list[tuple]:
+def replay(sf_dir: str, restrict_ids=None, n_cells: int | None = None) -> list[tuple]:
     """``restrict_ids`` (a set of vec_ids, or None) mirrors the operator's
     ``restrict_ids`` hook: the centroid codebook still comes from the FULL
     table (stable cell geometry), membership is restricted — the
-    corpus-dedup pipeline's stage-3 contract."""
+    corpus-dedup pipeline's stage-3 contract. ``n_cells`` overrides the
+    fixed catalog codebook width (pass ``cells_for_corpus(n)`` to replay
+    the ``semantic_dedup_scaled`` production form)."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from fund_data_pipeline_spark.operators.similarity import _round_half_away
     from fund_data_pipeline_spark.queries.vectors import N_IVF_CELLS, SEMDEDUP_TAU
 
+    if n_cells is None:
+        n_cells = N_IVF_CELLS
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
@@ -56,7 +60,7 @@ def replay(sf_dir: str, restrict_ids=None) -> list[tuple]:
 
     order = np.argsort(vec_ids)
     vec_ids, q = vec_ids[order], q[order]
-    cent_mask = vec_ids < N_IVF_CELLS
+    cent_mask = vec_ids < n_cells
     cids = vec_ids[cent_mask]
     C = q[cent_mask]
     if restrict_ids is not None:
@@ -95,29 +99,42 @@ def replay(sf_dir: str, restrict_ids=None) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(REPO / ".localdata" / "sf1")
-    want = replay(sf_dir)
-    print(f"numpy replay: {len(want)} dropped vectors")
+    import pyarrow.parquet as pq
 
     from fund_data_pipeline_spark.queries import QUERIES
+    from fund_data_pipeline_spark.queries.vectors import cells_for_corpus
     from fund_data_pipeline_spark.session import get_spark
 
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(REPO / ".localdata" / "sf1")
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    # both registered forms: the fixed-cell correctness pin and the
+    # cells_for_corpus-sized production row (semantic_dedup_scaled, r14)
+    targets = {
+        "semantic_dedup_cells": None,
+        "semantic_dedup_scaled": cells_for_corpus(n_rows),
+    }
     spark = get_spark("verify_sf1_semantic")
-    got = sorted(
-        (r.vec_id, r.cell, r.n_dups, r.best_cosine, r.witness_id)
-        for r in QUERIES["semantic_dedup_cells"].spark(spark, sf_dir).collect()
-    )
-    if got == want:
-        print(f"PASS semantic_dedup_cells@{sf_dir}: {len(got)} rows match exactly")
-        return 0
-    only_want = set(want) - set(got)
-    only_got = set(got) - set(want)
-    print(f"FAIL: {len(only_want)} rows only in replay, {len(only_got)} only in Spark")
-    for row in sorted(only_want)[:5]:
-        print("  replay-only:", row)
-    for row in sorted(only_got)[:5]:
-        print("  spark-only :", row)
-    return 1
+    rc = 0
+    for name, n_cells in targets.items():
+        want = replay(sf_dir, n_cells=n_cells)
+        cells_note = f" ({n_cells} cells)" if n_cells is not None else ""
+        print(f"numpy replay {name}{cells_note}: {len(want)} dropped vectors")
+        got = sorted(
+            (r.vec_id, r.cell, r.n_dups, r.best_cosine, r.witness_id)
+            for r in QUERIES[name].spark(spark, sf_dir).collect()
+        )
+        if got == want:
+            print(f"PASS {name}@{sf_dir}: {len(got)} rows match exactly")
+            continue
+        rc = 1
+        only_want = set(want) - set(got)
+        only_got = set(got) - set(want)
+        print(f"FAIL {name}: {len(only_want)} rows only in replay, {len(only_got)} only in Spark")
+        for row in sorted(only_want)[:5]:
+            print("  replay-only:", row)
+        for row in sorted(only_got)[:5]:
+            print("  spark-only :", row)
+    return rc
 
 
 if __name__ == "__main__":
