@@ -56,19 +56,20 @@ from . import mlops  # noqa: E402,F401
 #:      verifies the deferral count equals exactly the oversubscription
 #:      excess — rule 6 can never park a query that would have fit.
 #:
-#: Round-14 rotation: IN — ``gap_fill_locf_capped`` and ``simhash_wide_pairs``
-#: (the r13 late additions, zero driver evidence, first non-headline slots
-#: per rule 2), ``unigram_likelihood_quality`` and ``union_mixed_schemas``
-#: (latest green r10 = age 4 at r14, due per rule 5), and 38 of the 42
-#: r11-latest queries (rule 3 oldest-evidence refill, ties alphabetical —
-#: the window is NOT oversubscribed: rules 1+2+5 claim only 12 slots, so no
-#: rule-6 deferral). OUT — the 42 non-headline members of the r13 window
-#: (all green r13, age 1), the r12-latest cohort (age 2), and the 4
-#: alphabetically-last r11-latest queries (age 3; due at r15 under rule 5).
+#: Round-15 rotation: IN — ``semantic_dedup_scaled`` (the r14 late addition,
+#: zero driver evidence, first non-headline slot per rule 2),
+#: ``streaming_enriched_purchases``, ``token_vocabulary``,
+#: ``top_supplier_revenue`` and ``video_frame_sample_stats`` (latest green
+#: r11 = age 4 at r15, due per rule 5), and the first 37 (alphabetical) of
+#: the 42 r12-latest queries (rule 3 oldest-evidence refill — the window is
+#: NOT oversubscribed: rules 1+2+5 claim only 13 slots, so no rule-6
+#: deferral). OUT — the 42 non-headline members of the r14 window (all
+#: green r14, age 1), the r13-latest cohort (age 2), and the 5
+#: alphabetically-last r12-latest queries (age 3; due at r16 under rule 5).
 #: Every excluded query is listed in _OUT_OF_WINDOW_WHY below with the
 #: CORRECTNESS round(s) that checked it green, still registered, and still
 #: gated by scripts/verify_local.py + tests/test_catalog_oracle.py.
-ROTATION_ROUND = 14
+ROTATION_ROUND = 15
 MAX_EVIDENCE_AGE = 4
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
@@ -81,53 +82,54 @@ _CHECKED_FIRST = [
     "tumbling_window_stats",
     "text_statistics",
     "exact_dedup",
-    # ---- rule 2: r13 late additions, zero driver evidence ----
-    "gap_fill_locf_capped",
-    "simhash_wide_pairs",
-    # ---- rule 5: latest green r10, age 4 at r14 — due ----
-    "unigram_likelihood_quality",
-    "union_mixed_schemas",
-    # ---- rule 3: the r11-latest cohort, oldest-evidence refill (first 38
-    # of 42 alphabetically; streaming_enriched_purchases, token_vocabulary,
-    # top_supplier_revenue and video_frame_sample_stats stay out, due r15) ----
-    "audio_quality_gate",
-    "boilerplate_scrub",
-    "bpe_encode_token_stats",
-    "bpe_train_merges",
-    "characteristic_terms",
-    "churned_buyers_except",
-    "cohort_retention",
-    "daily_order_anomaly",
-    "deterministic_shuffle_order",
-    "distinct_counts",
-    "duplicate_key_stats",
-    "embedding_centroid_stats",
-    "grouping_sets_revenue",
-    "hierarchy_flatten",
-    "incremental_near_dup",
-    "key_skew_profile",
-    "nation_pair_revenue",
-    "ngram_jaccard_pairs",
-    "null_sentinel_cleanup",
-    "order_fulfillment_outer",
-    "order_price_lead_lag",
-    "price_histogram",
-    "price_quartiles_by_segment",
-    "priority_orders_exists",
-    "promo_revenue_share",
-    "record_linkage_fuzzy",
-    "repeat_buyers_intersect",
-    "rolling_30d_revenue",
-    "rollup_revenue",
-    "running_distinct_users",
-    "salted_join_revenue",
-    "scd2_priority_history",
-    "semantic_dedup_cells",
-    "sessionization",
-    "sliding_window_stats",
-    "small_quantity_revenue",
-    "snapshot_diff",
-    "streaming_click_purchase_join",
+    # ---- rule 2: r14 late addition, zero driver evidence ----
+    "semantic_dedup_scaled",
+    # ---- rule 5: latest green r11, age 4 at r15 — due ----
+    "streaming_enriched_purchases",
+    "token_vocabulary",
+    "top_supplier_revenue",
+    "video_frame_sample_stats",
+    # ---- rule 3: the r12-latest cohort, oldest-evidence refill (first
+    # 37 of 42 alphabetically; table_profile, token_count_regex,
+    # train_val_test_split, unpivot_part_metrics and
+    # winsorized_price_stats stay out, due r16) ----
+    "benchmark_contamination",
+    "bigram_lm_quality_gate",
+    "buyer_set_ops",
+    "calendar_gap_fill",
+    "changelog_compact",
+    "clicks_before_purchase_range_join",
+    "conversion_funnel",
+    "corpus_dedup_pipeline",
+    "cube_order_stats",
+    "dedup_clusters",
+    "dedup_keep_best_quality",
+    "dedup_keep_list",
+    "doc_chunking",
+    "doc_quality_profile",
+    "embedding_ann_bucketed_topk",
+    "embedding_cosine_near_dup",
+    "embedding_random_projection",
+    "event_type_summary",
+    "fk_integrity_audit",
+    "image_decode_features",
+    "json_props_extraction",
+    "language_id_heuristic",
+    "language_rebalance_mixture",
+    "leakage_safe_split",
+    "length_percentile_gate",
+    "minhash_lsh_candidates",
+    "multimodal_binary_meta",
+    "order_price_percentiles",
+    "pii_redaction",
+    "pii_scrub_stats",
+    "pivot_status_by_segment",
+    "quality_score",
+    "repair_feed_merge",
+    "repetition_filter_stats",
+    "sequence_packing",
+    "simhash_near_dup",
+    "streaming_stateful_user_stats",
 ]
 
 
@@ -141,106 +143,101 @@ _CHECKED_FIRST = [
 #: (r14) window (mechanically audited by
 #: tests/test_core.py::test_out_of_window_family_reps_are_in_window).
 _OUT_OF_WINDOW_WHY = {
-    # ---- new in round 14: never driver-checked; verified by
-    # scripts/verify_local.py and gated every round by
-    # tests/test_catalog_oracle.py; first window slot next rotation
-    # (rule 2) ----
-    "semantic_dedup_scaled": "new r14, local-oracle verified; the corpus-sized PRODUCTION form of semantic_dedup_cells (r13 verdict item 3): cells_for_corpus sizing keeps expected cell population ~1024 so the within-cell pair mass is linear (measured p=0.24 through sf10-wide vs the fixed-16-cell form's p=1.44), with the oracle computing the identical cell count in exact half-even integer arithmetic — the last measured-at-scale production form to get a driver-checkable row",
-    # ---- latest green r11, left out by the rule-3 alphabetical tie-break
-    # (due at r15 under rule 5) ----
-    "streaming_enriched_purchases": "driver-green r7+r11; stream-static join family in-window via streaming_click_purchase_join (same stream-join kernel) + asof_last_click_before_purchase (headline enrichment join)",
-    "token_vocabulary": "driver-green r7+r11; tokenize family in-window via characteristic_terms (same trim+whitespace tokenize kernel) + text_statistics (headline)",
-    "top_supplier_revenue": "driver-green r1+r2+r7+r11; global-extreme agg family in-window via top_unshipped_orders (headline ranking) + nation_pair_revenue (join-agg)",
-    "video_frame_sample_stats": "driver-green r7+r11; multimodal family in-window via audio_quality_gate (same Arrow mapInPandas kernel)",
-    # ---- latest green r13 (the r13 window's non-headline members rotated
-    # out; re-pointed at r14-window reps) ----
-    "active_customers_semi": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; semi-join family in-window via priority_orders_exists (same EXISTS/semi kernel) + repeat_buyers_intersect (set-intersection twin)",
-    "bm25_doc_search": "driver-green r10+r13; token-df/idf family in-window via characteristic_terms (same token-df/idf kernel) + unigram_likelihood_quality (likelihood scoring)",
-    "bpe_pair_stats": "driver-green r10+r13; BPE family in-window via bpe_train_merges (same pair-count kernel) + bpe_encode_token_stats (encode path)",
-    "conform_master_list": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; conform family in-window via null_sentinel_cleanup (same conform kernel) + union_mixed_schemas (schema-conform union)",
-    "content_defined_chunking": "driver-green r10+r13; chunking family in-window via boilerplate_scrub (same scan+explode segment kernel)",
-    "corpus_mix_drift": "driver-green r10+r13; corpus-profiling family in-window via key_skew_profile (same profiling stats kernel) + distinct_counts (grouped distincts)",
-    "customers_without_orders": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; anti-join family in-window via churned_buyers_except (same anti-join form) + priority_orders_exists (semi twin)",
-    "date_parsing_and_arithmetic": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; date parse/arithmetic family in-window via cohort_retention (same date-bucket arithmetic) + gap_fill_locf_capped (date-spine arithmetic)",
-    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed-survivor family in-window via duplicate_key_stats (same duplicate-attribution kernel) + exact_dedup (headline)",
-    "doc_fingerprint": "driver-green r5+r6+r10+r13; signature family in-window via simhash_wide_pairs (same signature kernel) + incremental_near_dup (minhash signature)",
-    "duplicated_span_dedup": "driver-green r10+r13; shingle-join family in-window via ngram_jaccard_pairs (same shingle-join kernel) + incremental_near_dup (banded candidates)",
-    "embedding_int8_quantization": "driver-green r10+r13; vector-transform family in-window via embedding_centroid_stats (same vector-agg kernel) + embedding_topk_cosine (headline)",
-    "embedding_ivf_topk": "driver-green r5+r6+r10+r13; ANN family in-window via semantic_dedup_cells (same cell-assign/pruned-cosine kernel) + embedding_topk_cosine (headline)",
-    "embedding_lsh_buckets": "driver-green r5+r6+r10+r13; projection family in-window via simhash_wide_pairs (same bit-signature banding) + semantic_dedup_cells (bucketed cosine)",
-    "embedding_topk_pandas": "driver-green r5+r6+r10+r13; Arrow-UDF family in-window via audio_quality_gate (same Arrow mapInPandas kernel) + embedding_topk_cosine (headline; same top-k semantics JVM-side)",
-    "fee_rescale_and_repair": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; parse/repair family in-window via daily_order_anomaly (same outlier-nulling kernel) + null_sentinel_cleanup (conform chain)",
-    "group_count_breakdown": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; grouped-count family in-window via distinct_counts (same grouped kernel) + promo_revenue_share (conditional agg)",
-    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6+r10+r13; hash-guarded merge family in-window via snapshot_diff (same hash-compare kernel) + scd2_priority_history (merge compaction)",
-    "hybrid_bm25_cosine_rerank": "driver-green r10+r13; hybrid-rerank family in-window via characteristic_terms (bm25 token-df side) + embedding_topk_cosine (headline cosine side)",
-    "incremental_rollup_revenue": "driver-green r7+r10+r13; multi-level agg family in-window via rollup_revenue (same ROLLUP kernel) + grouping_sets_revenue (grouping-sets twin)",
-    "latest_order_per_customer": "driver-green r3+r4+r5+r6+r10+r13; keyed-ordering family in-window via order_price_lead_lag (same keyed window kernel) + sessionization (keyed event ordering)",
-    "lifecycle_status_transitions": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; status-history family in-window via scd2_priority_history (same status-transition kernel) + snapshot_diff (hash-compare)",
-    "locf_last_valid_value": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; LOCF family in-window via gap_fill_locf_capped (same last(ignorenulls) carry kernel, capped production form)",
-    "master_validation_issues": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; rule-audit family in-window via null_sentinel_cleanup (conform rules) + daily_order_anomaly (threshold predicates)",
-    "model_quality_filter": "driver-green r13; quality-gate family in-window via unigram_likelihood_quality (same likelihood quality scoring) + text_statistics (headline feature kernel)",
-    "nav_validation_errors": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; validation-split family in-window via null_sentinel_cleanup (conform rules) + daily_order_anomaly (threshold predicates)",
-    "ngram_novelty": "driver-green r10+r13; shingle-index family in-window via ngram_jaccard_pairs (same shingle-index kernel) + characteristic_terms (token-df)",
-    "ntile_quartiles": "driver-green r3+r4+r5+r6+r10+r13; percentile family in-window via price_quartiles_by_segment (same percentile kernel) + price_histogram (distribution)",
-    "numeric_string_parsing": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; parse-chain family in-window via null_sentinel_cleanup (same conform/parse chain) + union_mixed_schemas (schema coercion)",
-    "price_quantity_stats": "driver-green r7+r10+r13; robust-stats family in-window via daily_order_anomaly (same robust-stats/outlier kernel) + price_quartiles_by_segment (percentiles)",
-    "retention_cutoff_prune": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; retention/prune family in-window via rolling_30d_revenue (same date-cutoff window) + cohort_retention (date bucketing)",
-    "row_hash_change_detection": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; CDC hash-compare family in-window via snapshot_diff (same hash-compare snapshot kernel) + scd2_priority_history (change history)",
-    "row_hash_surfaces": "driver-green r10+r13; hash-surface family in-window via deterministic_shuffle_order (same md5 kernel) + snapshot_diff (hash-compare)",
-    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed-window family in-window via rolling_30d_revenue (same date-window kernel) + order_price_lead_lag (keyed frames)",
-    "source_frequency_cap": "driver-green r10+r13; stratum-cap family in-window via deterministic_shuffle_order (same md5-order cap kernel) + key_skew_profile (stratum stats)",
-    "stratified_hash_sample": "driver-green r5+r6+r10+r13; md5-bucket sampling family in-window via deterministic_shuffle_order (same md5-bucket kernel) + key_skew_profile (stratum profiling)",
-    "streaming_dedup_users": "driver-green r5+r6+r10+r13; streaming-state family in-window via running_distinct_users (same incremental user-state kernel) + streaming_click_purchase_join (streaming kernel)",
-    "streaming_session_counts": "driver-green r5+r6+r10+r13; streaming-session family in-window via sessionization (same session kernel, batch twin) + streaming_click_purchase_join (streaming kernel)",
-    "streaming_tumbling_counts": "driver-green r2+r4+r8+r13; streaming-window family in-window via streaming_click_purchase_join (same availableNow drain) + tumbling_window_stats (headline; same window() kernel)",
-    "string_compose_format": "driver-green r10+r13; string-expression family in-window via null_sentinel_cleanup (same string conform chain) + union_mixed_schemas (schema compose)",
-    "temperature_rebalance_mixture": "driver-green r10+r13; mixture-sampling family in-window via deterministic_shuffle_order (same md5-bucket kernel) + key_skew_profile (stratum stats)",
-    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed top-k family in-window via top_unshipped_orders (headline ranking) + order_price_lead_lag (keyed window)",
-    # ---- latest green r12 (rotated out at r13; re-pointed at r14-window
-    # reps) ----
-    "benchmark_contamination": "driver-green r5+r6+r8+r12; shingle-join contamination family in-window via ngram_jaccard_pairs (same shingle-join kernel) + incremental_near_dup (banded candidates)",
-    "bigram_lm_quality_gate": "driver-green r12; BPE/likelihood family in-window via bpe_train_merges (same BPE pair-count kernel) + unigram_likelihood_quality (same likelihood-gate form)",
-    "buyer_set_ops": "driver-green r2+r3+r4+r5+r8+r12; set-ops family in-window via churned_buyers_except (anti/except form) + repeat_buyers_intersect (intersect form) + priority_orders_exists (semi form)",
-    "calendar_gap_fill": "driver-green r8+r12; densify/LOCF family in-window via gap_fill_locf_capped (its scale-capped production form; same densify/LOCF kernel) + cohort_retention (date arithmetic)",
-    "changelog_compact": "driver-green r8+r12; CDC/compaction family in-window via snapshot_diff (same hash-compare kernel) + scd2_priority_history (compaction)",
-    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5+r8+r12; range-join family in-window via asof_last_click_before_purchase (headline; same event-time join kernel)",
-    "conversion_funnel": "driver-green r5+r6+r8+r12; event-sequence family in-window via sessionization (same event-sequence kernel) + order_price_lead_lag (keyed ordering)",
-    "corpus_dedup_pipeline": "driver-green r8+r12; dedup-pipeline composition in-window via exact_dedup (headline) + ngram_jaccard_pairs (shingle stage) + simhash_wide_pairs (signature stage); sf1 replay scripts/verify_sf1_pipeline.py",
-    "cube_order_stats": "driver-green r2+r3+r4+r5+r8+r12; multi-level agg family in-window via rollup_revenue (same rollup agg kernel) + grouping_sets_revenue (CUBE twin)",
-    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8+r12; iterative label-propagation family in-window via hierarchy_flatten (same iterative min-label kernel); sf1 replay scripts/verify_sf1_clusters.py",
-    "dedup_keep_best_quality": "driver-green r8+r12; keyed-survivor family in-window via duplicate_key_stats (keyed survivor attribution) + exact_dedup (headline)",
-    "dedup_keep_list": "driver-green r5+r6+r8+r12; duplicate-attribution family in-window via duplicate_key_stats (same duplicate-attribution kernel) + exact_dedup (headline)",
-    "doc_chunking": "driver-green r6+r8+r12; chunking family in-window via boilerplate_scrub (same scan+explode segment kernel)",
-    "doc_quality_profile": "driver-green r2+r3+r4+r8+r12; text-profiling family in-window via text_statistics (headline) + key_skew_profile (profiling stats)",
-    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8+r12; ANN family in-window via semantic_dedup_cells (same cell-assign kernel) + embedding_topk_cosine (headline)",
-    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8+r12; blocked-cosine family in-window via semantic_dedup_cells (same blocked-cosine kernel) + embedding_topk_cosine (headline)",
-    "embedding_random_projection": "driver-green r8+r12; projection family in-window via embedding_centroid_stats (vector linear-algebra agg) + semantic_dedup_cells (bucketed cosine)",
-    "event_type_summary": "driver-green r2+r4+r8+r12; grouped-count family in-window via distinct_counts (same grouped kernel) + promo_revenue_share (conditional agg)",
-    "fk_integrity_audit": "driver-green r8+r12; integrity-join family in-window via priority_orders_exists (semi kernel) + churned_buyers_except (anti kernel) + order_fulfillment_outer (outer audit)",
-    "image_decode_features": "driver-green r6+r8+r12; multimodal family in-window via audio_quality_gate (same Arrow mapInPandas kernel)",
-    "json_props_extraction": "driver-green r1+r2+r3+r4+r8+r12; expression-extraction family in-window via null_sentinel_cleanup (same parse/conform chain) + union_mixed_schemas (schema coercion)",
-    "language_id_heuristic": "driver-green r1+r2+r3+r4+r8+r12; text-heuristic family in-window via text_statistics (headline) + characteristic_terms (tokenize kernel)",
-    "language_rebalance_mixture": "driver-green r6+r8+r12; mixture-sampling family in-window via deterministic_shuffle_order (md5-bucket kernel) + key_skew_profile (stratum stats)",
-    "leakage_safe_split": "driver-green r6+r8+r12; md5-split family in-window via deterministic_shuffle_order (same md5-bucket kernel) + duplicate_key_stats (key-group integrity)",
-    "length_percentile_gate": "driver-green r6+r8+r12; percentile-gate family in-window via price_quartiles_by_segment (same ranking-window kernel) + price_histogram (distribution)",
-    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8+r12; minhash-band family in-window via incremental_near_dup (same minhash-band kernel) + ngram_jaccard_pairs (shingle join)",
-    "multimodal_binary_meta": "driver-green r6+r8+r12; multimodal family in-window via audio_quality_gate (same Arrow mapInPandas kernel)",
-    "order_price_percentiles": "driver-green r5+r6+r8+r12; percentile family in-window via price_quartiles_by_segment (same percentile kernel) + price_histogram (distribution)",
-    "pii_redaction": "driver-green r8+r12; regexp-transform family in-window via null_sentinel_cleanup (same conform/regexp chain) + text_statistics (headline string kernels)",
-    "pii_scrub_stats": "driver-green r6+r8+r12; regexp-transform family in-window via null_sentinel_cleanup (same conform/regexp chain) + text_statistics (headline string kernels)",
-    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8+r12; pivot family in-window via distinct_counts (grouped agg) + grouping_sets_revenue (multi-level agg)",
-    "quality_score": "driver-green r5+r6+r8+r12; quality-scoring family in-window via unigram_likelihood_quality (same quality-scoring form) + text_statistics (headline)",
-    "repair_feed_merge": "driver-green r5+r6+r8+r12; repair/merge family in-window via snapshot_diff (hash-compare kernel) + scd2_priority_history (merge compaction)",
-    "repetition_filter_stats": "driver-green r5+r6+r8+r12; repetition/shingle family in-window via ngram_jaccard_pairs (same shingle kernel) + text_statistics (headline)",
-    "sequence_packing": "driver-green r6+r8+r12; packing family in-window via boilerplate_scrub (same segment-grid kernel)",
-    "simhash_near_dup": "driver-green r2+r3+r4+r8+r12; signature near-dup family in-window via simhash_wide_pairs (same simhash banding kernel, production width); sf1 replay scripts/verify_sf1_simhash.py",
-    "streaming_stateful_user_stats": "driver-green r6+r8+r12; streaming-state family in-window via running_distinct_users (same incremental user-state kernel) + streaming_click_purchase_join (streaming kernel)",
-    "table_profile": "driver-green r5+r6+r8+r12; profiling family in-window via key_skew_profile (same profiling kernel) + distinct_counts (distinct counts)",
-    "token_count_regex": "driver-green r5+r6+r8+r12; tokenize family in-window via characteristic_terms (same tokenize kernel) + text_statistics (headline)",
-    "train_val_test_split": "driver-green r2+r3+r4+r8+r12; md5-bucket split family in-window via deterministic_shuffle_order (same md5-bucket kernel) + duplicate_key_stats (key-group integrity)",
-    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8+r12; reshape/stack family — no in-window rep this rotation (oldest-evidence refill takes priority); gated by local oracle + tests/test_catalog_oracle.py",
-    "winsorized_price_stats": "driver-green r8+r12; robust-stats family in-window via daily_order_anomaly (same robust-stats kernel) + price_quartiles_by_segment (percentiles)",
-
+    # ---- rotated out of the r14 window (latest green r14, age 1; all
+    # reps below are r15-window members) ----
+    "gap_fill_locf_capped": "driver-green r14; densify/LOCF family in-window via calendar_gap_fill (same date-spine densify + last(ignorenulls) carry kernel; this is its scale-capped production form)",
+    "simhash_wide_pairs": "driver-green r14; signature family in-window via simhash_near_dup (same simhash banding kernel, 60-bit form; sf1 replay scripts/verify_sf1_simhash.py) + minhash_lsh_candidates (banded signature join)",
+    "unigram_likelihood_quality": "driver-green r10+r14; likelihood family in-window via bigram_lm_quality_gate (same likelihood-gate form, bigram order) + quality_score (quality scoring)",
+    "union_mixed_schemas": "driver-green r10+r14; schema-conform union family in-window via json_props_extraction (same schema-coercion/conform chain) + pivot_status_by_segment (schema reshape)",
+    "audio_quality_gate": "driver-green r7+r11+r14; multimodal family in-window via multimodal_binary_meta (same Arrow mapInPandas kernel) + image_decode_features (decode-feature twin)",
+    "boilerplate_scrub": "driver-green r7+r11+r14; chunking family in-window via doc_chunking (same scan+explode segment kernel) + sequence_packing (segment-grid packing)",
+    "bpe_encode_token_stats": "driver-green r11+r14; BPE family in-window via bigram_lm_quality_gate (same BPE encode + likelihood kernel) + token_vocabulary (token stats)",
+    "bpe_train_merges": "driver-green r11+r14; BPE family in-window via bigram_lm_quality_gate (same BPE pair-count kernel)",
+    "characteristic_terms": "driver-green r7+r11+r14; token-df/idf family in-window via token_vocabulary (same trim+whitespace tokenize + df kernel) + text_statistics (headline)",
+    "churned_buyers_except": "driver-green r1+r7+r11+r14; anti-join family in-window via buyer_set_ops (same EXCEPT/anti form) + fk_integrity_audit (anti kernel)",
+    "cohort_retention": "driver-green r7+r11+r14; date-bucket family in-window via calendar_gap_fill (same date-bucket arithmetic) + conversion_funnel (cohort event sequencing)",
+    "daily_order_anomaly": "driver-green r7+r11+r14; robust-stats family in-window via order_price_percentiles (same distribution-stats kernel) + event_type_summary (grouped daily counts)",
+    "deterministic_shuffle_order": "driver-green r7+r11+r14; md5-order family in-window via leakage_safe_split (same md5-bucket kernel) + language_rebalance_mixture (md5-bucket sampling)",
+    "distinct_counts": "driver-green r1+r7+r11+r14; grouped-count family in-window via event_type_summary (same grouped kernel) + pivot_status_by_segment (grouped agg)",
+    "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7+r11+r14; duplicate-attribution family in-window via dedup_keep_list (same duplicate-attribution kernel) + exact_dedup (headline)",
+    "embedding_centroid_stats": "driver-green r7+r11+r14; vector-agg family in-window via embedding_random_projection (same vector linear-algebra agg) + embedding_topk_cosine (headline)",
+    "grouping_sets_revenue": "driver-green r1+r7+r11+r14; multi-level agg family in-window via cube_order_stats (same CUBE/grouping-sets kernel) + pivot_status_by_segment (pivot agg)",
+    "hierarchy_flatten": "driver-green r7+r11+r14; iterative min-label family in-window via dedup_clusters (same iterative label-propagation kernel; sf1 replay scripts/verify_sf1_clusters.py)",
+    "incremental_near_dup": "driver-green r7+r11+r14; minhash-band family in-window via minhash_lsh_candidates (same minhash-band kernel) + benchmark_contamination (shingle join)",
+    "key_skew_profile": "driver-green r7+r11+r14; profiling family in-window via doc_quality_profile (same profiling-stats kernel) + language_rebalance_mixture (stratum stats)",
+    "nation_pair_revenue": "driver-green r2+r7+r11+r14; join-agg family in-window via top_supplier_revenue (same join-agg kernel) + regional_supplier_volume (headline)",
+    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7+r11+r14; shingle-join family in-window via benchmark_contamination (same shingle-join kernel) + repetition_filter_stats (shingle stats)",
+    "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7+r11+r14; conform family in-window via json_props_extraction (same parse/conform chain) + pii_redaction (regexp/conform chain)",
+    "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7+r11+r14; outer-join audit family in-window via fk_integrity_audit (same outer-audit kernel)",
+    "order_price_lead_lag": "driver-green r3+r4+r7+r11+r14; keyed-window family in-window via conversion_funnel (same keyed event-ordering kernel) + asof_last_click_before_purchase (headline event-time ordering)",
+    "price_histogram": "driver-green r7+r11+r14; distribution family in-window via order_price_percentiles (same distribution kernel) + length_percentile_gate (bucket gate)",
+    "price_quartiles_by_segment": "driver-green r1+r7+r11+r14; percentile family in-window via order_price_percentiles (same percentile kernel) + length_percentile_gate (percentile gate)",
+    "priority_orders_exists": "driver-green r1+r7+r11+r14; semi-join family in-window via buyer_set_ops (same EXISTS/semi form) + fk_integrity_audit (semi kernel)",
+    "promo_revenue_share": "driver-green r1+r2+r7+r11+r14; conditional-agg family in-window via event_type_summary (same conditional-agg kernel) + pricing_summary (headline agg)",
+    "record_linkage_fuzzy": "driver-green r7+r11+r14; fuzzy candidate-pair family in-window via minhash_lsh_candidates (same candidate-pair banding kernel) + benchmark_contamination (approximate-match join)",
+    "repeat_buyers_intersect": "driver-green r1+r7+r11+r14; set-intersection family in-window via buyer_set_ops (same INTERSECT form)",
+    "rolling_30d_revenue": "driver-green r7+r11+r14; date-window family in-window via calendar_gap_fill (same date-spine window kernel) + clicks_before_purchase_range_join (range predicate)",
+    "rollup_revenue": "driver-green r1+r7+r11+r14; multi-level agg family in-window via cube_order_stats (same ROLLUP/CUBE agg kernel)",
+    "running_distinct_users": "driver-green r7+r11+r14; incremental user-state family in-window via streaming_stateful_user_stats (same incremental user-state kernel) + streaming_enriched_purchases (streaming kernel)",
+    "salted_join_revenue": "driver-green r1+r7+r11+r14; skew-join family in-window via minhash_lsh_candidates (same salting/grid-decomposition skew-bounded join kernel) + regional_supplier_volume (headline join-agg)",
+    "scd2_priority_history": "driver-green r7+r11+r14; SCD/status-history family in-window via changelog_compact (same status-transition compaction kernel) + repair_feed_merge (merge)",
+    "semantic_dedup_cells": "driver-green r7+r11+r14; SemDeDup family in-window via semantic_dedup_scaled (same cell-assign/pruned-cosine kernel, corpus-sized production form) + embedding_ann_bucketed_topk (cell-assign kernel)",
+    "sessionization": "driver-green r3+r4+r7+r11+r14; event-sequence family in-window via conversion_funnel (same event-sequence kernel) + streaming_stateful_user_stats (session-state streaming twin)",
+    "sliding_window_stats": "driver-green r3+r4+r7+r11+r14; time-window family in-window via tumbling_window_stats (headline; same window() kernel, sliding form)",
+    "small_quantity_revenue": "driver-green r1+r2+r7+r11+r14; filtered-agg family in-window via pricing_summary (headline; same filter-agg kernel)",
+    "snapshot_diff": "driver-green r7+r11+r14; hash-compare family in-window via changelog_compact (same CDC hash-compare kernel) + repair_feed_merge (merge repair)",
+    "streaming_click_purchase_join": "driver-green r7+r11+r14; stream-join family in-window via streaming_enriched_purchases (same stream-static join + availableNow drain) + streaming_stateful_user_stats (streaming state)",
+    # ---- latest green r13 (age 2; reps re-pointed at r15-window
+    # members) ----
+    "active_customers_semi": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; semi-join family in-window via buyer_set_ops (same semi form) + fk_integrity_audit (semi kernel)",
+    "bm25_doc_search": "driver-green r10+r13; token-df/idf family in-window via token_vocabulary (same token-df kernel) + quality_score (document scoring)",
+    "bpe_pair_stats": "driver-green r10+r13; BPE family in-window via bigram_lm_quality_gate (same BPE pair-count kernel)",
+    "conform_master_list": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; conform family in-window via json_props_extraction (same conform/parse chain) + pivot_status_by_segment (schema reshape)",
+    "content_defined_chunking": "driver-green r10+r13; chunking family in-window via doc_chunking (same scan+explode segment kernel) + sequence_packing (segment packing)",
+    "corpus_mix_drift": "driver-green r10+r13; corpus-profiling family in-window via doc_quality_profile (same profiling-stats kernel) + language_rebalance_mixture (mixture stats)",
+    "customers_without_orders": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; anti-join family in-window via buyer_set_ops (same anti/except form) + fk_integrity_audit (anti kernel)",
+    "date_parsing_and_arithmetic": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; date parse/arithmetic family in-window via calendar_gap_fill (same date-arithmetic kernel) + clicks_before_purchase_range_join (event-time predicates)",
+    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed-survivor family in-window via dedup_keep_best_quality (same keyed-survivor kernel) + exact_dedup (headline)",
+    "doc_fingerprint": "driver-green r5+r6+r10+r13; signature family in-window via simhash_near_dup (same signature kernel) + minhash_lsh_candidates (minhash signature)",
+    "duplicated_span_dedup": "driver-green r10+r13; shingle-join family in-window via benchmark_contamination (same shingle-join kernel) + minhash_lsh_candidates (banded candidates)",
+    "embedding_int8_quantization": "driver-green r10+r13; vector-transform family in-window via embedding_random_projection (same vector-transform kernel) + embedding_topk_cosine (headline)",
+    "embedding_ivf_topk": "driver-green r5+r6+r10+r13; ANN family in-window via embedding_ann_bucketed_topk (same cell-assign/pruned-cosine kernel) + embedding_topk_cosine (headline)",
+    "embedding_lsh_buckets": "driver-green r5+r6+r10+r13; projection family in-window via embedding_ann_bucketed_topk (bucketed ANN kernel) + simhash_near_dup (bit-signature banding)",
+    "embedding_topk_pandas": "driver-green r5+r6+r10+r13; Arrow-UDF family in-window via image_decode_features (same Arrow mapInPandas kernel) + embedding_topk_cosine (headline; same top-k semantics JVM-side)",
+    "fee_rescale_and_repair": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; parse/repair family in-window via json_props_extraction (same parse chain) + repair_feed_merge (repair kernel)",
+    "group_count_breakdown": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; grouped-count family in-window via event_type_summary (same grouped kernel) + pivot_status_by_segment (grouped agg)",
+    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6+r10+r13; hash-guarded merge family in-window via repair_feed_merge (same merge kernel) + changelog_compact (hash-compare)",
+    "hybrid_bm25_cosine_rerank": "driver-green r10+r13; hybrid-rerank family in-window via token_vocabulary (bm25 token-df side) + embedding_topk_cosine (headline cosine side)",
+    "incremental_rollup_revenue": "driver-green r7+r10+r13; multi-level agg family in-window via cube_order_stats (same ROLLUP kernel)",
+    "latest_order_per_customer": "driver-green r3+r4+r5+r6+r10+r13; keyed-extreme family in-window via top_supplier_revenue (same max_by/extreme-agg kernel) + conversion_funnel (keyed ordering)",
+    "lifecycle_status_transitions": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; status-history family in-window via changelog_compact (same status-transition kernel) + repair_feed_merge (merge)",
+    "locf_last_valid_value": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; LOCF family in-window via calendar_gap_fill (same last(ignorenulls) carry kernel)",
+    "master_validation_issues": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; rule-audit family in-window via json_props_extraction (same conform-rule chain) + fk_integrity_audit (integrity audit)",
+    "model_quality_filter": "driver-green r13; quality-gate family in-window via quality_score (same quality-scoring form) + bigram_lm_quality_gate (likelihood gate)",
+    "nav_validation_errors": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; validation-split family in-window via fk_integrity_audit (same integrity-audit kernel) + json_props_extraction (conform rules)",
+    "ngram_novelty": "driver-green r10+r13; shingle-index family in-window via benchmark_contamination (same shingle-index kernel) + token_vocabulary (token df)",
+    "ntile_quartiles": "driver-green r3+r4+r5+r6+r10+r13; percentile family in-window via order_price_percentiles (same percentile kernel) + length_percentile_gate (percentile gate)",
+    "numeric_string_parsing": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; parse-chain family in-window via json_props_extraction (same parse-chain kernel)",
+    "price_quantity_stats": "driver-green r7+r10+r13; robust-stats family in-window via order_price_percentiles (same percentile kernel) + doc_quality_profile (robust stats)",
+    "retention_cutoff_prune": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; retention/prune family in-window via calendar_gap_fill (same date-cutoff arithmetic) + clicks_before_purchase_range_join (range cutoff)",
+    "row_hash_change_detection": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; CDC hash-compare family in-window via changelog_compact (same hash-compare kernel) + repair_feed_merge (merge)",
+    "row_hash_surfaces": "driver-green r10+r13; hash-surface family in-window via leakage_safe_split (same md5 kernel) + changelog_compact (hash-compare)",
+    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed-window family in-window via conversion_funnel (same keyed ordering kernel) + calendar_gap_fill (date window)",
+    "source_frequency_cap": "driver-green r10+r13; stratum-cap family in-window via language_rebalance_mixture (same stratum-cap kernel) + leakage_safe_split (md5-order)",
+    "stratified_hash_sample": "driver-green r5+r6+r10+r13; md5-bucket sampling family in-window via leakage_safe_split (same md5-bucket kernel) + language_rebalance_mixture (stratified sampling)",
+    "streaming_dedup_users": "driver-green r5+r6+r10+r13; streaming-state family in-window via streaming_stateful_user_stats (same streaming-state kernel) + streaming_enriched_purchases (streaming kernel)",
+    "streaming_session_counts": "driver-green r5+r6+r10+r13; streaming-session family in-window via streaming_stateful_user_stats (same session-state kernel) + conversion_funnel (event-sequence batch twin)",
+    "streaming_tumbling_counts": "driver-green r2+r4+r8+r13; streaming-window family in-window via streaming_enriched_purchases (same availableNow drain) + tumbling_window_stats (headline; same window() kernel)",
+    "string_compose_format": "driver-green r10+r13; string-expression family in-window via json_props_extraction (same string-expression chain) + pii_redaction (regexp compose)",
+    "temperature_rebalance_mixture": "driver-green r10+r13; mixture-sampling family in-window via language_rebalance_mixture (same mixture-sampling kernel) + leakage_safe_split (md5-bucket)",
+    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed top-k family in-window via top_unshipped_orders (headline ranking) + top_supplier_revenue (extreme agg)",
+    # ---- latest green r12, left out by the rule-3 alphabetical
+    # tie-break (age 3; due at r16 under rule 5) ----
+    "table_profile": "driver-green r5+r6+r8+r12; profiling family in-window via doc_quality_profile (same profiling kernel) + event_type_summary (grouped counts)",
+    "token_count_regex": "driver-green r5+r6+r8+r12; tokenize family in-window via token_vocabulary (same tokenize kernel) + text_statistics (headline)",
+    "train_val_test_split": "driver-green r2+r3+r4+r8+r12; md5-bucket split family in-window via leakage_safe_split (same md5-bucket kernel) + dedup_keep_list (key-group integrity)",
+    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8+r12; reshape/stack family in-window via pivot_status_by_segment (the inverse reshape kernel; stack and pivot share the wide<->long plan shape)",
+    "winsorized_price_stats": "driver-green r8+r12; robust-stats family in-window via order_price_percentiles (same robust-stats/percentile kernel)",
 }
 
 
