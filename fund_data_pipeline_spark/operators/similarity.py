@@ -263,7 +263,9 @@ def simhash_pairs(
     dominated by hash coincidences, not near-dups. This operator is the
     production form: ``n_words`` 60-bit signature words (word 0 is
     bit-identical to the catalog signature; word ``w`` draws the 15 hex
-    chars starting at 1+16w of the same token digest), banded into ``n_bands``
+    chars starting at 1+16w of the same token digest — 1-indexed as in SQL
+    ``substring``, i.e. the 0-indexed Python slice ``[16w, 16w+15)`` that
+    scripts/verify_sf1_simhash.py's replay uses), banded into ``n_bands``
     equal slices, so at the default 120 bits / 30-bit bands random
     collisions fall to n^2/2^30 — negligible through ~10^8 docs, and one
     more word per ~2^15x corpus growth after that.

@@ -42,6 +42,7 @@ the literal ``disjoint`` as the 4th arg namespaces per-copy tokens, see
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import sys
 from pathlib import Path
@@ -83,8 +84,11 @@ def gen_documents_wide(
         # the disjointness guarantee needs the suffix separator absent from
         # the BASE vocabulary — a base token literally ending in '~<c>'
         # would collide with copy c's namespace (ADVICE r13) — so assert it
-        # rather than depend on the current corpus's luck
-        clash = [t for t in vocab if "~" in t]
+        # rather than depend on the current corpus's luck. Only the
+        # documented collision form ('~<digits>' at END of token) is
+        # rejected; a mid-token '~' is harmless (ADVICE r14 narrowed the
+        # blanket '~ anywhere' guard)
+        clash = [t for t in vocab if re.search(r"~\d+$", t)]
         if clash:
             raise SystemExit(
                 f"gen_sf10_wide: disjoint mode needs a '~'-free base "

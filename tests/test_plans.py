@@ -291,9 +291,17 @@ def test_whole_catalog_plan_hygiene(spark, sf_dir, monkeypatch):
     reranker's BM25 stage) would otherwise be invisible to this gate and
     a regression there would ship unseen."""
     from pyspark.sql import DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
 
+    # BOTH classes: instances are classic.DataFrame, which OVERRIDES the
+    # base method, so patching pyspark.sql.DataFrame alone never
+    # intercepted — the gate silently audited post-checkpoint stubs for
+    # every pinned query until r15 (review r15)
     monkeypatch.setattr(
         DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    monkeypatch.setattr(
+        ClassicDataFrame, "localCheckpoint", lambda self, eager=True: self
     )
     problems = []
     for name, spec in QUERIES.items():
