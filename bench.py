@@ -103,11 +103,49 @@ def _merge_bench(spark, sf_dir: str, n_runs: int) -> list[float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _canary(n_runs: int = 3) -> dict[str, float]:
+    """Fixed CPU-bound single-core numpy kernel (~0.2 s settled): the
+    environment-interference witness (r14 verdict item 6). The machine's
+    documented co-tenant spikes inflate EVERY query uniformly 1.3-5x
+    (SCALING.md r13/r14: 4.4 -> 12.8 s on an unchanged tree); this kernel
+    does constant work, so a before/after reading far above its settled
+    band adjudicates a slow bench as environment from the artifact alone,
+    no interleaved worktree A/B needed. Single-threaded on purpose: the
+    spikes crater per-core throughput, which is what Spark's 32 executor
+    threads feel."""
+    import numpy as np
+
+    a = np.arange(4_000_000, dtype=np.float64)
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(8):
+            s += float(np.sin(a).sum())
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return {
+        "min": round(runs[0], 3),
+        "median": round(statistics.median(runs), 3),
+        "max": round(runs[-1], 3),
+    }
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:  # non-Linux fallback: absent, not fake zeros
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    load_before = _loadavg()
+    canary_before = _canary()
     spark = get_spark("bench")
 
     names = [n for n, s in Q.QUERIES.items() if s.headline]
@@ -208,6 +246,19 @@ def main() -> None:
                 "aux": aux,
                 "aux_stats": aux_stats,
                 "sf": sf,
+                # environment adjudication (r14 verdict item 6): constant-
+                # work canary + loadavg bracketing the run. The canary does
+                # identical work every round, so its min is directly
+                # comparable across BENCH_r*.json artifacts: a reading
+                # >=1.3x the series' settled floor brands THIS artifact
+                # environment-contended — read these BEFORE comparing
+                # headline_total across rounds.
+                "env": {
+                    "canary_before": canary_before,
+                    "canary_after": _canary(),
+                    "loadavg_before": load_before,
+                    "loadavg_after": _loadavg(),
+                },
             }
         )
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -251,6 +251,7 @@ def simhash_pairs(
     n_bands: int = 4,
     hamming_max: int = 3,
     block_size: int = 4096,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """SimHash candidate pairs with a CORPUS-SIZED signature width.
 
@@ -279,6 +280,25 @@ def simhash_pairs(
     word 0 <= 3, which pigeonholes into a shared 15-bit band) — pinned by
     ``tests/test_operators.py`` alongside an exact hashlib/numpy replay.
 
+    ``max_df_frac`` (r14 verdict item 4, the standard near-dup practice):
+    tokens present in more than that fraction of documents are dropped
+    BEFORE voting. In stopword-dominated corpora the ubiquitous tokens
+    vote identically on every document, compressing genuinely-different
+    documents into near-identical signatures — the shared-vocab collision
+    regime SCALING.md r14 measured at p=1.42. Dropping them leaves the
+    discriminative tail to set the bits, restoring near-disjoint
+    scaling (SCALING.md r15 sweep). Recall safety: a TRUE near-dup pair
+    shares its surviving (post-cap) tokens just as it shared the full
+    set, so it still hashes together (planted-pair test); a document
+    whose every token is ubiquitous falls BACK to its full token set
+    rather than vanishing from the candidate relation — the cap can
+    reduce a document's signature, never erase it. Hence on a corpus
+    with no discriminative tail at all (every token above the cap — the
+    r13 31-token wide fixture is this shape) the fallback makes the cap
+    a measured no-op rather than a recall cliff. The one driver-side
+    scalar is the document count (table statistics at 100 TB); the hot
+    set is |tokens above the cap|-bounded and joins as the small side.
+
     Returns one row per unordered candidate pair: ``(<id>_a, <id>_b,
     hamming)`` with ``hamming <= hamming_max``. The band self-join runs
     through :func:`blocked_self_join`, so a hot band degrades into
@@ -299,6 +319,29 @@ def simhash_pairs(
     toks = docs.select(
         id_col, F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     )
+    if max_df_frac is not None:
+        if not (0.0 < max_df_frac <= 1.0):
+            raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+        # driver scalar: one corpus count (table statistics at scale)
+        n_docs = docs.count()
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))  # toks is (doc, tok)-distinct
+            .filter(F.col("df") > max_df_frac * n_docs)
+            .select("tok", F.lit(True).alias("__hot"))
+        )
+        flagged = toks.join(hot, "tok", "left")
+        # per-doc surviving-token count rides the same id_col partitioning
+        # the vote aggregate shuffles on; zero survivors -> keep ALL tokens
+        # (fallback: the cap may shrink a signature, never erase one)
+        n_cold = F.sum(F.when(F.col("__hot").isNull(), 1).otherwise(0)).over(
+            Window.partitionBy(id_col)
+        )
+        toks = (
+            flagged.withColumn("__n_cold", n_cold)
+            .filter(F.col("__hot").isNull() | (F.col("__n_cold") == 0))
+            .select(id_col, "tok")
+        )
     digest = F.md5("tok")
     words = [
         F.conv(F.substring(digest, 1 + 16 * w, 15), 16, 10).cast("long").alias(f"hv{w}")

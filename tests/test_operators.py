@@ -2135,3 +2135,77 @@ def test_simhash_pairs_rejects_bad_specs(spark):
         simhash_pairs(df, n_bands=3, hamming_max=3)
     with _pytest.raises(ValueError, match="straddling"):
         simhash_pairs(df, n_words=1, n_bands=8)
+    with _pytest.raises(ValueError, match="max_df_frac"):
+        simhash_pairs(df, max_df_frac=0.0)
+
+
+def test_simhash_max_df_cap_recall_and_fallback(spark):
+    """r14 verdict item 4: the document-frequency cap for the shared-vocab
+    collision regime. Corpus: 40 stopwords in EVERY doc + 10 per-group
+    content tokens (20 groups x 4 docs; groups' content vocabularies are
+    disjoint). Docs 0/1 of each group are planted near-dups (identical
+    content, one stopword dropped from doc 1).
+
+    - Recall at the chosen threshold (0.4): every planted pair survives
+      the cap — their post-cap token sets are identical, hamming 0. (The
+      threshold must sit BELOW the dropped stopword's 50% df: at 0.5 that
+      token survives in half the corpus and splits the planted pairs —
+      thresholds bind on the cap side, part of what this pins.)
+    - Precision (the cap's purpose): uncapped signatures are stopword-
+      dominated, so docs from DIFFERENT groups (zero shared content)
+      collide within hamming<=3; capped, cross-group pairs vanish.
+    - Fallback: on a corpus where EVERY token exceeds the cap (the r13
+      31-token wide fixture is this shape) the capped pair set equals the
+      uncapped one — the cap can shrink a signature, never erase a doc."""
+    from fund_data_pipeline_spark.operators.similarity import simhash_pairs
+
+    # Stopword DOMINANCE is what makes the regime: with ~400 shared voters
+    # per bit, a 1-2 token content difference flips a bit only where the
+    # stopword margin is exactly zero (~2%/bit), so documents with 100%
+    # DIFFERENT content still land within hamming<=3 of 120 — the false
+    # near-dups (and the one-bucket band blowup) the cap exists to kill.
+    stop = [f"the{i}" for i in range(400)]
+    rows = []
+    group_of = {}
+    planted = set()
+    for g in range(20):
+        for d in range(2):
+            doc_id = 2 * g + d
+            group_of[doc_id] = g
+            if d == 0:
+                toks = stop + [f"g{g}content"]
+            else:
+                # planted near-dup: identical content, one stopword fewer
+                toks = stop[:-1] + [f"g{g}content"]
+                planted.add((2 * g, 2 * g + 1))
+            rows.append((doc_id, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.doc_id_a, r.doc_id_b) for r in simhash_pairs(docs, n_words=2).collect()
+    }
+    capped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in simhash_pairs(docs, n_words=2, max_df_frac=0.4).collect()
+    }
+    cross = lambda pairs: {p for p in pairs if group_of[p[0]] != group_of[p[1]]}  # noqa: E731
+    assert planted <= capped, f"cap lost planted pairs: {planted - capped}"
+    assert cross(uncapped), "fixture must exhibit the stopword collision regime"
+    assert not cross(capped), f"cap left cross-group collisions: {cross(capped)}"
+    assert len(capped) < len(uncapped)
+
+    # fallback corpus: one shared 5-token vocabulary, every token in >50%
+    # of docs -> all hot -> every doc keeps its full set -> identical output
+    fb_rows = [
+        (0, "a b c d e"),
+        (1, "a b c d"),
+        (2, "a b c e"),
+        (3, "b c d e"),
+    ]
+    fb = spark.createDataFrame(fb_rows, "doc_id long, text string")
+    base = {(r.doc_id_a, r.doc_id_b, r.hamming) for r in simhash_pairs(fb, n_words=2).collect()}
+    fbk = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_pairs(fb, n_words=2, max_df_frac=0.3).collect()
+    }
+    assert fbk == base
