@@ -49,6 +49,8 @@ class StageResult:
     tables: dict[str, MergeStats] = field(default_factory=dict)
     side_counts: dict[str, int] = field(default_factory=dict)
     error: str | None = None
+    #: total attempts made (1 = no retry; see run_all(retries=...))
+    attempts: int = 1
 
 
 @dataclass
@@ -91,8 +93,9 @@ class RunReport:
             parts = [p for p in (detail, extra) if p]
             tail = f" — {'; '.join(parts)}" if parts else ""
             err = f" ({st.error})" if st.error else ""
+            tries = f" [attempt {st.attempts}]" if st.attempts > 1 else ""
             lines.append(
-                f"stage {st.name}: {st.status} in {st.duration_sec:.1f}s{tail}{err}"
+                f"stage {st.name}: {st.status} in {st.duration_sec:.1f}s{tries}{tail}{err}"
             )
         n_ok = sum(s.status == "ok" for s in self.stages)
         n_failed = sum(s.status == "failed" for s in self.stages)
@@ -145,14 +148,27 @@ def _record(result: StageResult, value: object) -> None:
         result.side_counts["returned"] = 1
 
 
-def _run_one(name: str, thunk: Callable[[], object]) -> StageResult:
+def _run_one(name: str, thunk: Callable[[], object], retries: int = 0) -> StageResult:
+    """One stage as a fault boundary, with the reference's stage-retry
+    semantics (O4, `04_sa_history_remediator.py:228-237`: two attempts
+    before giving up): on an exception the stage re-runs up to ``retries``
+    more times; only the FINAL attempt's outcome counts, the recorded
+    error is the last one, and ``duration_sec`` covers all attempts.
+    Stage flows are idempotent by construction (hash-guarded merges,
+    deterministic overwrites), so a half-applied failed attempt is safe to
+    re-enter — the same property that makes whole-run re-execution safe."""
     result = StageResult(name=name, status="ok")
     t0 = time.perf_counter()
-    try:
-        _record(result, thunk())
-    except Exception as e:  # noqa: BLE001 — a stage is a fault boundary
-        result.status = "failed"
-        result.error = "".join(traceback.format_exception_only(type(e), e)).strip()
+    for attempt in range(1 + max(0, retries)):
+        result.attempts = attempt + 1
+        try:
+            result.status = "ok"
+            result.error = None
+            _record(result, thunk())
+            break
+        except Exception as e:  # noqa: BLE001 — a stage is a fault boundary
+            result.status = "failed"
+            result.error = "".join(traceback.format_exception_only(type(e), e)).strip()
     result.duration_sec = time.perf_counter() - t0
     return result
 
@@ -161,6 +177,7 @@ def run_all(
     stages: Sequence[Stage | list[Stage]],
     fail_stop: bool = True,
     max_workers: int = 4,
+    retries: int = 0,
 ) -> RunReport:
     """Execute ``stages`` in order with fail-stop semantics (O1) and
     parallel task groups (O2).
@@ -180,6 +197,13 @@ def run_all(
     completion (they are already in flight), exactly like a process group —
     but it does abort everything after the group. With ``fail_stop=False``
     later stages still run.
+
+    ``retries`` (O4 parity): each stage re-runs up to that many extra
+    times on an exception before counting as failed — the reference's
+    two-attempt remediator loop generalized. Safe because stage flows are
+    idempotent (hash-guarded merges, deterministic overwrites). Task-level
+    transient faults are already retried by Spark itself; this knob covers
+    stage-scope faults (a flaky landing mount, a JDBC hiccup).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -201,10 +225,10 @@ def run_all(
                 )
             continue
         if len(group) == 1:
-            results = [_run_one(*group[0])]
+            results = [_run_one(*group[0], retries=retries)]
         else:
             with ThreadPoolExecutor(max_workers=min(max_workers, len(group))) as ex:
-                futures = [ex.submit(_run_one, n, t) for n, t in group]
+                futures = [ex.submit(_run_one, n, t, retries) for n, t in group]
                 results = [f.result() for f in futures]
         report.stages.extend(results)
         if fail_stop:

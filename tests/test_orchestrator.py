@@ -114,6 +114,44 @@ def test_run_all_fail_stop(spark):
     assert calls == ["a", "c"]
 
 
+def test_run_all_stage_retries(spark):
+    """O4 parity (reference 04_sa_history_remediator.py:228-237, two
+    attempts): a stage that fails transiently succeeds on a retry — only
+    the final outcome counts, attempts are recorded, fail-stop still sees
+    a stage that exhausts its retries, and a mid-retry success leaves no
+    'failed' residue in the report."""
+    flaky_calls = {"n": 0}
+
+    def flaky():
+        flaky_calls["n"] += 1
+        if flaky_calls["n"] < 3:
+            raise RuntimeError(f"transient {flaky_calls['n']}")
+
+    def always_boom():
+        raise RuntimeError("permanent")
+
+    report = orchestrator.run_all([("f", flaky)], retries=2)
+    assert report.ok
+    assert flaky_calls["n"] == 3
+    st = report.stages[0]
+    assert st.status == "ok" and st.attempts == 3 and st.error is None
+    assert "[attempt 3]" in report.summary_lines()[1]
+
+    # exhausted retries: last error recorded, later stages fail-stop
+    report = orchestrator.run_all(
+        [("b", always_boom), ("c", lambda: None)], retries=1
+    )
+    assert not report.ok
+    assert report.stages[0].status == "failed" and report.stages[0].attempts == 2
+    assert "permanent" in report.stages[0].error
+    assert report.stages[1].status == "skipped"
+
+    # default stays single-attempt (the r14 behavior)
+    flaky_calls["n"] = 0
+    report = orchestrator.run_all([("f", flaky)])
+    assert not report.ok and report.stages[0].attempts == 1
+
+
 def test_missing_feeds_do_not_fail_the_run(spark, tmp_path):
     (tmp_path / "landing").mkdir()
     report = run_pipeline(spark, str(tmp_path / "landing"), str(tmp_path / "wh"))
