@@ -295,6 +295,13 @@ WHERE CAST(len(a.toks) + len(b.toks) - len(list_distinct(list_concat(a.toks, b.t
 """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew-bounded triangular self-join (review r15): the plain
+    # (lang, bucket) self-equi-join put m^2/2 pairs of a hot block in ONE
+    # task — the quadratic straggler semantic_dedup / cosine_near_dup /
+    # simhash already route around; blocked_self_join emits the identical
+    # i<j pair set with <= 4096 rows per side per task
+    from ..operators.similarity import blocked_self_join
+
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -302,18 +309,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 100).cast("long").alias("bucket"),
         F.array_distinct(_tokens()).alias("toks"),
     )
-    a, b = d.alias("a"), d.alias("b")
+    pairs = blocked_self_join(d, ["lang", "bucket"], "doc_id", payload_cols=["toks"])
     union_size = F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
     inter_size = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - union_size
     jaccard = inter_size.cast("double") / union_size
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard.alias("jaccard"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
 
