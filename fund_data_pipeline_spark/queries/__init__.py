@@ -143,6 +143,13 @@ _CHECKED_FIRST = [
 #: (r14) window (mechanically audited by
 #: tests/test_core.py::test_out_of_window_family_reps_are_in_window).
 _OUT_OF_WINDOW_WHY = {
+    # ---- new in round 15: never driver-checked; verified by
+    # scripts/verify_local.py and gated every round by
+    # tests/test_catalog_oracle.py; first window slots next rotation
+    # (rule 2) ----
+    "semantic_dedup_codebook_join": "new r15, local-oracle verified; the r15 uncapped-assignment JOIN kernel (assign_cells_join: one-row packed-codebook broadcast, zero driver collect) under the hash gate with semantic_dedup_cells' exact oracle — family in-window via semantic_dedup_scaled (same SemDeDup kernel, production sizing)",
+    "semantic_dedup_codebook_arrow": "new r15, local-oracle verified; the r15 Arrow exact-matmul assignment kernel (assign_cells_arrow — the ~100k-cell production SemDeDup path) under the hash gate with semantic_dedup_cells' exact oracle — family in-window via semantic_dedup_scaled (same SemDeDup kernel)",
+    "simhash_df_capped": "new r15, local-oracle verified; the r15 document-frequency cap + recall-safe fallback (simhash_pairs(max_df_frac), SCALING.md r15 quadratic->linear sweep) under the hash gate — signature family in-window via minhash_lsh_candidates (banded signature join) + benchmark_contamination (shingle df regime)",
     # ---- rotated out of the r14 window (latest green r14, age 1; all
     # reps below are r15-window members) ----
     "gap_fill_locf_capped": "driver-green r14; densify/LOCF family in-window via calendar_gap_fill (same date-spine densify + last(ignorenulls) carry kernel; this is its scale-capped production form)",

@@ -642,6 +642,78 @@ def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(table(spark, sf_dir, "documents"), n_words=2)
 
 
+#: document-frequency cap for the registered capped-simhash query (the
+#: oracle is generated at this value). On the fixture corpus 30 of the 31
+#: tokens exceed it, so BOTH branches are driver-exercised: 25 documents
+#: carry genuinely capped signatures and 475 route through the
+#: every-token-hot fallback (keep the full set).
+_SIMHASH_MAX_DF = 0.4
+
+
+@register(
+    "simhash_df_capped",
+    doc="SimHash near-dup with the document-frequency cap (r15; operators/"
+    "similarity.py::simhash_pairs(max_df_frac)): tokens in more than "
+    f"{_SIMHASH_MAX_DF:.0%} of documents are dropped before voting — the "
+    "standard near-dup mitigation for stopword-dominated corpora, where "
+    "ubiquitous tokens vote identically everywhere and compress different "
+    "documents into colliding signatures (measured quadratic -> linear, "
+    "SCALING.md r15) — with the recall-safe per-document fallback: a "
+    "document whose EVERY token is above the cap keeps its full set, so "
+    "the cap can shrink a signature but never erase a doc from the "
+    "candidate relation. The fixture corpus exercises both branches "
+    "(30/31 tokens hot: 25 docs capped, 475 through the fallback). "
+    "Signature, banding and Hamming filter are otherwise simhash_near_dup "
+    "(60-bit word 0).",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+), nd AS (
+  SELECT COUNT(*) AS n FROM documents
+), hot AS (
+  SELECT tok FROM toks GROUP BY tok
+  HAVING COUNT(*) > {_SIMHASH_MAX_DF} * (SELECT n FROM nd)
+), flagged AS (
+  SELECT t.doc_id, t.tok, t.tok IN (SELECT tok FROM hot) AS is_hot FROM toks t
+), cold AS (
+  SELECT doc_id, SUM(CASE WHEN is_hot THEN 0 ELSE 1 END) AS n_cold
+  FROM flagged GROUP BY doc_id
+), kept AS (
+  SELECT f.doc_id, f.tok
+  FROM flagged f JOIN cold c USING (doc_id)
+  WHERE NOT f.is_hot OR c.n_cold = 0
+), h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM kept
+), bit_sums AS (
+  SELECT doc_id, i.i AS bit,
+         SUM(CASE WHEN (hv >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (FROM range({_SIMHASH_BITS})) i(i)
+  GROUP BY doc_id, i.i
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  FROM bit_sums GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash, b.b AS band, (simhash >> (15 * b.b)) & 32767 AS band_val
+  FROM sig CROSS JOIN (FROM range({_SIMHASH_BANDS})) b(b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b,
+         a.simhash AS sim_a, c.simhash AS sim_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+)
+SELECT doc_id_a, doc_id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_MAX}
+""",
+)
+def simhash_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import simhash_pairs
+
+    return simhash_pairs(
+        table(spark, sf_dir, "documents"), n_words=1, max_df_frac=_SIMHASH_MAX_DF
+    )
+
+
 @register(
     "repetition_filter_stats",
     doc="Gopher-style repetition quality gate per document: distinct-token "

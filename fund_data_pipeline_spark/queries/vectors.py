@@ -1084,6 +1084,43 @@ def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(spark, sf_dir, n_cells=cells_for_corpus(n))
 
 
+@register(
+    "semantic_dedup_codebook_join",
+    doc="The SemDeDup drop list computed through the codebook-as-DATA "
+    "JOIN assignment path (assign_cells_join: one-row packed-codebook "
+    "broadcast + higher-order-function argmin, zero driver collect) with "
+    "the same first-16 codebook as semantic_dedup_cells — shares that "
+    "query's oracle verbatim, so the r15 uncapped-assignment kernel "
+    "itself sits under the value-hash gate, not just the pytest "
+    "equivalence test. This is the path semantic_dedup takes for "
+    "codebooks wider than MAX_LITERAL_CELLS when a pure-JVM plan is "
+    "required.",
+    oracle=QUERIES["semantic_dedup_cells"].oracle,
+)
+def semantic_dedup_codebook_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quant("embedding").alias("qe"))
+    cb = emb.filter(F.col("vec_id") < N_IVF_CELLS).select(F.col("vec_id").alias("cid"), "qe")
+    return semantic_dedup(spark, sf_dir, codebook=cb, wide_assignment="join")
+
+
+@register(
+    "semantic_dedup_codebook_arrow",
+    doc="The SemDeDup drop list computed through the Arrow assignment "
+    "kernel (assign_cells_arrow: k-bounded codebook broadcast + exact "
+    "float64 matmul per batch — every intermediate an integer below "
+    "2^53, lowest-cid ties preserved) with the same first-16 codebook as "
+    "semantic_dedup_cells; shares that oracle verbatim. This is "
+    "semantic_dedup's default assignment from ARROW_ASSIGN_MIN_CELLS "
+    "cells up — the ~100k-cell production SemDeDup path — so its exact "
+    "arithmetic is hash-checked cross-engine, not just numpy-replayed.",
+    oracle=QUERIES["semantic_dedup_cells"].oracle,
+)
+def semantic_dedup_codebook_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quant("embedding").alias("qe"))
+    cb = emb.filter(F.col("vec_id") < N_IVF_CELLS).select(F.col("vec_id").alias("cid"), "qe")
+    return semantic_dedup(spark, sf_dir, codebook=cb, wide_assignment="arrow")
+
+
 #: reduced dimensionality for the random-projection query
 RP_DIM = 16
 
