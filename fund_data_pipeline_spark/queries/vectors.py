@@ -870,7 +870,17 @@ def assign_cells_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = np.asarray(pdf[qe_col].tolist(), dtype=np.float64)
+            vals = pdf[qe_col].tolist()
+            if any(v is None for v in vals):
+                # corrupt upstream batch: fail LOUDLY with a usable message
+                # (matching _quant's ANSI hard-cast philosophy) instead of
+                # numpy's opaque conversion error. The JVM paths let a NULL
+                # embedding ride with a meaningless cell and it can never
+                # pair (NULL norm fails the cosine guard); either way it
+                # contributes nothing — but data this dirty should stop a
+                # production assignment, not limp through it.
+                raise ValueError("assign_cells_arrow: NULL embedding in batch")
+            Q = np.asarray(vals, dtype=np.float64)
             if np.abs(Q).max() >= bound:
                 raise ValueError(
                     "assign_cells_arrow: embedding component exceeds the "

@@ -918,6 +918,18 @@ def test_assign_cells_join_matches_literal_path(spark, sf_dir, monkeypatch):
     with pytest.raises(ValueError, match="not both"):
         semantic_dedup(spark, sf_dir, centroids=wide_list, codebook=cb16)
 
+    # dirty-data contract (review r15): a NULL embedding fails the Arrow
+    # kernel LOUDLY with a usable message (the JVM paths let it ride with a
+    # meaningless cell, where the NULL norm keeps it out of every pair)
+    dirty = spark.createDataFrame(
+        [(0, [1] * 4), (1, None)], "vec_id long, qe array<bigint>"
+    )
+    cb4 = spark.createDataFrame([(0, [1] * 4)], "cid long, qe array<bigint>")
+    with pytest.raises(Exception, match="NULL embedding in batch"):
+        assign_cells_arrow(dirty, cb4).collect()
+    with pytest.raises(ValueError, match="empty codebook"):
+        assign_cells_arrow(dirty, cb4.filter(F.col("cid") < 0))
+
 
 def test_semantic_dedup_hot_cell_is_skew_bounded_with_identical_drops(spark, sf_dir):
     """VERDICT r6 item 2: a hot cell (every vector forced into ONE cell via
