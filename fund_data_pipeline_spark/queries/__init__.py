@@ -55,21 +55,38 @@ from . import mlops  # noqa: E402,F401
 #:      refills, behind rule-2 zero-evidence queries). The staleness test
 #:      verifies the deferral count equals exactly the oversubscription
 #:      excess — rule 6 can never park a query that would have fit.
+#:   7. Family-coverage tie-break on rule 3 (codified r16): when the
+#:      strictly-alphabetical rule-3 refill would leave a kernel family
+#:      with ZERO in-window representatives, the alphabetically-first due
+#:      member of that family is promoted into the refill ahead of the
+#:      alphabetical order (displacing the alphabetically-last non-sole
+#:      refill member). This preserves the header's "every operator family
+#:      gets a driver-checked row" invariant, which the r16 alphabetical
+#:      cut would otherwise break for the streaming family (all three due
+#:      streaming queries sat in the left-out tail). At most one member per
+#:      family is promoted; rules 5/6 are unaffected (the displaced member
+#:      is age < MAX_EVIDENCE_AGE by construction, else it had a rule-5
+#:      slot already).
 #:
-#: Round-15 rotation: IN — ``semantic_dedup_scaled`` (the r14 late addition,
-#: zero driver evidence, first non-headline slot per rule 2),
-#: ``streaming_enriched_purchases``, ``token_vocabulary``,
-#: ``top_supplier_revenue`` and ``video_frame_sample_stats`` (latest green
-#: r11 = age 4 at r15, due per rule 5), and the first 37 (alphabetical) of
-#: the 42 r12-latest queries (rule 3 oldest-evidence refill — the window is
-#: NOT oversubscribed: rules 1+2+5 claim only 13 slots, so no rule-6
-#: deferral). OUT — the 42 non-headline members of the r14 window (all
-#: green r14, age 1), the r13-latest cohort (age 2), and the 5
-#: alphabetically-last r12-latest queries (age 3; due at r16 under rule 5).
+#: Round-16 rotation: IN — ``semantic_dedup_codebook_arrow``,
+#: ``semantic_dedup_codebook_join`` and ``simhash_df_capped`` (the r15 late
+#: additions, zero driver evidence, first non-headline slots per rule 2);
+#: ``table_profile``, ``token_count_regex``, ``train_val_test_split``,
+#: ``unpivot_part_metrics`` and ``winsorized_price_stats`` (latest green
+#: r12 = age 4 at r16, due per rule 5); and 34 of the 42 r13-latest queries
+#: (rule 3 oldest-evidence refill: the first 33 alphabetically plus
+#: ``streaming_dedup_users``, promoted per rule 7 as the alphabetically-
+#: first member of the otherwise-unrepresented streaming family —
+#: displacing ``running_revenue_by_supplier``, the alphabetically-last
+#: refill member, whose keyed-window kernel stays covered in-window via
+#: ntile_quartiles). The window is NOT oversubscribed: rules 1+2+5 claim
+#: only 16 slots, so no rule-6 deferral. OUT — the 42 non-headline members
+#: of the r15 window (all green r15, age 1), the r14-latest cohort
+#: (age 2), and 8 r13-latest queries (age 3; due at r17 under rule 5).
 #: Every excluded query is listed in _OUT_OF_WINDOW_WHY below with the
 #: CORRECTNESS round(s) that checked it green, still registered, and still
 #: gated by scripts/verify_local.py + tests/test_catalog_oracle.py.
-ROTATION_ROUND = 15
+ROTATION_ROUND = 16
 MAX_EVIDENCE_AGE = 4
 DRIVER_WINDOW = 50
 _CHECKED_FIRST = [
@@ -82,54 +99,57 @@ _CHECKED_FIRST = [
     "tumbling_window_stats",
     "text_statistics",
     "exact_dedup",
-    # ---- rule 2: r14 late addition, zero driver evidence ----
-    "semantic_dedup_scaled",
-    # ---- rule 5: latest green r11, age 4 at r15 — due ----
-    "streaming_enriched_purchases",
-    "token_vocabulary",
-    "top_supplier_revenue",
-    "video_frame_sample_stats",
-    # ---- rule 3: the r12-latest cohort, oldest-evidence refill (first
-    # 37 of 42 alphabetically; table_profile, token_count_regex,
-    # train_val_test_split, unpivot_part_metrics and
-    # winsorized_price_stats stay out, due r16) ----
-    "benchmark_contamination",
-    "bigram_lm_quality_gate",
-    "buyer_set_ops",
-    "calendar_gap_fill",
-    "changelog_compact",
-    "clicks_before_purchase_range_join",
-    "conversion_funnel",
-    "corpus_dedup_pipeline",
-    "cube_order_stats",
-    "dedup_clusters",
-    "dedup_keep_best_quality",
-    "dedup_keep_list",
-    "doc_chunking",
-    "doc_quality_profile",
-    "embedding_ann_bucketed_topk",
-    "embedding_cosine_near_dup",
-    "embedding_random_projection",
-    "event_type_summary",
-    "fk_integrity_audit",
-    "image_decode_features",
-    "json_props_extraction",
-    "language_id_heuristic",
-    "language_rebalance_mixture",
-    "leakage_safe_split",
-    "length_percentile_gate",
-    "minhash_lsh_candidates",
-    "multimodal_binary_meta",
-    "order_price_percentiles",
-    "pii_redaction",
-    "pii_scrub_stats",
-    "pivot_status_by_segment",
-    "quality_score",
-    "repair_feed_merge",
-    "repetition_filter_stats",
-    "sequence_packing",
-    "simhash_near_dup",
-    "streaming_stateful_user_stats",
+    # ---- rule 2: r15 late additions, zero driver evidence ----
+    "semantic_dedup_codebook_arrow",
+    "semantic_dedup_codebook_join",
+    "simhash_df_capped",
+    # ---- rule 5: latest green r12, age 4 at r16 — due ----
+    "table_profile",
+    "token_count_regex",
+    "train_val_test_split",
+    "unpivot_part_metrics",
+    "winsorized_price_stats",
+    # ---- rule 3: the r13-latest cohort, oldest-evidence refill (first
+    # 33 alphabetically + streaming_dedup_users promoted per rule 7;
+    # running_revenue_by_supplier, source_frequency_cap,
+    # stratified_hash_sample, streaming_session_counts,
+    # streaming_tumbling_counts, string_compose_format,
+    # temperature_rebalance_mixture and top_orders_per_customer stay
+    # out, due r17) ----
+    "active_customers_semi",
+    "bm25_doc_search",
+    "bpe_pair_stats",
+    "conform_master_list",
+    "content_defined_chunking",
+    "corpus_mix_drift",
+    "customers_without_orders",
+    "date_parsing_and_arithmetic",
+    "dedup_keep_last",
+    "doc_fingerprint",
+    "duplicated_span_dedup",
+    "embedding_int8_quantization",
+    "embedding_ivf_topk",
+    "embedding_lsh_buckets",
+    "embedding_topk_pandas",
+    "fee_rescale_and_repair",
+    "group_count_breakdown",
+    "hash_guarded_merge",
+    "hybrid_bm25_cosine_rerank",
+    "incremental_rollup_revenue",
+    "latest_order_per_customer",
+    "lifecycle_status_transitions",
+    "locf_last_valid_value",
+    "master_validation_issues",
+    "model_quality_filter",
+    "nav_validation_errors",
+    "ngram_novelty",
+    "ntile_quartiles",
+    "numeric_string_parsing",
+    "price_quantity_stats",
+    "retention_cutoff_prune",
+    "row_hash_change_detection",
+    "row_hash_surfaces",
+    "streaming_dedup_users",
 ]
 
 
@@ -140,111 +160,107 @@ _CHECKED_FIRST = [
 #: round(s) that checked the query itself green (mechanically audited by
 #: tests/test_core.py::test_out_of_window_citations_match_correctness_records);
 #: "family in-window via X" names its kernel representative in the CURRENT
-#: (r14) window (mechanically audited by
+#: (r16) window (mechanically audited by
 #: tests/test_core.py::test_out_of_window_family_reps_are_in_window).
 _OUT_OF_WINDOW_WHY = {
-    # ---- new in round 15: never driver-checked; verified by
-    # scripts/verify_local.py and gated every round by
-    # tests/test_catalog_oracle.py; first window slots next rotation
-    # (rule 2) ----
-    "semantic_dedup_codebook_join": "new r15, local-oracle verified; the r15 uncapped-assignment JOIN kernel (assign_cells_join: one-row packed-codebook broadcast, zero driver collect) under the hash gate with semantic_dedup_cells' exact oracle — family in-window via semantic_dedup_scaled (same SemDeDup kernel, production sizing)",
-    "semantic_dedup_codebook_arrow": "new r15, local-oracle verified; the r15 Arrow exact-matmul assignment kernel (assign_cells_arrow — the ~100k-cell production SemDeDup path) under the hash gate with semantic_dedup_cells' exact oracle — family in-window via semantic_dedup_scaled (same SemDeDup kernel)",
-    "simhash_df_capped": "new r15, local-oracle verified; the r15 document-frequency cap + recall-safe fallback (simhash_pairs(max_df_frac), SCALING.md r15 quadratic->linear sweep) under the hash gate — signature family in-window via minhash_lsh_candidates (banded signature join) + benchmark_contamination (shingle df regime)",
-    # ---- rotated out of the r14 window (latest green r14, age 1; all
-    # reps below are r15-window members) ----
-    "gap_fill_locf_capped": "driver-green r14; densify/LOCF family in-window via calendar_gap_fill (same date-spine densify + last(ignorenulls) carry kernel; this is its scale-capped production form)",
-    "simhash_wide_pairs": "driver-green r14; signature family in-window via simhash_near_dup (same simhash banding kernel, 60-bit form; sf1 replay scripts/verify_sf1_simhash.py) + minhash_lsh_candidates (banded signature join)",
-    "unigram_likelihood_quality": "driver-green r10+r14; likelihood family in-window via bigram_lm_quality_gate (same likelihood-gate form, bigram order) + quality_score (quality scoring)",
-    "union_mixed_schemas": "driver-green r10+r14; schema-conform union family in-window via json_props_extraction (same schema-coercion/conform chain) + pivot_status_by_segment (schema reshape)",
-    "audio_quality_gate": "driver-green r7+r11+r14; multimodal family in-window via multimodal_binary_meta (same Arrow mapInPandas kernel) + image_decode_features (decode-feature twin)",
-    "boilerplate_scrub": "driver-green r7+r11+r14; chunking family in-window via doc_chunking (same scan+explode segment kernel) + sequence_packing (segment-grid packing)",
-    "bpe_encode_token_stats": "driver-green r11+r14; BPE family in-window via bigram_lm_quality_gate (same BPE encode + likelihood kernel) + token_vocabulary (token stats)",
-    "bpe_train_merges": "driver-green r11+r14; BPE family in-window via bigram_lm_quality_gate (same BPE pair-count kernel)",
-    "characteristic_terms": "driver-green r7+r11+r14; token-df/idf family in-window via token_vocabulary (same trim+whitespace tokenize + df kernel) + text_statistics (headline)",
-    "churned_buyers_except": "driver-green r1+r7+r11+r14; anti-join family in-window via buyer_set_ops (same EXCEPT/anti form) + fk_integrity_audit (anti kernel)",
-    "cohort_retention": "driver-green r7+r11+r14; date-bucket family in-window via calendar_gap_fill (same date-bucket arithmetic) + conversion_funnel (cohort event sequencing)",
-    "daily_order_anomaly": "driver-green r7+r11+r14; robust-stats family in-window via order_price_percentiles (same distribution-stats kernel) + event_type_summary (grouped daily counts)",
-    "deterministic_shuffle_order": "driver-green r7+r11+r14; md5-order family in-window via leakage_safe_split (same md5-bucket kernel) + language_rebalance_mixture (md5-bucket sampling)",
-    "distinct_counts": "driver-green r1+r7+r11+r14; grouped-count family in-window via event_type_summary (same grouped kernel) + pivot_status_by_segment (grouped agg)",
-    "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7+r11+r14; duplicate-attribution family in-window via dedup_keep_list (same duplicate-attribution kernel) + exact_dedup (headline)",
-    "embedding_centroid_stats": "driver-green r7+r11+r14; vector-agg family in-window via embedding_random_projection (same vector linear-algebra agg) + embedding_topk_cosine (headline)",
-    "grouping_sets_revenue": "driver-green r1+r7+r11+r14; multi-level agg family in-window via cube_order_stats (same CUBE/grouping-sets kernel) + pivot_status_by_segment (pivot agg)",
-    "hierarchy_flatten": "driver-green r7+r11+r14; iterative min-label family in-window via dedup_clusters (same iterative label-propagation kernel; sf1 replay scripts/verify_sf1_clusters.py)",
-    "incremental_near_dup": "driver-green r7+r11+r14; minhash-band family in-window via minhash_lsh_candidates (same minhash-band kernel) + benchmark_contamination (shingle join)",
-    "key_skew_profile": "driver-green r7+r11+r14; profiling family in-window via doc_quality_profile (same profiling-stats kernel) + language_rebalance_mixture (stratum stats)",
-    "nation_pair_revenue": "driver-green r2+r7+r11+r14; join-agg family in-window via top_supplier_revenue (same join-agg kernel) + regional_supplier_volume (headline)",
-    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7+r11+r14; shingle-join family in-window via benchmark_contamination (same shingle-join kernel) + repetition_filter_stats (shingle stats)",
-    "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7+r11+r14; conform family in-window via json_props_extraction (same parse/conform chain) + pii_redaction (regexp/conform chain)",
-    "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7+r11+r14; outer-join audit family in-window via fk_integrity_audit (same outer-audit kernel)",
-    "order_price_lead_lag": "driver-green r3+r4+r7+r11+r14; keyed-window family in-window via conversion_funnel (same keyed event-ordering kernel) + asof_last_click_before_purchase (headline event-time ordering)",
-    "price_histogram": "driver-green r7+r11+r14; distribution family in-window via order_price_percentiles (same distribution kernel) + length_percentile_gate (bucket gate)",
-    "price_quartiles_by_segment": "driver-green r1+r7+r11+r14; percentile family in-window via order_price_percentiles (same percentile kernel) + length_percentile_gate (percentile gate)",
-    "priority_orders_exists": "driver-green r1+r7+r11+r14; semi-join family in-window via buyer_set_ops (same EXISTS/semi form) + fk_integrity_audit (semi kernel)",
-    "promo_revenue_share": "driver-green r1+r2+r7+r11+r14; conditional-agg family in-window via event_type_summary (same conditional-agg kernel) + pricing_summary (headline agg)",
-    "record_linkage_fuzzy": "driver-green r7+r11+r14; fuzzy candidate-pair family in-window via minhash_lsh_candidates (same candidate-pair banding kernel) + benchmark_contamination (approximate-match join)",
-    "repeat_buyers_intersect": "driver-green r1+r7+r11+r14; set-intersection family in-window via buyer_set_ops (same INTERSECT form)",
-    "rolling_30d_revenue": "driver-green r7+r11+r14; date-window family in-window via calendar_gap_fill (same date-spine window kernel) + clicks_before_purchase_range_join (range predicate)",
-    "rollup_revenue": "driver-green r1+r7+r11+r14; multi-level agg family in-window via cube_order_stats (same ROLLUP/CUBE agg kernel)",
-    "running_distinct_users": "driver-green r7+r11+r14; incremental user-state family in-window via streaming_stateful_user_stats (same incremental user-state kernel) + streaming_enriched_purchases (streaming kernel)",
-    "salted_join_revenue": "driver-green r1+r7+r11+r14; skew-join family in-window via minhash_lsh_candidates (same salting/grid-decomposition skew-bounded join kernel) + regional_supplier_volume (headline join-agg)",
-    "scd2_priority_history": "driver-green r7+r11+r14; SCD/status-history family in-window via changelog_compact (same status-transition compaction kernel) + repair_feed_merge (merge)",
-    "semantic_dedup_cells": "driver-green r7+r11+r14; SemDeDup family in-window via semantic_dedup_scaled (same cell-assign/pruned-cosine kernel, corpus-sized production form) + embedding_ann_bucketed_topk (cell-assign kernel)",
-    "sessionization": "driver-green r3+r4+r7+r11+r14; event-sequence family in-window via conversion_funnel (same event-sequence kernel) + streaming_stateful_user_stats (session-state streaming twin)",
+    # ---- rotated out of the r15 window (latest green r15, age 1; all
+    # reps below are r16-window members) ----
+    "benchmark_contamination": "driver-green r5+r6+r8+r12+r15; shingle-index family in-window via ngram_novelty (same shingle-index contamination kernel) + duplicated_span_dedup (shingle join)",
+    "bigram_lm_quality_gate": "driver-green r12+r15; likelihood-gate family in-window via model_quality_filter (same quality-gate form) + bpe_pair_stats (same bigram pair-count kernel)",
+    "buyer_set_ops": "driver-green r2+r3+r4+r5+r8+r12+r15; set-op family in-window via active_customers_semi (semi/INTERSECT form) + customers_without_orders (anti/EXCEPT form)",
+    "calendar_gap_fill": "driver-green r8+r12+r15; densify/LOCF family in-window via locf_last_valid_value (same last(ignorenulls) carry kernel) + date_parsing_and_arithmetic (date-spine arithmetic)",
+    "changelog_compact": "driver-green r8+r12+r15; CDC-compaction family in-window via row_hash_change_detection (same hash-compare CDC kernel) + lifecycle_status_transitions (status transitions)",
+    "clicks_before_purchase_range_join": "driver-green r1+r2+r4+r5+r8+r12+r15; range-join family in-window via asof_last_click_before_purchase (headline; same event-time range predicate) + retention_cutoff_prune (range cutoff)",
+    "conversion_funnel": "driver-green r5+r6+r8+r12+r15; event-sequence family in-window via asof_last_click_before_purchase (headline event-time ordering) + latest_order_per_customer (keyed ordering)",
+    "corpus_dedup_pipeline": "driver-green r8+r12+r15; dedup-pipeline family in-window via exact_dedup (headline; stage-1 kernel) + doc_fingerprint (signature stage) + dedup_keep_last (survivor stage)",
+    "cube_order_stats": "driver-green r2+r3+r4+r5+r8+r12+r15; multi-level agg family in-window via incremental_rollup_revenue (same ROLLUP/CUBE agg kernel) + unpivot_part_metrics (reshape agg)",
+    "dedup_clusters": "driver-green r2+r3+r4+r5+r6+r8+r12+r15; iterative large-star/small-star min-label kernel has no same-family r16-window member (its only sibling hierarchy_flatten is r14-latest, also out); evidence is 1 round old, the kernel is property-tested every round (tests/test_operators.py graph suite) and replayed at sf1 by scripts/verify_sf1_clusters.py",
+    "dedup_keep_best_quality": "driver-green r8+r12+r15; keyed-survivor family in-window via dedup_keep_last (same keyed-survivor kernel) + exact_dedup (headline)",
+    "dedup_keep_list": "driver-green r5+r6+r8+r12+r15; duplicate-attribution family in-window via dedup_keep_last (same duplicate-attribution kernel) + exact_dedup (headline)",
+    "doc_chunking": "driver-green r6+r8+r12+r15; chunking family in-window via content_defined_chunking (same scan+explode segment kernel)",
+    "doc_quality_profile": "driver-green r2+r3+r4+r8+r12+r15; profiling family in-window via table_profile (same profiling-stats kernel) + corpus_mix_drift (corpus profiling)",
+    "embedding_ann_bucketed_topk": "driver-green r2+r3+r4+r8+r12+r15; ANN family in-window via embedding_ivf_topk (same cell-assign/pruned-cosine kernel) + embedding_topk_cosine (headline)",
+    "embedding_cosine_near_dup": "driver-green r2+r3+r4+r8+r12+r15; cosine family in-window via embedding_topk_cosine (headline; same cosine kernel) + embedding_lsh_buckets (bucketed pairing)",
+    "embedding_random_projection": "driver-green r8+r12+r15; projection family in-window via embedding_lsh_buckets (same hyperplane-projection kernel) + embedding_int8_quantization (vector transform)",
+    "event_type_summary": "driver-green r2+r4+r8+r12+r15; grouped-count family in-window via group_count_breakdown (same grouped kernel)",
+    "fk_integrity_audit": "driver-green r8+r12+r15; integrity-audit family in-window via nav_validation_errors (same rule-audit kernel) + customers_without_orders (anti kernel)",
+    "image_decode_features": "driver-green r6+r8+r12+r15; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
+    "json_props_extraction": "driver-green r1+r2+r3+r4+r8+r12+r15; parse/conform family in-window via numeric_string_parsing (same parse chain) + conform_master_list (conform kernel)",
+    "language_id_heuristic": "driver-green r1+r2+r3+r4+r8+r12+r15; text-scoring family in-window via text_statistics (headline; same text-stats scan) + model_quality_filter (score gate)",
+    "language_rebalance_mixture": "driver-green r6+r8+r12+r15; mixture-sampling family in-window via train_val_test_split (same md5-bucket kernel)",
+    "leakage_safe_split": "driver-green r6+r8+r12+r15; md5-bucket split family in-window via train_val_test_split (same md5-bucket split kernel)",
+    "length_percentile_gate": "driver-green r6+r8+r12+r15; percentile-gate family in-window via ntile_quartiles (same percentile kernel) + winsorized_price_stats (robust stats)",
+    "minhash_lsh_candidates": "driver-green r2+r3+r4+r8+r12+r15; minhash-band family in-window via doc_fingerprint (same minhash signature kernel) + simhash_df_capped (banded signature join)",
+    "multimodal_binary_meta": "driver-green r6+r8+r12+r15; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel) + table_profile (typed-metadata profiling)",
+    "order_price_percentiles": "driver-green r5+r6+r8+r12+r15; percentile family in-window via ntile_quartiles (same percentile kernel) + winsorized_price_stats (robust stats)",
+    "pii_redaction": "driver-green r8+r12+r15; regexp-redaction family in-window via token_count_regex (same regexp kernel) + numeric_string_parsing (regexp parse chain)",
+    "pii_scrub_stats": "driver-green r6+r8+r12+r15; regexp-scrub family in-window via token_count_regex (same regexp kernel) + group_count_breakdown (scrub counts)",
+    "pivot_status_by_segment": "driver-green r1+r2+r3+r4+r5+r8+r12+r15; reshape family in-window via unpivot_part_metrics (the inverse reshape kernel; pivot and stack share the wide<->long plan shape) + group_count_breakdown (grouped agg)",
+    "quality_score": "driver-green r5+r6+r8+r12+r15; quality-scoring family in-window via model_quality_filter (same quality-gate form) + text_statistics (headline stats)",
+    "repair_feed_merge": "driver-green r5+r6+r8+r12+r15; merge family in-window via hash_guarded_merge (same merge kernel)",
+    "repetition_filter_stats": "driver-green r5+r6+r8+r12+r15; repetition/shingle-stats family in-window via ngram_novelty (same shingle-index kernel) + text_statistics (headline scan)",
+    "semantic_dedup_scaled": "driver-green r15; SemDeDup family in-window via semantic_dedup_codebook_join + semantic_dedup_codebook_arrow (same SemDeDup kernel, the r15 assignment forms under the same exact oracle) + embedding_ivf_topk (cell-assign)",
+    "sequence_packing": "driver-green r6+r8+r12+r15; segment-packing family in-window via content_defined_chunking (same segment-grid kernel)",
+    "simhash_near_dup": "driver-green r2+r3+r4+r8+r12+r15; simhash family in-window via simhash_df_capped (same simhash banding kernel, df-capped form) + doc_fingerprint (signature)",
+    "streaming_enriched_purchases": "driver-green r7+r11+r15; streaming family in-window via streaming_dedup_users (same availableNow drain + streaming kernel)",
+    "streaming_stateful_user_stats": "driver-green r6+r8+r12+r15; streaming-state family in-window via streaming_dedup_users (same streaming-state kernel)",
+    "token_vocabulary": "driver-green r7+r11+r15; token-df family in-window via bm25_doc_search (same token-df kernel) + token_count_regex (tokenize)",
+    "top_supplier_revenue": "driver-green r1+r2+r7+r11+r15; extreme-agg family in-window via latest_order_per_customer (same max_by/extreme-agg kernel) + regional_supplier_volume (headline join-agg)",
+    "video_frame_sample_stats": "driver-green r7+r11+r15; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
+    # ---- the r14-latest cohort (age 2; reps re-pointed at r16-window
+    # members) ----
+    "gap_fill_locf_capped": "driver-green r14; densify/LOCF family in-window via locf_last_valid_value (same last(ignorenulls) carry kernel; this is its scale-capped production form)",
+    "simhash_wide_pairs": "driver-green r14; signature family in-window via simhash_df_capped (same simhash banding kernel; sf1 replay scripts/verify_sf1_simhash.py) + doc_fingerprint (signature kernel)",
+    "unigram_likelihood_quality": "driver-green r10+r14; likelihood family in-window via model_quality_filter (same likelihood-gate form) + bm25_doc_search (token scoring)",
+    "union_mixed_schemas": "driver-green r10+r14; schema-conform union family in-window via conform_master_list (same schema-coercion/conform chain) + unpivot_part_metrics (schema reshape)",
+    "audio_quality_gate": "driver-green r7+r11+r14; multimodal family in-window via embedding_topk_pandas (same Arrow mapInPandas kernel)",
+    "boilerplate_scrub": "driver-green r7+r11+r14; chunking family in-window via content_defined_chunking (same scan+explode segment kernel)",
+    "bpe_encode_token_stats": "driver-green r11+r14; BPE family in-window via bpe_pair_stats (same BPE encode/pair kernel) + token_count_regex (token stats)",
+    "bpe_train_merges": "driver-green r11+r14; BPE family in-window via bpe_pair_stats (same BPE pair-count kernel)",
+    "characteristic_terms": "driver-green r7+r11+r14; token-df/idf family in-window via bm25_doc_search (same token-df/idf kernel) + text_statistics (headline)",
+    "churned_buyers_except": "driver-green r1+r7+r11+r14; anti-join family in-window via customers_without_orders (same EXCEPT/anti form) + active_customers_semi (semi kernel)",
+    "cohort_retention": "driver-green r7+r11+r14; date-bucket family in-window via date_parsing_and_arithmetic (same date-bucket arithmetic) + retention_cutoff_prune (date cutoff)",
+    "daily_order_anomaly": "driver-green r7+r11+r14; robust-stats family in-window via winsorized_price_stats (same robust-stats kernel) + group_count_breakdown (grouped daily counts)",
+    "deterministic_shuffle_order": "driver-green r7+r11+r14; md5-order family in-window via train_val_test_split (same md5-bucket order kernel)",
+    "distinct_counts": "driver-green r1+r7+r11+r14; grouped-count family in-window via group_count_breakdown (same grouped kernel)",
+    "duplicate_key_stats": "driver-green r1+r2+r3+r4+r7+r11+r14; duplicate-attribution family in-window via dedup_keep_last (same duplicate-attribution kernel) + exact_dedup (headline)",
+    "embedding_centroid_stats": "driver-green r7+r11+r14; vector-agg family in-window via embedding_int8_quantization (same vector linear-algebra agg) + embedding_topk_cosine (headline)",
+    "grouping_sets_revenue": "driver-green r1+r7+r11+r14; multi-level agg family in-window via incremental_rollup_revenue (same ROLLUP/grouping-sets kernel)",
+    "hierarchy_flatten": "driver-green r7+r11+r14; iterative min-label kernel has no r16-window member (same kernel as dedup_clusters, itself driver-green r15 one round ago); gated every round by the graph property tests (tests/test_operators.py) and the sf1 replay scripts/verify_sf1_clusters.py",
+    "incremental_near_dup": "driver-green r7+r11+r14; minhash-band family in-window via doc_fingerprint (same minhash signature kernel) + ngram_novelty (shingle-index join)",
+    "key_skew_profile": "driver-green r7+r11+r14; profiling family in-window via table_profile (same profiling-stats kernel) + corpus_mix_drift (stratum stats)",
+    "nation_pair_revenue": "driver-green r2+r7+r11+r14; join-agg family in-window via regional_supplier_volume (headline; same join-agg kernel) + incremental_rollup_revenue (multi-level agg)",
+    "ngram_jaccard_pairs": "driver-green r2+r3+r4+r7+r11+r14; shingle-join family in-window via duplicated_span_dedup (same shingle-join kernel) + ngram_novelty (shingle index)",
+    "null_sentinel_cleanup": "driver-green r1+r2+r3+r4+r7+r11+r14; conform family in-window via conform_master_list (same conform kernel) + numeric_string_parsing (parse chain)",
+    "order_fulfillment_outer": "driver-green r1+r2+r3+r4+r7+r11+r14; outer-join audit family in-window via customers_without_orders (same unmatched-row outer/anti kernel) + nav_validation_errors (integrity audit)",
+    "order_price_lead_lag": "driver-green r3+r4+r7+r11+r14; keyed-window family in-window via ntile_quartiles (same keyed-window kernel) + asof_last_click_before_purchase (headline event-time ordering)",
+    "price_histogram": "driver-green r7+r11+r14; distribution family in-window via ntile_quartiles (same distribution-bucket kernel) + winsorized_price_stats (distribution stats)",
+    "price_quartiles_by_segment": "driver-green r1+r7+r11+r14; percentile family in-window via ntile_quartiles (same percentile kernel) + price_quantity_stats (grouped stats)",
+    "priority_orders_exists": "driver-green r1+r7+r11+r14; semi-join family in-window via active_customers_semi (same EXISTS/semi form)",
+    "promo_revenue_share": "driver-green r1+r2+r7+r11+r14; conditional-agg family in-window via pricing_summary (headline; same conditional-agg kernel) + group_count_breakdown (conditional counts)",
+    "record_linkage_fuzzy": "driver-green r7+r11+r14; fuzzy candidate-pair family in-window via doc_fingerprint (same candidate-pair signature kernel) + simhash_df_capped (banded candidates)",
+    "repeat_buyers_intersect": "driver-green r1+r7+r11+r14; set-intersection family in-window via active_customers_semi (same set-membership semi form) + customers_without_orders (set-difference twin)",
+    "rolling_30d_revenue": "driver-green r7+r11+r14; date-window family in-window via locf_last_valid_value (same date-spine window-frame kernel) + date_parsing_and_arithmetic (date arithmetic)",
+    "rollup_revenue": "driver-green r1+r7+r11+r14; multi-level agg family in-window via incremental_rollup_revenue (same ROLLUP kernel)",
+    "running_distinct_users": "driver-green r7+r11+r14; incremental user-state family in-window via streaming_dedup_users (same incremental user-state kernel)",
+    "salted_join_revenue": "driver-green r1+r7+r11+r14; skew-join family in-window via simhash_df_capped (same grid-decomposition skew-bounded join kernel) + regional_supplier_volume (headline join-agg)",
+    "scd2_priority_history": "driver-green r7+r11+r14; SCD/status-history family in-window via lifecycle_status_transitions (same status-transition kernel) + row_hash_change_detection (hash-compare CDC)",
+    "semantic_dedup_cells": "driver-green r7+r11+r14; SemDeDup family in-window via semantic_dedup_codebook_join + semantic_dedup_codebook_arrow (same cell-assign kernel under this query's exact oracle) + embedding_ivf_topk (cell-assign)",
+    "sessionization": "driver-green r3+r4+r7+r11+r14; event-sequence family in-window via latest_order_per_customer (same keyed event-ordering kernel) + streaming_dedup_users (session-state streaming twin)",
     "sliding_window_stats": "driver-green r3+r4+r7+r11+r14; time-window family in-window via tumbling_window_stats (headline; same window() kernel, sliding form)",
     "small_quantity_revenue": "driver-green r1+r2+r7+r11+r14; filtered-agg family in-window via pricing_summary (headline; same filter-agg kernel)",
-    "snapshot_diff": "driver-green r7+r11+r14; hash-compare family in-window via changelog_compact (same CDC hash-compare kernel) + repair_feed_merge (merge repair)",
-    "streaming_click_purchase_join": "driver-green r7+r11+r14; stream-join family in-window via streaming_enriched_purchases (same stream-static join + availableNow drain) + streaming_stateful_user_stats (streaming state)",
-    # ---- latest green r13 (age 2; reps re-pointed at r15-window
-    # members) ----
-    "active_customers_semi": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; semi-join family in-window via buyer_set_ops (same semi form) + fk_integrity_audit (semi kernel)",
-    "bm25_doc_search": "driver-green r10+r13; token-df/idf family in-window via token_vocabulary (same token-df kernel) + quality_score (document scoring)",
-    "bpe_pair_stats": "driver-green r10+r13; BPE family in-window via bigram_lm_quality_gate (same BPE pair-count kernel)",
-    "conform_master_list": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; conform family in-window via json_props_extraction (same conform/parse chain) + pivot_status_by_segment (schema reshape)",
-    "content_defined_chunking": "driver-green r10+r13; chunking family in-window via doc_chunking (same scan+explode segment kernel) + sequence_packing (segment packing)",
-    "corpus_mix_drift": "driver-green r10+r13; corpus-profiling family in-window via doc_quality_profile (same profiling-stats kernel) + language_rebalance_mixture (mixture stats)",
-    "customers_without_orders": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; anti-join family in-window via buyer_set_ops (same anti/except form) + fk_integrity_audit (anti kernel)",
-    "date_parsing_and_arithmetic": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; date parse/arithmetic family in-window via calendar_gap_fill (same date-arithmetic kernel) + clicks_before_purchase_range_join (event-time predicates)",
-    "dedup_keep_last": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed-survivor family in-window via dedup_keep_best_quality (same keyed-survivor kernel) + exact_dedup (headline)",
-    "doc_fingerprint": "driver-green r5+r6+r10+r13; signature family in-window via simhash_near_dup (same signature kernel) + minhash_lsh_candidates (minhash signature)",
-    "duplicated_span_dedup": "driver-green r10+r13; shingle-join family in-window via benchmark_contamination (same shingle-join kernel) + minhash_lsh_candidates (banded candidates)",
-    "embedding_int8_quantization": "driver-green r10+r13; vector-transform family in-window via embedding_random_projection (same vector-transform kernel) + embedding_topk_cosine (headline)",
-    "embedding_ivf_topk": "driver-green r5+r6+r10+r13; ANN family in-window via embedding_ann_bucketed_topk (same cell-assign/pruned-cosine kernel) + embedding_topk_cosine (headline)",
-    "embedding_lsh_buckets": "driver-green r5+r6+r10+r13; projection family in-window via embedding_ann_bucketed_topk (bucketed ANN kernel) + simhash_near_dup (bit-signature banding)",
-    "embedding_topk_pandas": "driver-green r5+r6+r10+r13; Arrow-UDF family in-window via image_decode_features (same Arrow mapInPandas kernel) + embedding_topk_cosine (headline; same top-k semantics JVM-side)",
-    "fee_rescale_and_repair": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; parse/repair family in-window via json_props_extraction (same parse chain) + repair_feed_merge (repair kernel)",
-    "group_count_breakdown": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; grouped-count family in-window via event_type_summary (same grouped kernel) + pivot_status_by_segment (grouped agg)",
-    "hash_guarded_merge": "driver-green r2+r3+r4+r5+r6+r10+r13; hash-guarded merge family in-window via repair_feed_merge (same merge kernel) + changelog_compact (hash-compare)",
-    "hybrid_bm25_cosine_rerank": "driver-green r10+r13; hybrid-rerank family in-window via token_vocabulary (bm25 token-df side) + embedding_topk_cosine (headline cosine side)",
-    "incremental_rollup_revenue": "driver-green r7+r10+r13; multi-level agg family in-window via cube_order_stats (same ROLLUP kernel)",
-    "latest_order_per_customer": "driver-green r3+r4+r5+r6+r10+r13; keyed-extreme family in-window via top_supplier_revenue (same max_by/extreme-agg kernel) + conversion_funnel (keyed ordering)",
-    "lifecycle_status_transitions": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; status-history family in-window via changelog_compact (same status-transition kernel) + repair_feed_merge (merge)",
-    "locf_last_valid_value": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; LOCF family in-window via calendar_gap_fill (same last(ignorenulls) carry kernel)",
-    "master_validation_issues": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; rule-audit family in-window via json_props_extraction (same conform-rule chain) + fk_integrity_audit (integrity audit)",
-    "model_quality_filter": "driver-green r13; quality-gate family in-window via quality_score (same quality-scoring form) + bigram_lm_quality_gate (likelihood gate)",
-    "nav_validation_errors": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; validation-split family in-window via fk_integrity_audit (same integrity-audit kernel) + json_props_extraction (conform rules)",
-    "ngram_novelty": "driver-green r10+r13; shingle-index family in-window via benchmark_contamination (same shingle-index kernel) + token_vocabulary (token df)",
-    "ntile_quartiles": "driver-green r3+r4+r5+r6+r10+r13; percentile family in-window via order_price_percentiles (same percentile kernel) + length_percentile_gate (percentile gate)",
-    "numeric_string_parsing": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; parse-chain family in-window via json_props_extraction (same parse-chain kernel)",
-    "price_quantity_stats": "driver-green r7+r10+r13; robust-stats family in-window via order_price_percentiles (same percentile kernel) + doc_quality_profile (robust stats)",
-    "retention_cutoff_prune": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; retention/prune family in-window via calendar_gap_fill (same date-cutoff arithmetic) + clicks_before_purchase_range_join (range cutoff)",
-    "row_hash_change_detection": "driver-green r1+r2+r3+r4+r5+r6+r10+r13; CDC hash-compare family in-window via changelog_compact (same hash-compare kernel) + repair_feed_merge (merge)",
-    "row_hash_surfaces": "driver-green r10+r13; hash-surface family in-window via leakage_safe_split (same md5 kernel) + changelog_compact (hash-compare)",
-    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed-window family in-window via conversion_funnel (same keyed ordering kernel) + calendar_gap_fill (date window)",
-    "source_frequency_cap": "driver-green r10+r13; stratum-cap family in-window via language_rebalance_mixture (same stratum-cap kernel) + leakage_safe_split (md5-order)",
-    "stratified_hash_sample": "driver-green r5+r6+r10+r13; md5-bucket sampling family in-window via leakage_safe_split (same md5-bucket kernel) + language_rebalance_mixture (stratified sampling)",
-    "streaming_dedup_users": "driver-green r5+r6+r10+r13; streaming-state family in-window via streaming_stateful_user_stats (same streaming-state kernel) + streaming_enriched_purchases (streaming kernel)",
-    "streaming_session_counts": "driver-green r5+r6+r10+r13; streaming-session family in-window via streaming_stateful_user_stats (same session-state kernel) + conversion_funnel (event-sequence batch twin)",
-    "streaming_tumbling_counts": "driver-green r2+r4+r8+r13; streaming-window family in-window via streaming_enriched_purchases (same availableNow drain) + tumbling_window_stats (headline; same window() kernel)",
-    "string_compose_format": "driver-green r10+r13; string-expression family in-window via json_props_extraction (same string-expression chain) + pii_redaction (regexp compose)",
-    "temperature_rebalance_mixture": "driver-green r10+r13; mixture-sampling family in-window via language_rebalance_mixture (same mixture-sampling kernel) + leakage_safe_split (md5-bucket)",
-    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed top-k family in-window via top_unshipped_orders (headline ranking) + top_supplier_revenue (extreme agg)",
-    # ---- latest green r12, left out by the rule-3 alphabetical
-    # tie-break (age 3; due at r16 under rule 5) ----
-    "table_profile": "driver-green r5+r6+r8+r12; profiling family in-window via doc_quality_profile (same profiling kernel) + event_type_summary (grouped counts)",
-    "token_count_regex": "driver-green r5+r6+r8+r12; tokenize family in-window via token_vocabulary (same tokenize kernel) + text_statistics (headline)",
-    "train_val_test_split": "driver-green r2+r3+r4+r8+r12; md5-bucket split family in-window via leakage_safe_split (same md5-bucket kernel) + dedup_keep_list (key-group integrity)",
-    "unpivot_part_metrics": "driver-green r1+r2+r3+r4+r5+r8+r12; reshape/stack family in-window via pivot_status_by_segment (the inverse reshape kernel; stack and pivot share the wide<->long plan shape)",
-    "winsorized_price_stats": "driver-green r8+r12; robust-stats family in-window via order_price_percentiles (same robust-stats/percentile kernel)",
+    "snapshot_diff": "driver-green r7+r11+r14; hash-compare family in-window via row_hash_change_detection (same CDC hash-compare kernel) + hash_guarded_merge (merge repair)",
+    "streaming_click_purchase_join": "driver-green r7+r11+r14; stream-join family in-window via streaming_dedup_users (same availableNow drain + streaming kernel) + asof_last_click_before_purchase (headline batch twin)",
+    # ---- latest green r13, left out by the rule-3 refill (age 3; due at
+    # r17 under rule 5) ----
+    "running_revenue_by_supplier": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed-window family in-window via ntile_quartiles (same keyed-window kernel) + latest_order_per_customer (keyed ordering); displaced by the rule-7 promotion of streaming_dedup_users at r16",
+    "source_frequency_cap": "driver-green r10+r13; stratum-cap family in-window via train_val_test_split (same deterministic md5-order sampling kernel)",
+    "stratified_hash_sample": "driver-green r5+r6+r10+r13; md5-bucket sampling family in-window via train_val_test_split (same md5-bucket kernel)",
+    "streaming_session_counts": "driver-green r5+r6+r10+r13; streaming-session family in-window via streaming_dedup_users (same streaming-state kernel)",
+    "streaming_tumbling_counts": "driver-green r2+r4+r8+r13; streaming-window family in-window via streaming_dedup_users (same availableNow drain) + tumbling_window_stats (headline; same window() kernel)",
+    "string_compose_format": "driver-green r10+r13; string-expression family in-window via numeric_string_parsing (same string-expression chain) + token_count_regex (regexp kernel)",
+    "temperature_rebalance_mixture": "driver-green r10+r13; mixture-sampling family in-window via train_val_test_split (same md5-bucket sampling kernel)",
+    "top_orders_per_customer": "driver-green r2+r3+r4+r5+r6+r10+r13; keyed top-k family in-window via top_unshipped_orders (headline ranking) + latest_order_per_customer (keyed extreme agg)",
 }
 
 
