@@ -287,17 +287,26 @@ def simhash_pairs(
     documents into near-identical signatures — the shared-vocab collision
     regime SCALING.md r14 measured at p=1.42. Dropping them leaves the
     discriminative tail to set the bits, restoring near-disjoint
-    scaling (SCALING.md r15 sweep). Recall safety: a TRUE near-dup pair
-    shares its surviving (post-cap) tokens just as it shared the full
-    set, so it still hashes together (planted-pair test); a document
-    whose every token is ubiquitous falls BACK to its full token set
-    rather than vanishing from the candidate relation — the cap can
-    reduce a document's signature, never erase it. Hence on a corpus
-    with no discriminative tail at all (every token above the cap — the
-    r13 31-token wide fixture is this shape) the fallback makes the cap
-    a measured no-op rather than a recall cliff. The one driver-side
-    scalar is the document count (table statistics at 100 TB); the hot
-    set is |tokens above the cap|-bounded and joins as the small side.
+    scaling (SCALING.md r15 sweep). Recall: when BOTH documents of a true
+    near-dup pair keep at least one cold token, they share their surviving
+    (post-cap) sets just as they shared the full sets, so the pair still
+    hashes together (planted-pair test). A document whose EVERY token is
+    ubiquitous falls back to its full token set rather than vanishing from
+    the candidate relation — the cap can shrink a signature, never erase
+    one — so a corpus with no discriminative tail at all (the r13 31-token
+    wide fixture) sees the cap as a measured no-op, not a recall cliff.
+    The fallback is per-document, though, so it is NOT pairwise-consistent
+    at the boundary (r15 ADVICE): if doc A is all-hot (keeps the full set)
+    while its twin B has a single cold token (keeps only that token),
+    their post-cap token sets — and signatures — diverge, and that one
+    pair can drop out of the candidate relation even though both documents
+    remain in it. ``tests/test_operators.py::
+    test_simhash_df_cap_fallback_is_per_document`` pins this boundary;
+    corpora mixing all-hot and nearly-all-hot twins should lower
+    ``max_df_frac`` (or pre-strip boilerplate) rather than rely on the
+    fallback for pair recall. The one driver-side scalar is the document
+    count (table statistics at 100 TB); the hot set is |tokens above the
+    cap|-bounded and joins as the small side.
 
     Returns one row per unordered candidate pair: ``(<id>_a, <id>_b,
     hamming)`` with ``hamming <= hamming_max``. The band self-join runs

@@ -148,19 +148,32 @@ def _record(result: StageResult, value: object) -> None:
         result.side_counts["returned"] = 1
 
 
-def _run_one(name: str, thunk: Callable[[], object], retries: int = 0) -> StageResult:
+def _run_one(
+    name: str,
+    thunk: Callable[[], object],
+    retries: int = 0,
+    retry_delay_sec: float = 0.0,
+) -> StageResult:
     """One stage as a fault boundary, with the reference's stage-retry
     semantics (O4, `04_sa_history_remediator.py:228-237`: two attempts
-    before giving up): on an exception the stage re-runs up to ``retries``
-    more times; only the FINAL attempt's outcome counts, the recorded
-    error is the last one, and ``duration_sec`` covers all attempts.
-    Stage flows are idempotent by construction (hash-guarded merges,
-    deterministic overwrites), so a half-applied failed attempt is safe to
-    re-enter — the same property that makes whole-run re-execution safe."""
+    before giving up, sleeping 10s between them): on an exception the
+    stage re-runs up to ``retries`` more times; only the FINAL attempt's
+    outcome counts, the recorded error is the last one, and
+    ``duration_sec`` covers all attempts (including backoff sleeps).
+    ``retry_delay_sec`` sleeps between attempts — for the targets this
+    knob exists for (a flaky landing mount, a JDBC hiccup) an instant
+    retry typically hits the same transient condition and burns every
+    attempt within milliseconds (r15 ADVICE); default 0 keeps retries
+    immediate for in-process fault-injection tests. Stage flows are
+    idempotent by construction (hash-guarded merges, deterministic
+    overwrites), so a half-applied failed attempt is safe to re-enter —
+    the same property that makes whole-run re-execution safe."""
     result = StageResult(name=name, status="ok")
     t0 = time.perf_counter()
     for attempt in range(1 + max(0, retries)):
         result.attempts = attempt + 1
+        if attempt > 0 and retry_delay_sec > 0:
+            time.sleep(retry_delay_sec)
         try:
             result.status = "ok"
             result.error = None
@@ -178,6 +191,7 @@ def run_all(
     fail_stop: bool = True,
     max_workers: int = 4,
     retries: int = 0,
+    retry_delay_sec: float = 0.0,
 ) -> RunReport:
     """Execute ``stages`` in order with fail-stop semantics (O1) and
     parallel task groups (O2).
@@ -204,6 +218,9 @@ def run_all(
     idempotent (hash-guarded merges, deterministic overwrites). Task-level
     transient faults are already retried by Spark itself; this knob covers
     stage-scope faults (a flaky landing mount, a JDBC hiccup).
+    ``retry_delay_sec`` backs each re-attempt off by that many seconds
+    (the reference sleeps 10s between its two attempts) so a retry does
+    not immediately re-hit the same transient condition.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -225,10 +242,10 @@ def run_all(
                 )
             continue
         if len(group) == 1:
-            results = [_run_one(*group[0], retries=retries)]
+            results = [_run_one(*group[0], retries=retries, retry_delay_sec=retry_delay_sec)]
         else:
             with ThreadPoolExecutor(max_workers=min(max_workers, len(group))) as ex:
-                futures = [ex.submit(_run_one, n, t, retries) for n, t in group]
+                futures = [ex.submit(_run_one, n, t, retries, retry_delay_sec) for n, t in group]
                 results = [f.result() for f in futures]
         report.stages.extend(results)
         if fail_stop:

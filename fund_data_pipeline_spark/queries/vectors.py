@@ -780,7 +780,14 @@ def assign_cells_join(
     fixture — fine to a few thousand cells, ~50 ms/row at 100k. For wide
     codebooks use :func:`assign_cells_arrow` (exact numpy matmul, ~100x);
     this form remains the zero-driver-collect, JVM-only variant and the
-    equivalence anchor both paths are tested against."""
+    equivalence anchor both paths are tested against. (The one driver-side
+    job is a 1-row existence probe: an EMPTY codebook would otherwise
+    collect_list into an empty array, ``array_min`` would yield NULL, and
+    every vector would silently land in cell NULL — an empty drop list
+    instead of an error. Mirror :func:`assign_cells_arrow` and fail loudly;
+    r15 ADVICE.)"""
+    if codebook.select(F.lit(1)).limit(1).count() == 0:
+        raise ValueError("assign_cells_join: empty codebook")
     packed = codebook.select(
         F.struct(
             _dot(F.col("qe"), F.col("qe")).alias("ce_sq"),
@@ -1140,6 +1147,17 @@ def train_codebook_distributed(
     base = emb.select(F.col(id_col).alias("__id"), F.col(qe_col).alias("qe"))
     hkey = F.md5(F.col("__id").cast("string"))
     init = base.orderBy(hkey, "__id").limit(k)
+    # Loud-failure contract (r15 ADVICE): with fewer than k corpus rows the
+    # TakeOrdered just yields all rows and the documented "codebook width
+    # stays exactly k" promise would silently shrink — downstream
+    # assign_cells_* would quietly use a narrower codebook. The probe is
+    # k-bounded (the init sample, never the corpus).
+    n_init = init.count()
+    if n_init < k:
+        raise ValueError(
+            f"train_codebook_distributed: corpus has only {n_init} rows, "
+            f"cannot train k={k} centers — pick k <= corpus size"
+        )
     # cid = rank within the k-row sample by the same (md5, id) order — the
     # window runs over k rows, not the corpus
     cb = (

@@ -929,6 +929,14 @@ def test_assign_cells_join_matches_literal_path(spark, sf_dir, monkeypatch):
         assign_cells_arrow(dirty, cb4).collect()
     with pytest.raises(ValueError, match="empty codebook"):
         assign_cells_arrow(dirty, cb4.filter(F.col("cid") < 0))
+    # r15 ADVICE: the JOIN path must mirror that guard — an empty codebook
+    # would otherwise collect_list an empty array, array_min yields NULL,
+    # and every vector silently lands in cell NULL (an empty drop list
+    # instead of an error)
+    from fund_data_pipeline_spark.queries.vectors import assign_cells_join
+
+    with pytest.raises(ValueError, match="empty codebook"):
+        assign_cells_join(dirty, cb4.filter(F.col("cid") < 0))
 
 
 def test_train_codebook_distributed_recovers_planted_blobs(spark):
@@ -1010,6 +1018,12 @@ def test_train_codebook_distributed_recovers_planted_blobs(spark):
         train_codebook_distributed(emb, k=0)
     with pytest.raises(ValueError, match="iters"):
         train_codebook_distributed(emb, k=2, iters=0)
+
+    # r15 ADVICE: corpus narrower than k must fail LOUDLY — orderBy.limit(k)
+    # would silently yield a sub-k codebook, contradicting the documented
+    # "width stays exactly k" contract that downstream assign_cells_* trust
+    with pytest.raises(ValueError, match="only 60 rows.*k=100"):
+        train_codebook_distributed(emb, k=100)
 
 
 def test_semantic_dedup_hot_cell_is_skew_bounded_with_identical_drops(spark, sf_dir):
@@ -2302,3 +2316,36 @@ def test_simhash_max_df_cap_recall_and_fallback(spark):
         for r in simhash_pairs(fb, n_words=2, max_df_frac=0.3).collect()
     }
     assert fbk == base
+
+
+def test_simhash_df_cap_fallback_is_per_document(spark):
+    """r15 ADVICE: the all-hot fallback is per-document, NOT pairwise-
+    consistent. Doc 0 is all-hot (fallback keeps its full 400-token set);
+    its true near-dup twin doc 1 has ONE cold token, so the cap keeps only
+    that token — their post-cap sets share nothing and the planted pair
+    drops out of the capped candidate relation even though both documents
+    remain in it (doc 0 still pairs with the other all-hot docs at
+    hamming 0). This pins the boundary the docstring now states; if the
+    fallback is ever made pairwise-consistent, this test flips and the
+    simhash_df_capped oracle SQL must move in lockstep."""
+    from fund_data_pipeline_spark.operators.similarity import simhash_pairs
+
+    stop = " ".join(f"the{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(0, stop), (1, stop + " onlycold"), (2, stop), (3, stop)],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.doc_id_a, r.doc_id_b) for r in simhash_pairs(docs, n_words=2).collect()
+    }
+    capped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in simhash_pairs(docs, n_words=2, max_df_frac=0.5).collect()
+    }
+    # uncapped: one cold voter against a 400-strong margin flips nothing
+    assert (0, 1) in uncapped
+    # capped: doc 1 keeps only {onlycold} -> signatures diverge, pair lost
+    assert (0, 1) not in capped
+    # ... while doc 0 itself is NOT erased: the all-hot fallback keeps it
+    # paired with the identical all-hot docs
+    assert {(0, 2), (0, 3), (2, 3)} <= capped

@@ -152,6 +152,33 @@ def test_run_all_stage_retries(spark):
     assert not report.ok and report.stages[0].attempts == 1
 
 
+def test_run_all_retry_delay_backs_off_between_attempts(monkeypatch):
+    """r15 ADVICE: the reference remediator sleeps 10s between its two
+    attempts; retry_delay_sec applies that backoff between attempts (not
+    before the first), so a retry does not instantly re-hit the same
+    transient condition. Sleeps are intercepted — the test pins WHERE the
+    delay applies, not wall-clock."""
+    slept: list[float] = []
+    monkeypatch.setattr(orchestrator.time, "sleep", lambda s: slept.append(s))
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+
+    report = orchestrator.run_all([("f", flaky)], retries=2, retry_delay_sec=0.5)
+    assert report.ok and report.stages[0].attempts == 3
+    # two retries -> two sleeps, none before the first attempt
+    assert slept == [0.5, 0.5]
+
+    # default 0 delay: no sleep calls at all (current-test preservation)
+    slept.clear()
+    calls["n"] = 0
+    orchestrator.run_all([("f", flaky)], retries=2)
+    assert slept == []
+
+
 def test_missing_feeds_do_not_fail_the_run(spark, tmp_path):
     (tmp_path / "landing").mkdir()
     report = run_pipeline(spark, str(tmp_path / "landing"), str(tmp_path / "wh"))
