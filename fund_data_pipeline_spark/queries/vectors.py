@@ -770,10 +770,11 @@ def assign_cells_join(
     Scale: the broadcast row is ~``k * (dim + 1) * 8`` bytes — ~52 MB at
     100k cells x 64 dims, the real-SemDeDup codebook size; executors hold
     ONE copy via the broadcast, not one per task, and the corpus never
-    shuffles. Past broadcast size (~1M cells), slice the codebook into B
-    pieces, run this same kernel once per slice, and reduce the B
-    candidates per vector with one ``min_by`` aggregate — still no
-    corpus-wide n x k row expansion.
+    shuffles. Past broadcast size (~1M cells), use
+    :func:`assign_cells_join_sliced`: the codebook slices into B one-row
+    broadcasts, this same kernel runs once per slice in ONE corpus pass,
+    and the per-slice ``(dist, cid)`` minima reduce row-local with
+    ``least`` — still no shuffle and no corpus-wide n x k row expansion.
 
     Throughput: higher-order functions are expression-INTERPRETED (no
     whole-stage codegen), measured ~0.5 us per row x cell on the sf10-wide
@@ -807,6 +808,81 @@ def assign_cells_join(
         emb.crossJoin(F.broadcast(packed))
         .withColumn(cell_col, F.array_min(dists)["cid"])
         .drop("__cents")
+    )
+
+
+def assign_cells_join_sliced(
+    emb: DataFrame,
+    codebook: DataFrame,
+    *,
+    n_slices: int,
+    qe_col: str = "qe",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """:func:`assign_cells_join` for codebooks past a single broadcast's
+    size (~1M cells at 64 dims): the codebook slices into ``n_slices``
+    one-row packed broadcasts, the join kernel's per-slice ``(dist, cid)``
+    minimum is computed once per slice in ONE chained corpus pass (B
+    1-row ``BroadcastNestedLoopJoin``s — each O(n), the plan-gate-allowed
+    shape), and the B per-row candidates reduce ROW-LOCAL with ``least``
+    over the minima structs. ``least`` on structs compares
+    lexicographically by field order — ``(dist, cid)`` — so the global
+    argmin and its tie-break are EXACTLY :func:`_cell_dist_arr`'s, and
+    min-over-slice-minima equals the global minimum by associativity:
+    cell ids are bit-identical to both sibling kernels
+    (equivalence-tested in tests/test_operators.py). No shuffle, no
+    ``min_by`` aggregate, no corpus-wide n x B row expansion — the corpus
+    is touched once.
+
+    Slicing is ``(row_number over cid order − 1) % n_slices``: exact-
+    balanced (slice sizes differ by at most one), deterministic, and
+    never empty while ``n_slices <= k`` (``n_slices`` is clamped to the
+    codebook's row count, a k-bounded probe). The single-partition window
+    sorts k codebook rows, not the corpus — ~0.5 GB at 1M cells x 64
+    dims, driver-free and far below executor memory."""
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
+    k = codebook.count()  # k-bounded: the codebook is the SMALL side
+    if k == 0:
+        raise ValueError("assign_cells_join_sliced: empty codebook")
+    n_slices = min(n_slices, k)
+    if n_slices == 1:
+        return assign_cells_join(emb, codebook, qe_col=qe_col, cell_col=cell_col)
+    sliced = codebook.withColumn(
+        "__slice",
+        ((F.row_number().over(Window.orderBy("cid")) - 1) % n_slices).cast("int"),
+    )
+    qe = F.col(qe_col)
+    out = emb
+    minima = []
+    for b in range(n_slices):
+        cents_col = f"__cents_{b}"
+        packed_b = (
+            sliced.filter(F.col("__slice") == b)
+            .select(
+                F.struct(
+                    _dot(F.col("qe"), F.col("qe")).alias("ce_sq"),
+                    F.col("qe").cast("array<bigint>").alias("ce"),
+                    F.col("cid").cast("long").alias("cid"),
+                ).alias("c")
+            )
+            .agg(F.collect_list("c").alias(cents_col))
+        )
+        dists_b = F.transform(
+            F.col(cents_col),
+            lambda c: F.struct(
+                (c["ce_sq"] - 2 * _dot(qe, c["ce"])).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        out = (
+            out.crossJoin(F.broadcast(packed_b))
+            .withColumn(f"__min_{b}", F.array_min(dists_b))
+            .drop(cents_col)
+        )
+        minima.append(F.col(f"__min_{b}"))
+    return out.withColumn(cell_col, F.least(*minima)["cid"]).drop(
+        *[f"__min_{b}" for b in range(n_slices)]
     )
 
 

@@ -939,6 +939,57 @@ def test_assign_cells_join_matches_literal_path(spark, sf_dir, monkeypatch):
         assign_cells_join(dirty, cb4.filter(F.col("cid") < 0))
 
 
+def test_assign_cells_join_sliced_matches_unsliced(spark, sf_dir):
+    """r15 verdict item 5: the past-broadcast-size codebook-slicing path
+    (B one-row broadcasts, one chained corpus pass, row-local least over
+    per-slice (dist, cid) minima) must produce bit-identical cell ids to
+    the single-broadcast join and Arrow kernels — including ties, which
+    must resolve to the lowest cid GLOBALLY, not per-slice. Also pins the
+    clamp (n_slices > k degrades gracefully) and the empty/invalid
+    guards."""
+    from fund_data_pipeline_spark.queries.registry import table
+    from fund_data_pipeline_spark.queries.vectors import (
+        _quant,
+        assign_cells_arrow,
+        assign_cells_join,
+        assign_cells_join_sliced,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant("embedding").alias("qe")
+    )
+    cb = emb.filter(F.col("vec_id") < 64).select(F.col("vec_id").alias("cid"), "qe")
+    base = {r["vec_id"]: r["cell"] for r in assign_cells_join(emb, cb).collect()}
+    arrow = {r["vec_id"]: r["cell"] for r in assign_cells_arrow(emb, cb).collect()}
+    assert base == arrow
+    # B=1 routes to the unsliced kernel; B=3 (uneven slices), B=64 (one
+    # cell per slice), B=100 (clamped to k=64) all bit-identical
+    for b in (1, 3, 64, 100):
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells_join_sliced(emb, cb, n_slices=b).collect()
+        }
+        assert got == base, f"sliced assignment diverges at n_slices={b}"
+
+    # tie-break across slice boundaries: two IDENTICAL centroids land in
+    # different slices (row_number order puts cid 0 in slice 0, cid 1 in
+    # slice 1); every vector must resolve to the GLOBAL lowest cid, 0
+    dup_cb = spark.createDataFrame(
+        [(0, [5, 5, 5, 5]), (1, [5, 5, 5, 5])], "cid long, qe array<bigint>"
+    )
+    vecs = spark.createDataFrame(
+        [(0, [1, 2, 3, 4]), (1, [9, 9, 9, 9])], "vec_id long, qe array<bigint>"
+    )
+    tied = assign_cells_join_sliced(vecs, dup_cb, n_slices=2)
+    assert {r["cell"] for r in tied.collect()} == {0}
+
+    with pytest.raises(ValueError, match="empty codebook"):
+        assign_cells_join_sliced(vecs, dup_cb.filter(F.col("cid") < 0), n_slices=2)
+    with pytest.raises(ValueError, match="n_slices"):
+        assign_cells_join_sliced(vecs, dup_cb, n_slices=0)
+
+
+
 def test_train_codebook_distributed_recovers_planted_blobs(spark):
     """The uncapped Lloyd trainer (r15 — the training half of the 100k-cell
     production SemDeDup story): on three well-separated planted blobs it
