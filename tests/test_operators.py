@@ -638,6 +638,51 @@ def test_pack_token_budget_boundary_semantics(spark):
         pack_token_budget(chunks, budget=0)
 
 
+def test_scrub_boilerplate_segments_edges(spark):
+    """r16 sweep: scrub_boilerplate_segments had only the catalog oracle +
+    a plan test — the r11 NULL-id join fix and the all-segments-hot edge
+    were never unit-pinned. Pins: (a) hot segments removed everywhere and
+    reassembly preserves original order, (b) a doc whose EVERY segment is
+    hot empties to clean_text '' with n_removed == n_segments (not a
+    dropped row), (c) a NULL doc_id survives the null-safe totals join
+    with its own reassembled text, (d) segments appearing only in NULL-id
+    docs never count toward document frequency (countDistinct ignores
+    NULL ids — same on both engines; documented edge, not a bug)."""
+    from fund_data_pipeline_spark.operators.chunking import (
+        scrub_boilerplate_segments,
+    )
+
+    hot = "x y"  # one 2-token segment repeated across > max_doc_freq docs
+    rows = [(i, f"{hot} body{i} tail{i}") for i in range(4)]  # hot + unique
+    rows.append((100, f"{hot} {hot}"))  # every segment hot
+    rows.append((None, f"{hot} nullish tail"))  # NULL id
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_segments"], r["n_removed"], r["clean_text"])
+        for r in scrub_boilerplate_segments(
+            docs, segment_tokens=2, max_doc_freq=2
+        ).collect()
+    }
+    # (a) hot head removed, order of survivors preserved
+    assert out[0] == (2, 1, "body0 tail0")
+    # (b) all-hot doc stays in the result, emptied
+    assert out[100] == (2, 2, "")
+    # (c) NULL-id doc keeps its reassembled text (eqNullSafe join)
+    assert out[None] == (2, 1, "nullish tail")
+
+    # (d) a segment occurring in 3 NULL-id docs + 1 real doc has
+    # countDistinct df = 1 -> never hot, even at max_doc_freq=2
+    nd = spark.createDataFrame(
+        [(None, "n g"), (None, "n g"), (None, "n g"), (7, "n g")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in scrub_boilerplate_segments(nd, segment_tokens=2, max_doc_freq=2).collect()
+    }
+    assert out2[7] == "n g"
+
+
 def test_leakage_safe_split_colocates_exact_duplicates(spark, sf_dir):
     from fund_data_pipeline_spark.queries.registry import QUERIES
 
