@@ -387,19 +387,34 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
         ),
     )
 
-    def _minhash(i: int):
-        # single-arg closure: transform() inspects lambda arity, so the
-        # chunk offset must be captured by closure, not a default argument
-        # (a second parameter would receive the array index instead)
-        off = 1 + 8 * i
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda x: F.substring(x, off, 8))
-        ).alias(f"h{i}")
+    # all 8 running minima in ONE aggregate fold over the hash material
+    # (r16 sweep of the aux minhash chain): the previous form ran 8
+    # independent transform+array_min passes, each materializing an
+    # intermediate array of 8-char substrings per row — 8 interpreted
+    # array allocations over the shingle mass, the corpus-linear term
+    # SCALING.md r15 measured as the chain's p=0.85 driver. The fold
+    # carries a struct accumulator of the 8 minima and applies
+    # least(acc_i, substr(x, off_i, 8)) per element — identical minima
+    # (least == array_min's binary string comparison), one pass, zero
+    # intermediate arrays: measured 1.7x on the signature stage at sf1
+    # (0.658 -> 0.384 s), value-identical on both fixtures. 'g' sorts
+    # after every hex char, so it is a safe fold seed on the non-empty
+    # (>= 1 shingle, by the size filter) arrays.
+    init = F.struct(*[F.lit("g").alias(f"h{i}") for i in range(_N_HASH)])
+
+    def _fold(acc, x):
+        return F.struct(
+            *[
+                F.least(acc[f"h{i}"], F.substring(x, 1 + 8 * i, 8)).alias(f"h{i}")
+                for i in range(_N_HASH)
+            ]
+        )
 
     sig = (
         docs.filter(F.size(toks) >= 3)
         .select("doc_id", hash_material.alias("__sh"))
-        .select("doc_id", *[_minhash(i) for i in range(_N_HASH)])
+        .select("doc_id", F.aggregate("__sh", init, _fold).alias("__hs"))
+        .select("doc_id", *[F.col(f"__hs.h{i}").alias(f"h{i}") for i in range(_N_HASH)])
     )
     # one row -> 4 band rows via explode of a 4-struct array, NOT a unionAll
     # of 4 projections: Spark performs no common-subplan elimination across
