@@ -163,6 +163,11 @@ _CHECKED_FIRST = [
 #: (r16) window (mechanically audited by
 #: tests/test_core.py::test_out_of_window_family_reps_are_in_window).
 _OUT_OF_WINDOW_WHY = {
+    # ---- new in round 16: never driver-checked; verified by
+    # scripts/verify_local.py and gated every round by
+    # tests/test_catalog_oracle.py; first window slot next rotation
+    # (rule 2) ----
+    "semantic_dedup_codebook_sliced": "new r16, local-oracle verified; the r16 past-broadcast-size SLICED assignment kernel (assign_cells_join_sliced: B one-row packed broadcasts, one chained corpus pass, row-local least reduction) under the hash gate with semantic_dedup_cells' exact oracle — family in-window via semantic_dedup_codebook_join + semantic_dedup_codebook_arrow (same SemDeDup assignment kernel family)",
     # ---- rotated out of the r15 window (latest green r15, age 1; all
     # reps below are r16-window members) ----
     "benchmark_contamination": "driver-green r5+r6+r8+r12+r15; shingle-index family in-window via ngram_novelty (same shingle-index contamination kernel) + duplicated_span_dedup (shingle join)",

@@ -811,6 +811,14 @@ def assign_cells_join(
     )
 
 
+#: slice count used by semantic_dedup(wide_assignment="join_sliced") — at a
+#: true past-broadcast codebook (~1M cells) the caller sizes B so each slice
+#: stays under the broadcast bound (~B = ceil(codebook_bytes / 64 MB)); the
+#: fixed default keeps the registered fixture query genuinely multi-slice
+#: (the 16-cell fixture codebook splits 4x4).
+N_SLICES_DEFAULT = 4
+
+
 def assign_cells_join_sliced(
     emb: DataFrame,
     codebook: DataFrame,
@@ -1008,7 +1016,9 @@ def semantic_dedup(
     item 2 — the old 4096-literal clamp made SemDeDup quadratic past ~4M
     vectors): ``wide_assignment="arrow"`` (default) runs
     :func:`assign_cells_arrow`'s exact-matmul batch kernel, ``"join"``
-    runs :func:`assign_cells_join`'s zero-collect one-row broadcast. A
+    runs :func:`assign_cells_join`'s zero-collect one-row broadcast, and
+    ``"join_sliced"`` runs :func:`assign_cells_join_sliced`'s
+    past-broadcast-size B-slice form (:data:`N_SLICES_DEFAULT` slices). A
     ``codebook`` DataFrame of ``(cid, qe)`` rows — e.g. a trained k-means
     codebook of any width — always takes the wide path; an explicit
     ``centroids`` LIST stays literal up to :data:`MAX_LITERAL_CELLS`
@@ -1069,10 +1079,19 @@ def semantic_dedup(
         assigned = emb.withColumn("cell", F.array_min(_cell_dist_arr(cents))["cid"])
     elif wide_assignment == "join":
         assigned = assign_cells_join(emb, codebook)
+    elif wide_assignment == "join_sliced":
+        # past-broadcast-size form (r16): B one-row broadcasts, one chained
+        # corpus pass, row-local least over per-slice minima — bit-identical
+        # cell ids. N_SLICES_DEFAULT keeps fixture codebooks multi-slice so
+        # the registered query actually exercises the slicing.
+        assigned = assign_cells_join_sliced(emb, codebook, n_slices=N_SLICES_DEFAULT)
     elif wide_assignment == "arrow":
         assigned = assign_cells_arrow(emb, codebook)
     else:
-        raise ValueError(f"wide_assignment must be 'arrow' or 'join', got {wide_assignment!r}")
+        raise ValueError(
+            "wide_assignment must be 'arrow', 'join' or 'join_sliced', "
+            f"got {wide_assignment!r}"
+        )
     cells = assigned.withColumn("norm2", _dot(F.col("qe"), F.col("qe")))
     # zero-norm guard (review r11): ANSI double 0/0 aborts; NULL fails the
     # threshold on both engines, so zero vectors drop out of the dedup
@@ -1315,6 +1334,27 @@ def semantic_dedup_codebook_arrow(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _quant("embedding").alias("qe"))
     cb = emb.filter(F.col("vec_id") < N_IVF_CELLS).select(F.col("vec_id").alias("cid"), "qe")
     return semantic_dedup(spark, sf_dir, codebook=cb, wide_assignment="arrow")
+
+
+@register(
+    "semantic_dedup_codebook_sliced",
+    doc="The SemDeDup drop list computed through the past-broadcast-size "
+    "SLICED assignment path (r16; assign_cells_join_sliced: the codebook "
+    "splits into N_SLICES_DEFAULT one-row packed broadcasts, the join "
+    "kernel runs once per slice in ONE chained corpus pass, and the "
+    "per-slice (dist, cid) minima reduce row-locally with least — the "
+    "~1M-cell form where a single packed codebook row exceeds the "
+    "broadcast bound) with the same first-16 codebook as "
+    "semantic_dedup_cells; shares that oracle verbatim, so the slicing "
+    "and its cross-slice lowest-cid tie-break sit under the value-hash "
+    "gate, not just the pytest equivalence test. The 16-cell fixture "
+    "codebook splits 4x4, so every slice is genuinely exercised.",
+    oracle=QUERIES["semantic_dedup_cells"].oracle,
+)
+def semantic_dedup_codebook_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _quant("embedding").alias("qe"))
+    cb = emb.filter(F.col("vec_id") < N_IVF_CELLS).select(F.col("vec_id").alias("cid"), "qe")
+    return semantic_dedup(spark, sf_dir, codebook=cb, wide_assignment="join_sliced")
 
 
 #: reduced dimensionality for the random-projection query

@@ -901,7 +901,7 @@ def test_assign_cells_join_matches_literal_path(spark, sf_dir, monkeypatch):
     # drop list
     cb16 = emb.filter(F.col("vec_id") < 16).select(F.col("vec_id").alias("cid"), "qe")
     lit_drops = sorted(map(tuple, semantic_dedup(spark, sf_dir, n_cells=16).collect()))
-    for wa in ("arrow", "join"):
+    for wa in ("arrow", "join", "join_sliced"):
         wide_drops = sorted(
             map(
                 tuple,

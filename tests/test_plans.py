@@ -281,6 +281,10 @@ _ONE_ROW_BNLJ_OK = {
     # embedding scan — O(n), the assign_cells_join kernel's documented
     # shape; the arrow twin has no BNLJ (mapInPandas)
     "semantic_dedup_codebook_join",
+    # r16: the sliced form chains N_SLICES_DEFAULT one-row packed-codebook
+    # broadcasts (one per slice) — each O(n), reduced row-locally; same
+    # 1-row-build shape as the unsliced join kernel, B times
+    "semantic_dedup_codebook_sliced",
 }
 
 
