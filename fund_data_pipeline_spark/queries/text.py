@@ -342,24 +342,37 @@ def _shingle_sql() -> str:
     )
 
 
-def _shingles(col: str = "text"):
-    """Token 3-gram array (the LSH shingle set), Spark side of
-    :func:`_shingle_sql`: ``zip_with`` over three sliced views of the token
-    array — linear array kernels, measured ~8x faster at sf0.1 than
-    ``transform(sequence(...), i -> element_at(...))`` (a non-foldable
-    ``element_at`` is a per-access bounds-checked lookup, and the index
-    array is an extra allocation per row). Empty array under 3 tokens, so
-    consumers see exactly the exploded formulation's behavior."""
+def _trigram_structs(col: str = "text"):
+    """Token 3-gram array as STRUCTS of the three tokens, the Spark side
+    of :func:`_shingle_sql` (r16, same insight as minhash_bands):
+    ``arrays_zip`` over three ``slice`` views is an ordinary expression
+    (no lambda, stays in whole-stage codegen), where the r15
+    string-building ``zip_with`` form paid one interpreted lambda call
+    per shingle (Spark evaluates higher-order functions outside codegen).
+    The struct (t0, t1, t2) and the string "t0 t1 t2" are in bijection —
+    tokens are split on the separator so they can never contain it —
+    hence ``array_distinct``/``size``/equality over this array equal the
+    same operations over the string form the oracle computes, and
+    consumers that need the actual string rebuild it AFTER explode with
+    :func:`_trigram_str` (codegen concat on top-level columns). Empty
+    under 3 tokens, so explode-consumers see exactly the oracle's
+    behavior."""
     toks = _tokens(col)
     n = F.size(toks) - 2
-    trigram = F.zip_with(
-        F.zip_with(
-            F.slice(toks, 1, n), F.slice(toks, 2, n), lambda a, b: F.concat(a, F.lit(" "), b)
-        ),
-        F.slice(toks, 3, n),
-        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n).alias("t0"),
+        F.slice(toks, 2, n).alias("t1"),
+        F.slice(toks, 3, n).alias("t2"),
     )
-    return F.when(F.size(toks) >= 3, trigram).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(toks) >= 3, zipped).otherwise(
+        F.array().cast("array<struct<t0:string,t1:string,t2:string>>")
+    )
+
+
+def _trigram_str(g):
+    """Rebuild the shingle string from an exploded :func:`_trigram_structs`
+    element (codegen concat — applies after the explode)."""
+    return F.concat(g["t0"], F.lit(" "), g["t1"], F.lit(" "), g["t2"])
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
@@ -387,18 +400,10 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     tokens) produce no band rows: explode of the empty zip emits nothing,
     and the size filter documents the intent."""
     toks = _tokens()
-    n = F.size(toks) - 2
-    trigrams = F.arrays_zip(
-        F.slice(toks, 1, n).alias("t0"),
-        F.slice(toks, 2, n).alias("t1"),
-        F.slice(toks, 3, n).alias("t2"),
-    )
-    shingle = F.concat(
-        F.col("g.t0"), F.lit(" "), F.col("g.t1"), F.lit(" "), F.col("g.t2")
-    )
+    shingle = _trigram_str(F.col("g"))
     sig = (
         docs.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(trigrams).alias("g"))
+        .select("doc_id", F.explode(_trigram_structs()).alias("g"))
         .select(
             "doc_id",
             F.md5(F.concat(F.lit("0|"), shingle)).alias("m0"),
@@ -760,7 +765,10 @@ def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
     n_tokens = F.size(toks)
     distinct_frac = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    shingles = _shingles()
+    # struct-zip trigrams (r16): only sizes are consumed here, and
+    # size/array_distinct over the struct form equal the string form's
+    # (bijection — see _trigram_structs), with no per-shingle lambda.
+    shingles = _trigram_structs()
     dup_3gram_frac = F.when(
         F.size(shingles) > 0,
         F.lit(1.0) - F.size(F.array_distinct(shingles)).cast("double") / F.size(shingles),
@@ -807,7 +815,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     advertised scale and OOM — AQE picks broadcast at runtime whenever
     the side is genuinely small, which is strictly safer than pinning."""
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle"))
+    # struct-zip trigrams (r16): the join key can be the (t0,t1,t2) struct
+    # itself — struct equality IS string equality under the bijection —
+    # so the shingle string is never built at all and the whole explode
+    # side stays in codegen with no per-shingle lambda.
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_trigram_structs())).alias("shingle")
+    )
     train = sh.filter(F.col("doc_id") % 97 != 0).select(
         F.col("doc_id").alias("train_doc_id"), "shingle"
     )
@@ -1923,7 +1937,11 @@ GROUP BY sh.doc_id
 )
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle"))
+    # struct-zip trigrams as the grouping/join key (r16) — same bijection
+    # argument as benchmark_contamination; no shingle strings built.
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_trigram_structs())).alias("shingle")
+    )
     first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
     return (
