@@ -2445,3 +2445,53 @@ def test_simhash_df_cap_fallback_is_per_document(spark):
     # ... while doc 0 itself is NOT erased: the all-hot fallback keeps it
     # paired with the identical all-hot docs
     assert {(0, 2), (0, 3), (2, 3)} <= capped
+
+
+# ---------------------------------------------------------------------------
+# minhash banding: hashlib golden replay (third derivation)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_bands_hashlib_replay(spark):
+    """Pin minhash_bands against a pure-Python hashlib replay — a THIRD
+    independent derivation of the signature scheme, alongside the DuckDB
+    oracle (minhash_bands_sql) and scripts/verify_sf1_pipeline.py. This
+    is the regression tripwire for the r16 explode+codegen rewrite: the
+    formulation changed (HOF fold -> explode + partial-min aggregate),
+    the VALUES must not have. Covers: a doc under 3 tokens (no band
+    rows), exact-duplicate docs (identical band keys), a doc whose only
+    shingles are repeated (min over a multiset), and ordinary text."""
+    import hashlib
+
+    from fund_data_pipeline_spark.queries.text import minhash_bands
+
+    def _md5(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    def expected(doc_id: int, text: str):
+        toks = text.split(" ")
+        if len(toks) < 3:
+            return
+        material = [
+            _md5("0|" + " ".join(toks[i : i + 3])) + _md5("1|" + " ".join(toks[i : i + 3]))
+            for i in range(len(toks) - 2)
+        ]
+        sig = [min(m[8 * i : 8 * i + 8] for m in material) for i in range(8)]
+        for band, (a, b) in enumerate([(0, 1), (2, 3), (4, 5), (6, 7)]):
+            yield doc_id, band, _md5(sig[a] + sig[b])
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact duplicate of 1
+        (3, "too short"),  # under 3 tokens: no bands
+        (4, "loop loop loop loop"),  # single repeated shingle
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r.doc_id, r.band, r.band_key) for r in minhash_bands(df).collect()}
+    want = {t for d, txt in docs for t in expected(d, txt)}
+    assert got == want
+    assert not any(d == 3 for d, _, _ in got)
+    d1 = {(b, k) for d, b, k in got if d == 1}
+    d2 = {(b, k) for d, b, k in got if d == 2}
+    assert d1 == d2 and len(d1) == 4
