@@ -46,7 +46,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     from ..session import normalize_event_ts, normalize_session
 
     normalize_session(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # pinned read contract (same as the batch reader) — skips the batch
+    # footer-inference job a schema-less readStream would need anyway
+    from ..queries.registry import FIXTURE_SCHEMAS
+
+    schema = FIXTURE_SCHEMAS["events"]
     sdf = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

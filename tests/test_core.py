@@ -772,3 +772,22 @@ def test_whitespace_class_is_cross_engine_pinned(spark, tmp_path):
         if name == "token_vocabulary":
             toks = {r.token for r in s_pdf.itertuples()}
             assert "a" in toks and "b" in toks and "a\x0bb" not in toks
+
+
+def test_fixture_schemas_match_inference(spark, sf_dir):
+    """The pinned read schemas (registry.FIXTURE_SCHEMAS, r16 optimization:
+    skip the per-read footer-inference job) must stay bit-identical to what
+    inference produces under the session's pinned confs — otherwise the pin
+    could silently drift from the fixtures (wrong nullability masks errors;
+    a wrong type would change results). Covers every pinned table, including
+    events' TimestampType (inferTimestampNTZ disabled session-wide)."""
+    from fund_data_pipeline_spark.queries.registry import FIXTURE_SCHEMAS
+    from fund_data_pipeline_spark.session import normalize_session
+
+    normalize_session(spark)
+    for name, pinned in FIXTURE_SCHEMAS.items():
+        inferred = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        assert inferred == pinned, (
+            f"{name}: pinned schema drifted from inference\n"
+            f"  pinned:   {pinned}\n  inferred: {inferred}"
+        )
