@@ -241,9 +241,42 @@ def merge_upsert(
         # partition's (plain isin / == would silently drop them and the
         # swap would overwrite the NULL partition with source-only content)
         if len(touched) <= _ISIN_PRUNE_MAX:
+            # Read ONLY the touched partition directories (r16 optimization):
+            # a root-path read pays file listing + footer mergeSchema for the
+            # WHOLE table at DataFrame-creation time — driver-side planning
+            # work proportional to TOTAL partitions, not touched ones
+            # (measured 0.42 s of the ~1.3 s sf0.1 bench merge at 84
+            # partitions; a years-deep production table pays far more for a
+            # one-partition daily batch). basePath keeps the partition column
+            # derived from dir names; dir names come from hive_partition_dir,
+            # the same value->dir contract the swap and stale-partition drops
+            # already rely on (NULL -> __HIVE_DEFAULT_PARTITION__). The merge
+            # therefore conforms to the TOUCHED partitions' merged schema: a
+            # column evolved only in untouched partitions is invisible here —
+            # matched rows keep their partition's physical width, exactly
+            # what the swap rewrites (pinned by
+            # test_pruned_merge_conforms_to_touched_partition_schema). A
+            # touched value with no dir yet is a brand-new partition (no
+            # target rows); if NO touched dir exists the root read supplies
+            # the table schema for an empty target (rare: all-new backfill).
+            part_dirs = [
+                path / hive_partition_dir(partition_col, v) for v in touched
+            ]
+            existing = [str(d) for d in part_dirs if d.is_dir()]
+            if existing:
+                target = (
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", str(path))
+                    .parquet(*existing)
+                )
+            else:
+                target = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(str(path))
+                    .filter(F.lit(False))
+                )
             target = (
-                spark.read.option("mergeSchema", "true").parquet(str(path))
-                .filter(
+                target.filter(
                     touched_partition_filter(
                         F.col(partition_col).cast(src_dtype), touched
                     )

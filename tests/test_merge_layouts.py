@@ -944,3 +944,58 @@ def test_merge_precedence_col_missing_raises(spark, tmp_path):
             spark, bad_target, _sd_snapshot(spark, [("A", "2024-01-01", 2.0)]),
             keys=["ticker"], precedence_col="sd",
         )
+
+
+def test_pruned_merge_conforms_to_touched_partition_schema(spark, tmp_path):
+    """Pins the r16 dir-pruned target read's schema contract: the pruned
+    merge conforms the source to the TOUCHED partitions' merged footer
+    schema, not the whole table's. A source column that was evolved only in
+    UNTOUCHED partitions is unknown to the touched partition — dropped under
+    the default conform-to-target rule, widened (always-update) under
+    allow_new_columns=True — and read_table still NULL-fills it across
+    partitions either way."""
+    path = tmp_path / "evolve_corner"
+    base = _snapshot(
+        spark,
+        [("AAA", "2024-01-01", 10.0), ("BBB", "2024-01-02", 11.0)],
+    )
+    merge_upsert(spark, str(path), base, keys=["ticker", "dt"], partition_col="dt")
+    # evolve ONLY dt=2024-01-02 with `sector`
+    merge_upsert(
+        spark,
+        str(path),
+        _snapshot(spark, [("BBB", "2024-01-02", 12.0)]).withColumn(
+            "sector", F.lit("tech")
+        ),
+        keys=["ticker", "dt"],
+        partition_col="dt",
+        allow_new_columns=True,
+    )
+
+    # batch carrying `sector` into the NON-evolved partition, default rules:
+    # the touched partition's schema has no sector, so it is dropped
+    merge_upsert(
+        spark,
+        str(path),
+        _snapshot(spark, [("AAA", "2024-01-01", 10.5)]).withColumn(
+            "sector", F.lit("fin")
+        ),
+        keys=["ticker", "dt"],
+        partition_col="dt",
+    )
+    out = {r["ticker"]: (r["value"], r["sector"]) for r in read_table(spark, str(path)).collect()}
+    assert out == {"AAA": (10.5, None), "BBB": (12.0, "tech")}
+
+    # same batch WITH allow_new_columns: the touched partition widens
+    merge_upsert(
+        spark,
+        str(path),
+        _snapshot(spark, [("AAA", "2024-01-01", 10.7)]).withColumn(
+            "sector", F.lit("fin")
+        ),
+        keys=["ticker", "dt"],
+        partition_col="dt",
+        allow_new_columns=True,
+    )
+    out2 = {r["ticker"]: (r["value"], r["sector"]) for r in read_table(spark, str(path)).collect()}
+    assert out2 == {"AAA": (10.7, "fin"), "BBB": (12.0, "tech")}
