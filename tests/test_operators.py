@@ -263,11 +263,11 @@ def test_ann_multiprobe_recall_on_planted_neighbors(spark, tmp_path, n_bits):
     base = rng.normal(size=(200, 64))
     q = base[0]
     planted = q + 0.08 * rng.normal(size=(10, 64))  # cosine ~0.99 to q
-    rows = [(int(i), f"l{i % 5}", [float(x) for x in v]) for i, v in enumerate(base)]
+    rows = [(int(i), i % 5, [float(x) for x in v]) for i, v in enumerate(base)]
     rows += [
-        (1000 + i, "dup", [float(x) for x in v]) for i, v in enumerate(planted)
+        (1000 + i, 9, [float(x) for x in v]) for i, v in enumerate(planted)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
     df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
 
     ann = ann_bucketed_topk(spark, str(tmp_path), n_bits=n_bits).collect()
@@ -297,9 +297,9 @@ def test_ivf_topk_recall_on_planted_neighbors(spark, tmp_path):
     base = rng.normal(size=(200, 64))
     q = base[0]
     planted = q + 0.08 * rng.normal(size=(10, 64))
-    rows = [(int(i), f"l{i % 5}", [float(x) for x in v]) for i, v in enumerate(base)]
-    rows += [(1000 + i, "dup", [float(x) for x in v]) for i, v in enumerate(planted)]
-    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    rows = [(int(i), i % 5, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(1000 + i, 9, [float(x) for x in v]) for i, v in enumerate(planted)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
     df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
 
     got = {r["vec_id"] for r in ivf_topk(spark, str(tmp_path), k=10).collect()}
@@ -428,22 +428,22 @@ def test_trained_ivf_codebook_beats_first_n_on_skewed_corpus(spark, tmp_path):
     # first 100 vectors (ids 0..99): tight mode A — the first-16 codebook
     # is drawn entirely from here
     rows = [
-        (int(i), "a", [float(x) for x in (mode_a + 0.05 * rng.normal(size=64))])
+        (int(i), 0, [float(x) for x in (mode_a + 0.05 * rng.normal(size=64))])
         for i in range(100)
     ]
     # query mode: id 500 is the query, 1000+ are planted near-dups
     q = mode_c + 0.05 * rng.normal(size=64)
-    rows.append((500, "c", [float(x) for x in q]))
+    rows.append((500, 1, [float(x) for x in q]))
     rows += [
-        (1000 + i, "dup", [float(x) for x in (q + 0.01 * rng.normal(size=64))])
+        (1000 + i, 9, [float(x) for x in (q + 0.01 * rng.normal(size=64))])
         for i in range(10)
     ]
     # scatter more mode-C points so k-means sees the mode
     rows += [
-        (2000 + i, "c", [float(x) for x in (mode_c + 0.05 * rng.normal(size=64))])
+        (2000 + i, 1, [float(x) for x in (mode_c + 0.05 * rng.normal(size=64))])
         for i in range(100)
     ]
-    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
     df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     sf = str(tmp_path)
 
