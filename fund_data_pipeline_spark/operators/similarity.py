@@ -164,6 +164,83 @@ def _blocked_sides(
     return left, right
 
 
+def pair_dots_arrow(
+    joined: DataFrame,
+    passthrough: Sequence[tuple[str, str]],
+    a_vec: str = "a.qe",
+    b_vec: str = "b.qe",
+    dot_col: str = "dot",
+) -> DataFrame:
+    """Exact int64 dot product per candidate-pair row, Arrow-batched.
+
+    The r16 pair-stage measurement (scripts/prof_semantic_dot.py, sf1,
+    512 KB splits): the zip_with+aggregate form of the per-pair dot is
+    evaluated INTERPRETED — Spark runs higher-order-function lambdas
+    outside whole-stage codegen, one call per element, so a 64-dim dot
+    costs ~128 lambda dispatches per pair and the pair relation is the
+    corpus's heaviest (n x expected-cell-rows/2). A numpy einsum over
+    Arrow batches computes the same dots at 2.7x the stage throughput
+    (62.2 -> 22.6 s on the sf1 semantic stage; arrays_zip+aggregate, the
+    halved-lambda JVM form, measured SLOWER at 84.7 — struct access
+    inside the lambda costs more than the saved pass). Same trade as
+    :func:`topk_cosine`: Spark keeps distribution and the join, the
+    per-batch arithmetic crosses to native code (guide §4.2).
+
+    ``joined`` is :func:`blocked_self_join` output (or any relation with
+    the two vector columns); ``passthrough`` lists ``(out_name, source)``
+    columns carried through unchanged — only those columns plus the two
+    vectors cross the Arrow boundary (explicit select, so the opaque
+    function cannot defeat column pruning upstream). Output schema is the
+    passthrough columns (input types preserved) plus ``dot_col`` long.
+
+    Exactness contract: quantized components are round(x*1e6) int64, so
+    |dot| <= 64 * (2^31)^2 < 2^63 for any |x| <= ~2147 — same bound the
+    JVM form relies on; numpy int64 products are exact, and integer sum
+    order is immaterial, so values are bit-identical to the HOF form
+    (pinned by tests and the shared DuckDB oracles). A NULL vector on
+    either side yields a NULL dot, exactly as the HOF form does; a NULL
+    ELEMENT inside a vector fails loudly at the int64 widening (the
+    assign_cells_arrow contract) instead of silently propagating NULL.
+    """
+    names = [n for n, _ in passthrough]
+    if dot_col in names:
+        raise ValueError(f"{dot_col!r} clashes with a passthrough column")
+    narrow = joined.select(
+        *[F.col(src).alias(n) for n, src in passthrough],
+        F.col(a_vec).alias("__va"),
+        F.col(b_vec).alias("__vb"),
+    )
+    out_schema = T.StructType(
+        [narrow.schema[n] for n in names] + [T.StructField(dot_col, T.LongType(), True)]
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va, vb = pdf["__va"], pdf["__vb"]
+            null_mask = va.isna().to_numpy() | vb.isna().to_numpy()
+            out = pdf[names].copy()
+            if null_mask.any():
+                dots = pd.array([None] * len(pdf), dtype="Int64")
+                live = ~null_mask
+                if live.any():
+                    a = np.stack(va.to_numpy()[live]).astype("int64")
+                    b = np.stack(vb.to_numpy()[live]).astype("int64")
+                    dots[np.flatnonzero(live)] = np.einsum("ij,ij->i", a, b)
+                out[dot_col] = dots
+            else:
+                a = np.stack(va.to_numpy()).astype("int64")
+                b = np.stack(vb.to_numpy()).astype("int64")
+                out[dot_col] = np.einsum("ij,ij->i", a, b)
+            yield out
+
+    return narrow.mapInPandas(kernel, out_schema)
+
+
 def topk_cosine(
     emb: DataFrame,
     query_vec: Sequence[float],

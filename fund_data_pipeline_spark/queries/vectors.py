@@ -372,24 +372,33 @@ def cosine_near_dup(
     within-bucket pair count is ~(N/2**n_bits)**2 per bucket, so raise
     ``n_bits`` with corpus size (:func:`lsh_bits_for_corpus`) to keep the
     self-join local and bounded."""
-    from ..operators.similarity import blocked_self_join
+    from ..operators.similarity import blocked_self_join, pair_dots_arrow
 
     emb = table(spark, sf_dir, "embeddings")
-    # qe projected once per side, bucket derived from it (see ann_bucketed_topk)
+    # qe projected once per side, bucket derived from it (see ann_bucketed_topk);
+    # self-norm once per ROW and carried as pair payload (r16 — the same
+    # review-r13 fix semantic_dedup got: the pair expression recomputed both
+    # sides' self-dots for EVERY pair, so two of the three per-pair dot
+    # products were redundant; identical integers, oracle hash unchanged)
     b = emb.select("vec_id", _quant("embedding").alias("qe")).select(
         "vec_id", "qe", _bucket_col("qe", n_bits).alias("bucket")
-    )
+    ).withColumn("norm2", _dot(F.col("qe"), F.col("qe")))
     # skew-bounded triangular self-join (review r11): the plain bucket
     # self-equi-join put m^2/2 pairs of a hot bucket in ONE task — the
     # exact quadratic straggler semantic_dedup already routes around;
     # blocked_self_join emits the identical i<j pair set with <= 4096
-    # rows per side per task
-    pairs = blocked_self_join(b, ["bucket"], "vec_id", payload_cols=["qe"]).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        _dot(F.col("a.qe"), F.col("b.qe")).alias("dot"),
-        _dot(F.col("a.qe"), F.col("a.qe")).alias("anorm"),
-        _dot(F.col("b.qe"), F.col("b.qe")).alias("cnorm"),
+    # rows per side per task. The remaining per-pair dot runs through the
+    # Arrow batch kernel (r16, see pair_dots_arrow) — bit-identical int64.
+    pairs = pair_dots_arrow(
+        blocked_self_join(b, ["bucket"], "vec_id", payload_cols=["qe", "norm2"]),
+        passthrough=[
+            ("vec_a", "a.vec_id"),
+            ("vec_b", "b.vec_id"),
+            ("anorm", "a.norm2"),
+            ("cnorm", "b.norm2"),
+        ],
+        a_vec="a.qe",
+        b_vec="b.qe",
     )
     # zero-norm guard (review r11): ANSI double 0/0 aborts; NULL cosine
     # fails the >= threshold on both engines (DuckDB x/0 is NULL), so a
@@ -1041,7 +1050,7 @@ def semantic_dedup(
     grid decomposition bounds every task at ``block_size`` rows per side
     with a provably identical pair set, so the drop list is unchanged —
     only the hot cell's parallelism changes."""
-    from ..operators.similarity import blocked_self_join
+    from ..operators.similarity import blocked_self_join, pair_dots_arrow
 
     if centroids is not None and codebook is not None:
         raise ValueError("semantic_dedup: pass centroids OR codebook, not both")
@@ -1100,19 +1109,25 @@ def semantic_dedup(
         F.col("dot").cast("double")
         / (F.sqrt(F.col("hnorm").cast("double")) * F.sqrt(F.col("lnorm").cast("double"))),
     )
-    # a (lower id) is the witness side, b the candidate-duplicate side
-    pairs = (
-        blocked_self_join(cells, ["cell"], "vec_id", block_size, payload_cols=["qe", "norm2"])
-        .select(
-            F.col("b.vec_id").alias("vec_id"),
-            F.col("b.cell").alias("cell"),
-            F.col("a.vec_id").alias("lo_id"),
-            _dot(F.col("b.qe"), F.col("a.qe")).alias("dot"),
-            F.col("b.norm2").alias("hnorm"),
-            F.col("a.norm2").alias("lnorm"),
-        )
-        .select("vec_id", "cell", "lo_id", cosine.alias("cosine"))
-    )
+    # a (lower id) is the witness side, b the candidate-duplicate side.
+    # The per-pair dot runs through the Arrow batch kernel (r16): the
+    # zip_with+aggregate HOF form paid ~128 interpreted lambda calls per
+    # pair over the corpus's heaviest relation — measured 2.7x slower than
+    # the einsum batches on the sf1 semantic stage (pair_dots_arrow
+    # docstring has the numbers). Values are bit-identical int64 sums, so
+    # every registered oracle hash is unchanged.
+    pairs = pair_dots_arrow(
+        blocked_self_join(cells, ["cell"], "vec_id", block_size, payload_cols=["qe", "norm2"]),
+        passthrough=[
+            ("vec_id", "b.vec_id"),
+            ("cell", "b.cell"),
+            ("lo_id", "a.vec_id"),
+            ("hnorm", "b.norm2"),
+            ("lnorm", "a.norm2"),
+        ],
+        a_vec="a.qe",
+        b_vec="b.qe",
+    ).select("vec_id", "cell", "lo_id", cosine.alias("cosine"))
     return (
         pairs.filter(F.col("cosine") >= threshold)
         .groupBy("vec_id", "cell")

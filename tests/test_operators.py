@@ -757,6 +757,46 @@ def test_banded_pairs_skew_bounded_identical_pairs_and_bounded_buckets(spark):
     assert edge_left.count() == 8
 
 
+def test_pair_dots_arrow_matches_hof_dot(spark):
+    """The r16 Arrow pair-dot kernel must be bit-identical to the
+    zip_with+aggregate HOF form it replaced in semantic_dedup /
+    cosine_near_dup — including the NULL-vector contract (NULL dot, as
+    the HOF form yields) and passthrough type preservation."""
+    import pytest
+
+    from fund_data_pipeline_spark.operators.similarity import (
+        blocked_self_join,
+        pair_dots_arrow,
+    )
+    from fund_data_pipeline_spark.queries.vectors import _dot
+
+    rows = [
+        (1, 0, [3, -5, 1000000, 7]),
+        (2, 0, [-3, 5, 999999, 0]),
+        (3, 0, None),  # NULL vector: every pair through it gets a NULL dot
+        (4, 0, [2000000, -2000000, 1, 1]),
+        (5, 1, [1, 2, 3, 4]),
+        (6, 1, [4, 3, 2, 1]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, cell int, qe array<bigint>")
+    joined = blocked_self_join(vecs, ["cell"], "vec_id", payload_cols=["qe"])
+    passthrough = [("vec_a", "a.vec_id"), ("vec_b", "b.vec_id"), ("cell", "a.cell")]
+    hof = joined.select(
+        *[F.col(src).alias(n) for n, src in passthrough],
+        _dot(F.col("a.qe"), F.col("b.qe")).alias("dot"),
+    )
+    arrow = pair_dots_arrow(joined, passthrough, a_vec="a.qe", b_vec="b.qe")
+    assert arrow.schema == hof.schema  # passthrough types preserved, dot long
+    got = sorted(tuple(r) for r in arrow.collect())
+    want = sorted(tuple(r) for r in hof.collect())
+    assert got == want
+    # the NULL-vector pairs really are present with NULL dots (not dropped)
+    assert sum(1 for r in got if r[3] is None) == 3  # (1,3), (2,3), (3,4) in cell 0
+
+    with pytest.raises(ValueError, match="clashes"):
+        pair_dots_arrow(joined, [("dot", "a.vec_id")])
+
+
 def test_approx_profile_accuracy_bounds(spark, sf_dir):
     """The sketch profile must land within its configured error bounds of
     the exact answers: HLL++ distinct within ~3*rsd, GK percentiles within
