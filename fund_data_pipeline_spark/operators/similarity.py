@@ -164,81 +164,155 @@ def _blocked_sides(
     return left, right
 
 
-def pair_dots_arrow(
-    joined: DataFrame,
-    passthrough: Sequence[tuple[str, str]],
-    a_vec: str = "a.qe",
-    b_vec: str = "b.qe",
-    dot_col: str = "dot",
+def _pair_exact_bound(dim: int) -> int:
+    """Largest |component| for which the block-matmul cosine path is exact
+    in float64: every dot/norm is a sum of ``dim`` products of components,
+    so ``dim * b^2 < 2^53`` keeps all intermediates exact integers (same
+    argument as assign_cells_arrow's ``_arrow_exact_bound``, without its
+    3x distance-expression term). dim 64 -> b ~ 1.18e7; round(x*1e6)
+    quantization puts unit-scale embeddings near 1e6, comfortably inside."""
+    import math
+
+    return math.isqrt((1 << 53) // dim)
+
+
+#: per-side block bound for the cogrouped pair-cosine kernel: one group's
+#: OUTPUT is <= block^2 candidate pairs held as one pandas frame before the
+#: threshold cut, so the bound is a per-task memory cap (guide §5), not a
+#: pair-set parameter — the emitted pair set is block-size-invariant.
+PAIR_COSINE_BLOCK = 1024
+
+
+def blocked_pair_cosine_arrow(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+    vec_col: str = "qe",
+    norm_col: str = "norm2",
+    threshold: float = 0.35,
+    block_size: int = PAIR_COSINE_BLOCK,
 ) -> DataFrame:
-    """Exact int64 dot product per candidate-pair row, Arrow-batched.
+    """All within-group (i < j) pairs with quantized cosine >= ``threshold``
+    — the :func:`blocked_self_join` + per-pair-dot + filter composition as
+    ONE cogrouped Arrow kernel that moves ROWS across the boundary instead
+    of PAIRS (guide §8: decide with small rows; the r16 measurement story
+    is in OPTIMIZATION_r16.md §11).
 
-    The r16 pair-stage measurement (scripts/prof_semantic_dot.py, sf1,
-    512 KB splits): the zip_with+aggregate form of the per-pair dot is
-    evaluated INTERPRETED — Spark runs higher-order-function lambdas
-    outside whole-stage codegen, one call per element, so a 64-dim dot
-    costs ~128 lambda dispatches per pair and the pair relation is the
-    corpus's heaviest (n x expected-cell-rows/2). A numpy einsum over
-    Arrow batches computes the same dots at 2.7x the stage throughput
-    (62.2 -> 22.6 s on the sf1 semantic stage; arrays_zip+aggregate, the
-    halved-lambda JVM form, measured SLOWER at 84.7 — struct access
-    inside the lambda costs more than the saved pass). Same trade as
-    :func:`topk_cosine`: Spark keeps distribution and the join, the
-    per-batch arithmetic crosses to native code (guide §4.2).
+    Why: the pair-expanded forms ship both 64-long vectors per PAIR —
+    ~1 KB x m^2/2 rows per m-member group. Fine at sf1 (the einsum kernel
+    measured 2.7x over the interpreted HOF dot), but at sf10's 100x pair
+    mass the boundary transfer became the wall (chain 439.5 s vs the HOF
+    form's 307.9). Here each grid block's rows cross ONCE per partner
+    block (transfer ~ rows x ceil(m/block)), the block-pair dot matrix is
+    one float64 BLAS matmul, and only pairs PASSING the threshold are
+    emitted — output mass collapses from every candidate pair to the
+    qualifying set.
 
-    ``joined`` is :func:`blocked_self_join` output (or any relation with
-    the two vector columns); ``passthrough`` lists ``(out_name, source)``
-    columns carried through unchanged — only those columns plus the two
-    vectors cross the Arrow boundary (explicit select, so the opaque
-    function cannot defeat column pruning upstream). Output schema is the
-    passthrough columns (input types preserved) plus ``dot_col`` long.
+    Exactness contract (bit-identical to the JVM expression form):
+    components are guarded against :func:`_pair_exact_bound` loudly, so
+    every dot — and the carried int64 ``norm_col`` self-norms — is an
+    exact integer in float64 regardless of summation order; cosine is then
+    ``dot / (sqrt(na) * sqrt(nb))`` in the same operand order as the SQL
+    expression, all IEEE-correctly-rounded ops on identical doubles, so
+    the >= ``threshold`` cut keeps exactly the rows the expression form
+    keeps. Zero-norm and NULL vectors cannot qualify under the expression
+    form's NULL-guard (cosine NULL fails >=) and are excluded here the
+    same way; a NULL ELEMENT inside a vector fails loudly at the float64
+    widening.
 
-    Exactness contract: quantized components are round(x*1e6) int64, so
-    |dot| <= 64 * (2^31)^2 < 2^63 for any |x| <= ~2147 — same bound the
-    JVM form relies on; numpy int64 products are exact, and integer sum
-    order is immaterial, so values are bit-identical to the HOF form
-    (pinned by tests and the shared DuckDB oracles). A NULL vector on
-    either side yields a NULL dot, exactly as the HOF form does; a NULL
-    ELEMENT inside a vector fails loudly at the int64 widening (the
-    assign_cells_arrow contract) instead of silently propagating NULL.
+    Pair-set contract: identical to ``blocked_self_join(df, key_cols,
+    id_col)`` filtered to the threshold — each (i < j) pair within a key
+    group matches exactly one (block_i, block_j) grid cell, emitted by
+    exactly one cogroup task; no task holds more than ``block_size`` input
+    rows per side (pinned by the equivalence test).
+
+    Returns ``(*key_cols, <id>_a, <id>_b, cosine)`` with input types
+    preserved for keys/ids, cosine double, ``<id>_a < <id>_b``.
     """
-    names = [n for n, _ in passthrough]
-    if dot_col in names:
-        raise ValueError(f"{dot_col!r} clashes with a passthrough column")
-    narrow = joined.select(
-        *[F.col(src).alias(n) for n, src in passthrough],
-        F.col(a_vec).alias("__va"),
-        F.col(b_vec).alias("__vb"),
+    keys = list(key_cols)
+    clash = {"__blk", "__pj", "__pi", "__max_blk", "__ba", "__bb"} & set(df.columns)
+    if clash:
+        raise ValueError(f"column names reserved by blocked_pair_cosine_arrow: {sorted(clash)}")
+    left, right = _blocked_sides(df, keys, id_col, block_size, [vec_col, norm_col])
+    lk = left.select(
+        *keys, F.col("__blk").alias("__ba"), F.col("__pj").alias("__bb"),
+        id_col, vec_col, norm_col,
+    )
+    # the right side is the SAME checkpointed relation, so its columns are
+    # re-ALIASED wholesale: without fresh attribute ids, downstream column
+    # pruning over the self-cogroup resolved both sides' identical expr ids
+    # against the left and pruned the right's vector/norm columns out of
+    # the Arrow payload (observed live: rpdf arrived without 'qe' whenever
+    # a projection followed the kernel; the raw kernel output collected
+    # fine). Distinct names on the right remove the id collision outright.
+    rkey_names = [f"__rk{i}" for i in range(len(keys))]
+    rk = right.select(
+        *[F.col(k).alias(a) for k, a in zip(keys, rkey_names)],
+        F.col("__pi").alias("__rba"), F.col("__blk").alias("__rbb"),
+        F.col(id_col).alias("__rid"),
+        F.col(vec_col).alias("__rvec"),
+        F.col(norm_col).alias("__rnorm"),
     )
     out_schema = T.StructType(
-        [narrow.schema[n] for n in names] + [T.StructField(dot_col, T.LongType(), True)]
+        [lk.schema[k] for k in keys]
+        + [
+            T.StructField(f"{id_col}_a", lk.schema[id_col].dataType, True),
+            T.StructField(f"{id_col}_b", lk.schema[id_col].dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
     )
+    n_keys = len(keys)
+    key_names = list(keys)
+    tau = float(threshold)
 
-    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def kernel(key, lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            va, vb = pdf["__va"], pdf["__vb"]
-            null_mask = va.isna().to_numpy() | vb.isna().to_numpy()
-            out = pdf[names].copy()
-            if null_mask.any():
-                dots = pd.array([None] * len(pdf), dtype="Int64")
-                live = ~null_mask
-                if live.any():
-                    a = np.stack(va.to_numpy()[live]).astype("int64")
-                    b = np.stack(vb.to_numpy()[live]).astype("int64")
-                    dots[np.flatnonzero(live)] = np.einsum("ij,ij->i", a, b)
-                out[dot_col] = dots
-            else:
-                a = np.stack(va.to_numpy()).astype("int64")
-                b = np.stack(vb.to_numpy()).astype("int64")
-                out[dot_col] = np.einsum("ij,ij->i", a, b)
-            yield out
+        def empty():
+            data = {k: [] for k in key_names}
+            data[f"{id_col}_a"] = []
+            data[f"{id_col}_b"] = []
+            data["cosine"] = []
+            return pd.DataFrame(data)
 
-    return narrow.mapInPandas(kernel, out_schema)
+        if not len(lpdf) or not len(rpdf):
+            return empty()
+
+        def live_side(pdf, vname, nname, iname):
+            vec, nrm = pdf[vname], pdf[nname]
+            ok = (~vec.isna().to_numpy()) & nrm.notna().to_numpy() & (nrm.to_numpy() > 0)
+            ids = pdf[iname].to_numpy()[ok]
+            if not ok.any():
+                return ids, None, None
+            M = np.asarray(vec.to_numpy()[ok].tolist(), dtype=np.float64)
+            bound = _pair_exact_bound(M.shape[1])
+            if np.abs(M).max() >= bound:
+                raise ValueError(
+                    "blocked_pair_cosine_arrow: component exceeds the float64 "
+                    f"exactness bound {bound}"
+                )
+            return ids, M, np.sqrt(nrm.to_numpy()[ok].astype(np.float64))
+
+        ida, A, sna = live_side(lpdf, vec_col, norm_col, id_col)
+        idb, B, snb = live_side(rpdf, "__rvec", "__rnorm", "__rid")
+        if A is None or B is None:
+            return empty()
+        # one exact matmul per block pair; same operand order as the SQL
+        # expression: dot / (sqrt(na) * sqrt(nb))
+        cos = (A @ B.T) / (sna[:, None] * snb[None, :])
+        keep = (ida[:, None] < idb[None, :]) & (cos >= tau)
+        ai, bj = np.nonzero(keep)
+        out = {key_names[i]: np.repeat(key[i], len(ai)) for i in range(n_keys)}
+        out[f"{id_col}_a"] = ida[ai]
+        out[f"{id_col}_b"] = idb[bj]
+        out["cosine"] = cos[ai, bj]
+        return pd.DataFrame(out)
+
+    grouped = lk.groupBy(*keys, "__ba", "__bb").cogroup(
+        rk.groupBy(*rkey_names, "__rba", "__rbb")
+    )
+    return grouped.applyInPandas(kernel, out_schema)
 
 
 def topk_cosine(

@@ -372,44 +372,31 @@ def cosine_near_dup(
     within-bucket pair count is ~(N/2**n_bits)**2 per bucket, so raise
     ``n_bits`` with corpus size (:func:`lsh_bits_for_corpus`) to keep the
     self-join local and bounded."""
-    from ..operators.similarity import blocked_self_join, pair_dots_arrow
+    from ..operators.similarity import blocked_pair_cosine_arrow
 
     emb = table(spark, sf_dir, "embeddings")
     # qe projected once per side, bucket derived from it (see ann_bucketed_topk);
-    # self-norm once per ROW and carried as pair payload (r16 — the same
+    # self-norm once per ROW and carried as payload (r16 — the same
     # review-r13 fix semantic_dedup got: the pair expression recomputed both
     # sides' self-dots for EVERY pair, so two of the three per-pair dot
     # products were redundant; identical integers, oracle hash unchanged)
     b = emb.select("vec_id", _quant("embedding").alias("qe")).select(
         "vec_id", "qe", _bucket_col("qe", n_bits).alias("bucket")
     ).withColumn("norm2", _dot(F.col("qe"), F.col("qe")))
-    # skew-bounded triangular self-join (review r11): the plain bucket
-    # self-equi-join put m^2/2 pairs of a hot bucket in ONE task — the
-    # exact quadratic straggler semantic_dedup already routes around;
-    # blocked_self_join emits the identical i<j pair set with <= 4096
-    # rows per side per task. The remaining per-pair dot runs through the
-    # Arrow batch kernel (r16, see pair_dots_arrow) — bit-identical int64.
-    pairs = pair_dots_arrow(
-        blocked_self_join(b, ["bucket"], "vec_id", payload_cols=["qe", "norm2"]),
-        passthrough=[
-            ("vec_a", "a.vec_id"),
-            ("vec_b", "b.vec_id"),
-            ("anorm", "a.norm2"),
-            ("cnorm", "b.norm2"),
-        ],
-        a_vec="a.qe",
-        b_vec="b.qe",
+    # within-bucket pairs via the cogrouped block-matmul kernel (r16): the
+    # same skew bound as blocked_self_join — each grid block holds <=
+    # block rows per side, so a hot bucket degrades into bounded tasks —
+    # with block ROWS, not candidate PAIRS, crossing the Arrow boundary,
+    # and only threshold-passing pairs emitted. Pair set, cosine doubles,
+    # and the zero-norm/NULL exclusions are bit-identical to the previous
+    # join + expression form (kernel docstring; shared DuckDB oracle).
+    pairs = blocked_pair_cosine_arrow(
+        b, ["bucket"], "vec_id", vec_col="qe", norm_col="norm2", threshold=threshold
     )
-    # zero-norm guard (review r11): ANSI double 0/0 aborts; NULL cosine
-    # fails the >= threshold on both engines (DuckDB x/0 is NULL), so a
-    # zero-quantized vector is excluded from pairs instead of crashing
-    cosine = F.when(
-        (F.col("anorm") > 0) & (F.col("cnorm") > 0),
-        F.col("dot").cast("double")
-        / (F.sqrt(F.col("anorm").cast("double")) * F.sqrt(F.col("cnorm").cast("double"))),
-    )
-    return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    return pairs.select(
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        "cosine",
     )
 
 
@@ -1050,7 +1037,10 @@ def semantic_dedup(
     grid decomposition bounds every task at ``block_size`` rows per side
     with a provably identical pair set, so the drop list is unchanged —
     only the hot cell's parallelism changes."""
-    from ..operators.similarity import blocked_self_join, pair_dots_arrow
+    from ..operators.similarity import (
+        PAIR_COSINE_BLOCK,
+        blocked_pair_cosine_arrow,
+    )
 
     if centroids is not None and codebook is not None:
         raise ValueError("semantic_dedup: pass centroids OR codebook, not both")
@@ -1102,34 +1092,34 @@ def semantic_dedup(
             f"got {wide_assignment!r}"
         )
     cells = assigned.withColumn("norm2", _dot(F.col("qe"), F.col("qe")))
-    # zero-norm guard (review r11): ANSI double 0/0 aborts; NULL fails the
-    # threshold on both engines, so zero vectors drop out of the dedup
-    cosine = F.when(
-        (F.col("hnorm") > 0) & (F.col("lnorm") > 0),
-        F.col("dot").cast("double")
-        / (F.sqrt(F.col("hnorm").cast("double")) * F.sqrt(F.col("lnorm").cast("double"))),
-    )
     # a (lower id) is the witness side, b the candidate-duplicate side.
-    # The per-pair dot runs through the Arrow batch kernel (r16): the
-    # zip_with+aggregate HOF form paid ~128 interpreted lambda calls per
-    # pair over the corpus's heaviest relation — measured 2.7x slower than
-    # the einsum batches on the sf1 semantic stage (pair_dots_arrow
-    # docstring has the numbers). Values are bit-identical int64 sums, so
-    # every registered oracle hash is unchanged.
-    pairs = pair_dots_arrow(
-        blocked_self_join(cells, ["cell"], "vec_id", block_size, payload_cols=["qe", "norm2"]),
-        passthrough=[
-            ("vec_id", "b.vec_id"),
-            ("cell", "b.cell"),
-            ("lo_id", "a.vec_id"),
-            ("hnorm", "b.norm2"),
-            ("lnorm", "a.norm2"),
-        ],
-        a_vec="a.qe",
-        b_vec="b.qe",
-    ).select("vec_id", "cell", "lo_id", cosine.alias("cosine"))
+    # The within-cell pair stage runs as the cogrouped block-matmul kernel
+    # (r16, operators.similarity.blocked_pair_cosine_arrow): each grid
+    # block's rows cross the Arrow boundary ONCE per partner block and the
+    # block-pair cosines are one exact float64 matmul, with only pairs
+    # PASSING the threshold emitted — versus ~1 KB of vector payload per
+    # CANDIDATE pair under both the interpreted HOF dot and the
+    # pair-expanded einsum kernel (the sf10 transfer wall; measurements in
+    # OPTIMIZATION_r16.md §10-11). Pair set, cosine doubles, and the
+    # zero-norm/NULL exclusions are bit-identical to the expression form
+    # (kernel docstring has the exactness argument; equivalence pinned in
+    # tests and by every shared DuckDB oracle).
+    qualifying = blocked_pair_cosine_arrow(
+        cells,
+        ["cell"],
+        "vec_id",
+        vec_col="qe",
+        norm_col="norm2",
+        threshold=threshold,
+        block_size=min(block_size, PAIR_COSINE_BLOCK),
+    )
     return (
-        pairs.filter(F.col("cosine") >= threshold)
+        qualifying.select(
+            F.col("vec_id_b").alias("vec_id"),
+            "cell",
+            F.col("vec_id_a").alias("lo_id"),
+            "cosine",
+        )
         .groupBy("vec_id", "cell")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),

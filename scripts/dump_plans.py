@@ -39,7 +39,14 @@ _JOINS = (
     "BroadcastNestedLoopJoin",
     "CartesianProduct",
 )
-_PY = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow", "FlatMapGroupsInPandas")
+_PY = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+)
 
 
 def summarize(plan: str) -> str:

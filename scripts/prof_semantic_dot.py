@@ -180,6 +180,34 @@ def v_arrow32(spark, sf_dir):
     return _finish(pairs)
 
 
+def v_cogroup(spark, sf_dir):
+    """The shipped r16 form: cogrouped block-matmul kernel — block ROWS
+    cross the Arrow boundary (once per partner block), dots are one exact
+    float64 matmul per block pair, only threshold-passing pairs emitted."""
+    from fund_data_pipeline_spark.operators.similarity import (
+        PAIR_COSINE_BLOCK,
+        blocked_pair_cosine_arrow,
+    )
+
+    cells = _base(spark, sf_dir)
+    qualifying = blocked_pair_cosine_arrow(
+        cells, ["cell"], "vec_id", vec_col="qe", norm_col="norm2",
+        threshold=SEMDEDUP_TAU, block_size=PAIR_COSINE_BLOCK,
+    )
+    return (
+        qualifying.select(
+            F.col("vec_id_b").alias("vec_id"), "cell",
+            F.col("vec_id_a").alias("lo_id"), "cosine",
+        )
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("cosine").alias("best_cosine"),
+            F.min("lo_id").alias("witness_id"),
+        )
+    )
+
+
 def v_floor(spark, sf_dir):
     j = _joined(_base(spark, sf_dir))
     pairs = j.select(
@@ -208,6 +236,7 @@ def main():
         "zipagg": v_zipagg,
         "arrow": v_arrow,
         "arrow32": v_arrow32,
+        "cogroup": v_cogroup,
         "hof": v_hof,
         "floor": v_floor,
     }

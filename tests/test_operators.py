@@ -757,44 +757,81 @@ def test_banded_pairs_skew_bounded_identical_pairs_and_bounded_buckets(spark):
     assert edge_left.count() == 8
 
 
-def test_pair_dots_arrow_matches_hof_dot(spark):
-    """The r16 Arrow pair-dot kernel must be bit-identical to the
-    zip_with+aggregate HOF form it replaced in semantic_dedup /
-    cosine_near_dup — including the NULL-vector contract (NULL dot, as
-    the HOF form yields) and passthrough type preservation."""
+def test_blocked_pair_cosine_arrow_matches_expression_form(spark):
+    """The r16 cogrouped block-matmul pair-cosine kernel must emit exactly
+    the pairs the blocked_self_join + HOF-dot + cosine-expression + filter
+    composition emits, with bit-identical cosine doubles — across multiple
+    grid blocks (block_size=2 on a 7-member group), NULL vectors,
+    zero-norm vectors, and an exact-threshold pair (cosine == tau passes
+    >= on both forms)."""
     import pytest
 
     from fund_data_pipeline_spark.operators.similarity import (
+        blocked_pair_cosine_arrow,
         blocked_self_join,
-        pair_dots_arrow,
     )
     from fund_data_pipeline_spark.queries.vectors import _dot
 
     rows = [
         (1, 0, [3, -5, 1000000, 7]),
         (2, 0, [-3, 5, 999999, 0]),
-        (3, 0, None),  # NULL vector: every pair through it gets a NULL dot
+        (3, 0, None),  # NULL vector: can never qualify
         (4, 0, [2000000, -2000000, 1, 1]),
-        (5, 1, [1, 2, 3, 4]),
-        (6, 1, [4, 3, 2, 1]),
+        (5, 0, [0, 0, 0, 0]),  # zero norm: can never qualify
+        (6, 0, [3, -5, 1000000, 7]),  # identical to 1: cosine exactly 1.0
+        (7, 0, [1000001, 2, -7, 12]),
+        (8, 1, [1, 2, 3, 4]),
+        (9, 1, [4, 3, 2, 1]),
+        (10, 2, [11, 12, 13, 14]),  # singleton group: no pairs
     ]
     vecs = spark.createDataFrame(rows, "vec_id long, cell int, qe array<bigint>")
-    joined = blocked_self_join(vecs, ["cell"], "vec_id", payload_cols=["qe"])
-    passthrough = [("vec_a", "a.vec_id"), ("vec_b", "b.vec_id"), ("cell", "a.cell")]
-    hof = joined.select(
-        *[F.col(src).alias(n) for n, src in passthrough],
-        _dot(F.col("a.qe"), F.col("b.qe")).alias("dot"),
-    )
-    arrow = pair_dots_arrow(joined, passthrough, a_vec="a.qe", b_vec="b.qe")
-    assert arrow.schema == hof.schema  # passthrough types preserved, dot long
-    got = sorted(tuple(r) for r in arrow.collect())
-    want = sorted(tuple(r) for r in hof.collect())
-    assert got == want
-    # the NULL-vector pairs really are present with NULL dots (not dropped)
-    assert sum(1 for r in got if r[3] is None) == 3  # (1,3), (2,3), (3,4) in cell 0
+    vecs = vecs.withColumn("norm2", _dot(F.col("qe"), F.col("qe")))
 
-    with pytest.raises(ValueError, match="clashes"):
-        pair_dots_arrow(joined, [("dot", "a.vec_id")])
+    for tau in (0.35, 1.0):  # tau=1.0 exercises the exact-threshold boundary
+        joined = blocked_self_join(vecs, ["cell"], "vec_id", 2, payload_cols=["qe", "norm2"])
+        cosine = F.when(
+            (F.col("anorm") > 0) & (F.col("cnorm") > 0),
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("anorm").cast("double")) * F.sqrt(F.col("cnorm").cast("double"))),
+        )
+        want = sorted(
+            tuple(r)
+            for r in joined.select(
+                F.col("a.cell").alias("cell"),
+                F.col("a.vec_id").alias("vec_id_a"),
+                F.col("b.vec_id").alias("vec_id_b"),
+                _dot(F.col("a.qe"), F.col("b.qe")).alias("dot"),
+                F.col("a.norm2").alias("anorm"),
+                F.col("b.norm2").alias("cnorm"),
+            )
+            .select("cell", "vec_id_a", "vec_id_b", cosine.alias("cosine"))
+            .filter(F.col("cosine") >= tau)
+            .collect()
+        )
+        got_df = blocked_pair_cosine_arrow(
+            vecs, ["cell"], "vec_id", vec_col="qe", norm_col="norm2",
+            threshold=tau, block_size=2,
+        )
+        assert [f.name for f in got_df.schema.fields] == ["cell", "vec_id_a", "vec_id_b", "cosine"]
+        got = sorted(tuple(r) for r in got_df.collect())
+        assert got == want, f"tau={tau}"
+        if tau == 1.0:
+            # exactly the planted identical pair survives — note BOTH forms
+            # compute its cosine as 1.0000000000000002, not 1.0 (sqrt(n)^2
+            # != n in float64); the equality above proves they agree bitwise
+            assert [(r[0], r[1], r[2]) for r in got] == [(0, 1, 6)]
+
+    with pytest.raises(ValueError, match="reserved"):
+        blocked_pair_cosine_arrow(
+            vecs.withColumn("__ba", F.lit(1)), ["cell"], "vec_id", norm_col="norm2"
+        )
+    # component magnitude guard: loud failure, not silent float64 rounding
+    big = spark.createDataFrame(
+        [(1, 0, [1 << 30, 0, 0, 0]), (2, 0, [1 << 30, 0, 0, 0])],
+        "vec_id long, cell int, qe array<bigint>",
+    ).withColumn("norm2", _dot(F.col("qe"), F.col("qe")))
+    with pytest.raises(Exception, match="exactness bound"):
+        blocked_pair_cosine_arrow(big, ["cell"], "vec_id", norm_col="norm2").collect()
 
 
 def test_approx_profile_accuracy_bounds(spark, sf_dir):
