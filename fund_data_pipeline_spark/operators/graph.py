@@ -20,9 +20,17 @@ The cheap propagation rounds stay first because they settle the common
 small-diameter case without ever materializing contracted edge sets.
 
 Scale notes:
+- The edge relation is the id-only PROXY of the corpus: when its canonical
+  form fits a broadcast-sized driver bound (``CC_COLLECT_MAX_EDGES``), the
+  whole computation is ONE bounded collect + vectorized union-find + ONE
+  broadcast join — no iteration at all (r17; the cost model of a broadcast
+  hash join build side, guide §3.1). Star-contraction rounds re-probe the
+  bound, so even a giant graph finishes on the driver once contraction
+  shrinks the survivor set under it.
 - ``localCheckpoint`` truncates the lineage each round, keeping the plan
   O(1) instead of O(iterations) (classic iterative-algorithm pitfall).
-- The driver sees only a changed-row *count* per round — no row data.
+- Above the bound the driver sees only a changed-row *count* per round —
+  no row data.
 - Edges are symmetrized once up front; the per-round join shuffles on the
   node id, so pre-partitioning labels and edges on that key makes every
   round's shuffle a cheap co-partitioned join on a real cluster.
@@ -40,6 +48,79 @@ def _canon(e: DataFrame) -> DataFrame:
         e.select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+    )
+
+
+#: Driver-side union-find bound (edges). The candidate-pair relation of a
+#: dedup pipeline is the LIGHTWEIGHT proxy of the corpus (ids only), and
+#: after LSH blocking it is orders of magnitude smaller than the corpus —
+#: at or under this many edges the component structure is resolved on the
+#: driver in one numpy pass instead of shuffle-per-round iteration. 2M
+#: bigint pairs cross as ~32 MB of Arrow — the same size class as a
+#: broadcast-join build side (guide §3.1), with the same failure mode
+#: (driver memory), which is why the bound exists and is conf-tunable
+#: (``spark.graft.cc.collectMaxEdges``; 0 disables the driver path).
+CC_COLLECT_MAX_EDGES = 2_000_000
+
+
+def _host_min_labels(pdf, src_name: str = "src", dst_name: str = "dst"):
+    """Min-reachable-id labels for a COLLECTED edge list: vectorized
+    union-find (min-label propagation with full path compression per pass,
+    numpy ``minimum.at`` over the edge arrays — O(E) per pass, ~log
+    component-diameter passes). Returns a pandas DataFrame (node, label)
+    covering every edge endpoint.
+
+    Exact same fixpoint as the distributed phases: every node labeled with
+    the minimum reachable id. ``np.unique`` sorts ascending — for strings
+    that is code-point order, which equals Spark's UTF8_BINARY ``least``/
+    ``min`` ordering (UTF-8 byte order preserves code points) — so the
+    index-space minimum IS the id-space minimum."""
+    import numpy as np
+    import pandas as pd
+
+    a = pdf[src_name].to_numpy()
+    b = pdf[dst_name].to_numpy()
+    arr = np.concatenate([a, b])
+    uniq, inv = np.unique(arr, return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    p = np.arange(len(uniq))
+    while True:
+        before = p.copy()
+        np.minimum.at(p, ia, p[ib])
+        np.minimum.at(p, ib, p[ia])
+        while True:  # full path compression
+            pp = p[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+        if np.array_equal(p, before):
+            break
+    return pd.DataFrame({"node": uniq, "label": uniq[p]})
+
+
+def _labels_from_host_pairs(
+    spark, seed: DataFrame, pdf, edge_field, union_endpoints: bool
+) -> DataFrame:
+    """Union-find the collected pairs on the driver, broadcast the (node,
+    label) mapping back, and label ``seed`` with one broadcast join —
+    singletons (no mapping row) label themselves, exactly as the
+    propagation seed does. ``union_endpoints`` adds the mapping keys to the
+    seed (callers whose seed already contains every edge endpoint skip the
+    extra union+distinct pass)."""
+    from pyspark.sql import types as T
+
+    host = _host_min_labels(pdf)
+    schema = T.StructType(
+        [
+            T.StructField("node", edge_field.dataType, True),
+            T.StructField("__cc_label", edge_field.dataType, True),
+        ]
+    )
+    mapping = spark.createDataFrame(host, schema=schema)
+    if union_endpoints:
+        seed = seed.select("node").union(mapping.select("node")).distinct()
+    return seed.join(F.broadcast(mapping), "node", "left").select(
+        "node", F.coalesce("__cc_label", F.col("node")).alias("label")
     )
 
 
@@ -77,6 +158,7 @@ def connected_components(
     max_iterations: int = 50,
     strict: bool = True,
     star_fallback_after: int = 5,
+    driver_collect_max_edges: int | None = None,
 ) -> DataFrame:
     """Return (node, cluster_id): min reachable node id per component.
 
@@ -101,8 +183,53 @@ def connected_components(
     are NOT converged — components would be silently split. With
     ``strict=True`` (default) that raises; ``strict=False`` downgrades to a
     warning for callers that accept approximate clusters.
+
+    Bounded driver-side fast path (r17, guide §1.2 "the distributed
+    algorithm" + §3.1 broadcast sizing): the edge relation is the
+    id-only PROXY of the corpus — after LSH blocking it is orders of
+    magnitude lighter than the rows it deduplicates — and whenever the
+    canonical edge set fits ``driver_collect_max_edges`` (default
+    :data:`CC_COLLECT_MAX_EDGES`, conf ``spark.graft.cc.collectMaxEdges``,
+    0 disables), the component structure is resolved in ONE vectorized
+    union-find on the driver and re-attached with ONE broadcast join —
+    replacing shuffle-per-round iteration (propagation paid 3 shuffle
+    boundaries + a checkpoint + a count PER ROUND) with a single bounded
+    collect, the exact cost model of a broadcast hash join build side.
+    Above the bound, propagation and star contraction run as before, and
+    every star round's (checkpointed) edge count is probed so the driver
+    path also terminates the CONTRACTION loop early: star rounds only
+    shrink the edge set toward per-component stars, so a graph that starts
+    with billions of candidate edges still finishes on the driver once
+    contraction brings the survivor set under the bound — only a graph
+    whose FIXPOINT star set exceeds the bound (billions of nodes inside
+    non-singleton components) ever runs the full distributed loop. All
+    three routes produce the identical fixpoint (min reachable id), pinned
+    by the phase-equivalence tests.
     """
     import warnings
+
+    if driver_collect_max_edges is None:
+        driver_collect_max_edges = int(
+            edges.sparkSession.conf.get(
+                "spark.graft.cc.collectMaxEdges", str(CC_COLLECT_MAX_EDGES)
+            )
+        )
+    edge_field = edges.schema[src_col]
+    if driver_collect_max_edges > 0:
+        canon = _canon(
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        )
+        probe = canon.limit(driver_collect_max_edges + 1).toPandas()
+        if len(probe) <= driver_collect_max_edges:
+            labels = _labels_from_host_pairs(
+                edges.sparkSession,
+                nodes.select(F.col(node_col).alias("node")),
+                probe,
+                edge_field,
+                union_endpoints=True,
+            )
+            return labels.withColumnRenamed("label", "cluster_id")
+
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -156,6 +283,22 @@ def connected_components(
         while rounds_used < max_iterations:
             rounds_used += 1
             new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            # contraction only shrinks the edge set toward per-component
+            # stars (connectivity and the node set are round-invariant),
+            # so the moment it fits the driver bound the remainder is one
+            # union-find + broadcast join instead of more shuffle rounds
+            # and the expensive exceptAll fixpoint probe
+            if 0 < driver_collect_max_edges and (
+                new_e.count() <= driver_collect_max_edges
+            ):
+                labels = _labels_from_host_pairs(
+                    edges.sparkSession,
+                    seed_nodes,
+                    new_e.toPandas(),
+                    edge_field,
+                    union_endpoints=False,  # seed_nodes already holds every endpoint
+                )
+                return labels.withColumnRenamed("label", "cluster_id")
             if new_e.exceptAll(e).union(e.exceptAll(new_e)).isEmpty():
                 converged = True
                 break

@@ -233,6 +233,12 @@ def blocked_pair_cosine_arrow(
     clash = {"__blk", "__pj", "__pi", "__max_blk", "__ba", "__bb"} & set(df.columns)
     if clash:
         raise ValueError(f"column names reserved by blocked_pair_cosine_arrow: {sorted(clash)}")
+    # NULL-key rows never match the equi-join this kernel replaces (an
+    # inner join rejects NULL keys), but cogroup would hand them to the
+    # kernel as a live group — drop them up front so the pair-set contract
+    # holds verbatim (and the dead rows never shuffle; advice r16)
+    for k in keys:
+        df = df.filter(F.col(k).isNotNull())
     left, right = _blocked_sides(df, keys, id_col, block_size, [vec_col, norm_col])
     lk = left.select(
         *keys, F.col("__blk").alias("__ba"), F.col("__pj").alias("__bb"),
@@ -281,7 +287,16 @@ def blocked_pair_cosine_arrow(
 
         def live_side(pdf, vname, nname, iname):
             vec, nrm = pdf[vname], pdf[nname]
-            ok = (~vec.isna().to_numpy()) & nrm.notna().to_numpy() & (nrm.to_numpy() > 0)
+            # the id mask mirrors the join form's a.id < b.id, which is
+            # never true for a NULL id: without it a None in a string id
+            # column raises inside the < comparison, and a null long id
+            # would ride through as NaN (advice r16)
+            ok = (
+                (~vec.isna().to_numpy())
+                & nrm.notna().to_numpy()
+                & (nrm.to_numpy() > 0)
+                & pdf[iname].notna().to_numpy()
+            )
             ids = pdf[iname].to_numpy()[ok]
             if not ok.any():
                 return ids, None, None

@@ -1030,13 +1030,16 @@ def semantic_dedup(
     applied before the pair join, so the per-cell work shrinks with the
     survivor set.
 
-    The within-cell pair join goes through
-    :func:`~..operators.similarity.blocked_self_join`: SemDeDup corpora are
-    exactly where cells go hot (near-duplicate mass concentrates), and a
-    hot cell under a plain self-equi-join puts m^2/2 pairs in one task. The
-    grid decomposition bounds every task at ``block_size`` rows per side
-    with a provably identical pair set, so the drop list is unchanged —
-    only the hot cell's parallelism changes."""
+    The within-cell pair stage runs
+    :func:`~..operators.similarity.blocked_pair_cosine_arrow` (r16): it
+    shares ``blocked_self_join``'s grid decomposition via ``_blocked_sides``
+    — SemDeDup corpora are exactly where cells go hot (near-duplicate mass
+    concentrates), and the grid bounds every task at ``block_size`` rows
+    per side with a provably identical pair set — but computes each
+    block-pair's cosines as one Arrow-side matmul instead of a per-pair
+    join condition, emitting only threshold-passing pairs. The drop list
+    is unchanged (pinned by the kernel-vs-expression equivalence test);
+    only the pair-stage mechanics changed."""
     from ..operators.similarity import (
         PAIR_COSINE_BLOCK,
         blocked_pair_cosine_arrow,

@@ -10,7 +10,7 @@ INTERPRETED (one lambda call per element), so a ~1250-row cell pays
              lambda calls
   arrow    — mapInPandas numpy einsum over the pair batch (int64-exact),
              cosine math left in Spark expressions, same output schema
-  floor    — dot replaced by lit(0): the join/shuffle-only floor (results
+  floor    — dot replaced by lit(1): the join/shuffle-only floor (results
              meaningless; isolates how much of the stage the dot costs)
 
 All variants keep the identical pair set (same blocked_self_join) and

@@ -106,13 +106,20 @@ def test_connected_components_endpoint_only_nodes_phase_independent(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
     via_fallback = {
         r.node: r.cluster_id
-        for r in graph.connected_components(nodes, edges, star_fallback_after=2).collect()
+        for r in graph.connected_components(
+            nodes, edges, star_fallback_after=2, driver_collect_max_edges=0
+        ).collect()
     }
     via_propagation = {
         r.node: r.cluster_id
-        for r in graph.connected_components(nodes, edges, star_fallback_after=30).collect()
+        for r in graph.connected_components(
+            nodes, edges, star_fallback_after=30, driver_collect_max_edges=0
+        ).collect()
     }
-    assert via_fallback == via_propagation == {i: 0 for i in range(10)}
+    via_driver = {
+        r.node: r.cluster_id for r in graph.connected_components(nodes, edges).collect()
+    }
+    assert via_fallback == via_propagation == via_driver == {i: 0 for i in range(10)}
 
 
 def test_connected_components_long_chain_converges(spark):
@@ -477,9 +484,85 @@ def test_connected_components_1000_node_path_star_contraction(spark):
     edges = spark.createDataFrame(
         [(ids[i], ids[i + 1]) for i in range(999)], "src long, dst long"
     )
-    cc = graph.connected_components(nodes, edges, max_iterations=25).collect()
+    cc = graph.connected_components(
+        nodes, edges, max_iterations=25, driver_collect_max_edges=0
+    ).collect()
     assert len(cc) == 1000
     assert all(r.cluster_id == 0 for r in cc)
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The r17 bounded driver-side union-find must produce the identical
+    (node, cluster_id) fixpoint as both distributed phases — on a permuted
+    path (labels flow against id order), with endpoint-only nodes, string
+    ids (np.unique code-point order == Spark UTF8_BINARY min), and
+    singletons — and the star loop's opportunistic collect (bound hit only
+    AFTER contraction shrinks the edge set) must agree too."""
+    import random
+
+    from fund_data_pipeline_spark.operators import graph
+
+    rng = random.Random(41)
+    ids = list(range(60))
+    rng.shuffle(ids)
+    # path of 40 + triangle + singleton nodes; only half the path nodes declared
+    edges_rows = [(ids[i], ids[i + 1]) for i in range(39)]
+    edges_rows += [(ids[40], ids[41]), (ids[41], ids[42]), (ids[42], ids[40])]
+    nodes = spark.createDataFrame(
+        [(ids[i],) for i in range(0, 60, 2)], "node long"
+    )
+    edges = spark.createDataFrame(edges_rows, "src long, dst long")
+    via_driver = {
+        r.node: r.cluster_id
+        for r in graph.connected_components(nodes, edges).collect()
+    }
+    via_dist = {
+        r.node: r.cluster_id
+        for r in graph.connected_components(
+            nodes, edges, driver_collect_max_edges=0
+        ).collect()
+    }
+    assert via_driver == via_dist
+
+    # opportunistic star-loop collect needs a graph whose canonical edge
+    # set actually SHRINKS under contraction (a path keeps ~n-1 edges every
+    # round, so the bound would never be re-hit): a 10-clique starts at 45
+    # canonical edges (over the bound of 20) and one large+small star round
+    # contracts it to the 9-edge star — exercising the mid-loop driver
+    # handoff. star_fallback_after=0 skips propagation (which would
+    # converge a diameter-1 clique in one round without ever contracting).
+    cnodes = spark.createDataFrame([(i,) for i in range(10)], "node long")
+    cedges = spark.createDataFrame(
+        [(i, j) for i in range(10) for j in range(i + 1, 10)], "src long, dst long"
+    )
+    via_star_collect = {
+        r.node: r.cluster_id
+        for r in graph.connected_components(
+            cnodes, cedges, star_fallback_after=0, driver_collect_max_edges=20
+        ).collect()
+    }
+    via_clique_dist = {
+        r.node: r.cluster_id
+        for r in graph.connected_components(
+            cnodes, cedges, driver_collect_max_edges=0
+        ).collect()
+    }
+    assert via_star_collect == via_clique_dist == {i: 0 for i in range(10)}
+
+    # string ids: lexicographic min must match Spark's UTF8_BINARY min
+    snodes = spark.createDataFrame([("b",), ("x",), ("Z",)], "node string")
+    sedges = spark.createDataFrame([("x", "b"), ("x", "Z")], "src string, dst string")
+    via_driver_s = {
+        r.node: r.cluster_id
+        for r in graph.connected_components(snodes, sedges).collect()
+    }
+    via_dist_s = {
+        r.node: r.cluster_id
+        for r in graph.connected_components(
+            snodes, sedges, driver_collect_max_edges=0
+        ).collect()
+    }
+    assert via_driver_s == via_dist_s == {"b": "Z", "x": "Z", "Z": "Z"}
 
 
 def test_chunk_by_tokens_overlap_and_boundaries(spark):
